@@ -3,36 +3,69 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in the
+``simple_mapreduce_search_engine_information_retrieval__spark`` package;
+each plans-module exposes ``QUERIES: dict[str, QuerySpec]`` pairing the
+Spark callable with its DuckDB oracle SQL (generated from the same
+constants so the two renderings cannot drift).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry():
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+        indexing,
+        search,
+    )
+
+    modules = [indexing, search]
+    for name in ("relational", "textstats", "dedup", "similarity", "streaming_batch"):
+        try:
+            mod = __import__(
+                "simple_mapreduce_search_engine_information_retrieval__spark.plans."
+                + name,
+                fromlist=[name],
+            )
+            modules.append(mod)
+        except ImportError:
+            pass
+    out = {}
+    for mod in modules:
+        for qname, spec in mod.QUERIES.items():
+            assert qname not in out, f"duplicate query name {qname}"
+            out[qname] = spec
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's
+    interactive-search shape — tokenize → postings lookup → tf-idf
+    score → top-10 (SURVEY.md §3.3)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search,
+    )
+
+    return search(spark, "/root/testdata/sf0.001", "spark join")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in _registry().items()
+        if spec.oracle is not None
+    }

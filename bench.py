@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The headline set covers the reference's three jobs (inverted index,
+char-gram index, search) plus the relational/dedup/similarity extensions.
+Each timing forces full materialization via a count/collect-less
+``write.format("noop")`` action (no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_mapreduce_search_engine_information_retrieval__spark.session import (  # noqa: E402
+    get_spark,
+)
+
+HEADLINE = [
+    "inv_postings_k1",
+    "inv_postings_k2",
+    "term_stats_k1",
+    "chargram_k3",
+    "search_two_term",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    import __spark_entry__ as e
+
+    registry = e.queries()
+    spark = get_spark("smse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in registry if n not in HEADLINE]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# bench {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Tokenization — the text-processing core of the engine.
+
+The reference pipeline (SRC/ivory/tokenize/GalagoTokenizer.java:139-183) is
+TagTokenizer -> stopword filter -> Snowball stem. Two renderings here:
+
+1. ``tokens_col`` / ``duck_tokens_list``: the **expression tokenizer** —
+   pure built-in column functions (JVM-side, whole-stage codegen, zero
+   Python in the hot path) AND the byte-identical DuckDB SQL rendering of
+   the same logic, generated from the same regex constants. This is what
+   every oracle-checked query uses, and it is the 100 TB hot path.
+   Semantics (documented divergences from the reference in `fidelity.py`):
+   - strip <script>/<style> blocks, <!--comments-->, <?pi?>, <tags>,
+     &entities;  (reference: TagTokenizer.java:97-102,155-169,644-662)
+   - lowercase, delete apostrophes (TagTokenizer.java:536-559)
+   - split on whitespace/control chars and the reference split-char set
+     (TagTokenizer.java:73-95) PLUS '.' (the reference instead applies
+     per-token acronym rules, TagTokenizer.java:479-527 — the full port
+     lives in functions/fidelity.py as a pandas UDF)
+   - drop empty tokens and tokens >= 100 bytes UTF-8
+     (TagTokenizer.java:439-453)
+
+2. ``functions.fidelity.tokenize_udf``: full-fidelity pandas-UDF port with
+   acronym/period rules and Porter2 stemming; unit-tested against the
+   reference's documented examples; not oracle-checkable (DuckDB has no
+   stemmer in this environment).
+
+Both engines see literally the same regex strings (Java regex and RE2
+agree on this subset: character classes, (?s), non-greedy repetition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .stopwords import STOPWORDS, sql_not_in_stopwords
+
+# <script>/<style> contents die entirely; comments, processing
+# instructions, tags and XML entities become token breaks.
+TAG_NOISE_RE = (
+    r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+    r"|<!--.*?-->|<\?.*?\?>|<[^>]*>|&[a-zA-Z0-9#]+;"
+)
+
+# Reference split chars (TagTokenizer.java:73-95): control chars <= 0x20,
+# ; " & / : ! # ? $ % ( ) @ ^ * + - , = > < [ ] { } | ` ~ _
+# plus '.' (expression-tokenizer simplification, see module docstring).
+SPLIT_RE = r"[\x00-\x20;\"&/:!#?$%()@^*+,.=><\[\]{}|`~_-]+"
+
+MAX_TOKEN_BYTES = 100
+
+
+def _clean_text(col: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(col, TAG_NOISE_RE, " "), "'", "")
+
+
+def tokens_col(text: Column, *, stopworded: bool = True) -> Column:
+    """array<string> of tokens in document order (Spark rendering)."""
+    raw = F.split(_clean_text(F.lower(text)), SPLIT_RE)
+    keep = lambda t: (t != F.lit("")) & (F.octet_length(t) < MAX_TOKEN_BYTES)  # noqa: E731
+    if stopworded:
+        base = keep
+        keep = lambda t: base(t) & ~t.isin(*STOPWORDS)  # noqa: E731
+    return F.filter(raw, keep)
+
+
+def duck_tokens_list(text_sql: str, *, stopworded: bool = True) -> str:
+    """DuckDB SQL rendering of ``tokens_col`` (returns a LIST expression).
+
+    Single-quote escaping: the regexes contain a double quote but no
+    single quotes; apostrophe removal uses chr(39).
+    """
+    cleaned = (
+        f"replace(regexp_replace(lower({text_sql}), "
+        f"'{TAG_NOISE_RE}', ' ', 'g'), chr(39), '')"
+    )
+    lst = f"string_split_regex({cleaned}, '{SPLIT_RE}')"
+    # DuckDB strlen() == byte length of VARCHAR (its octet_length is
+    # BLOB-only); matches Spark octet_length.
+    cond = f"t <> '' AND strlen(t) < {MAX_TOKEN_BYTES}"
+    if stopworded:
+        cond += " AND " + sql_not_in_stopwords("t")
+    return f"list_filter({lst}, t -> {cond})"
+
+
+def kgrams_col(tokens: Column, k: int) -> Column:
+    """Word k-grams: one space-joined gram per window position, preserving
+    order; docs with < k tokens yield an empty array (reference short-doc
+    guard, TermKGramDocIndexer.java:142-143). Spark rendering."""
+    if k == 1:
+        return tokens
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+
+
+def duck_kgrams(list_sql: str, k: int) -> str:
+    """DuckDB rendering of ``kgrams_col`` over a LIST expression."""
+    if k == 1:
+        return list_sql
+    return (
+        f"list_transform(generate_series(1, greatest(len({list_sql}) - {k - 1}, 0)), "
+        f"i -> array_to_string(list_slice({list_sql}, i, i + {k - 1}), ' '))"
+    )
+
+
+def chargrams_col(term: Column, k: int) -> Column:
+    """Char k-grams of the $-padded term (reference F9,
+    CharKGramTermIndexer.java:99-108): '$term$' -> all length-k substrings.
+    Spark rendering; emits an array (possibly with duplicates — callers
+    dedup)."""
+    padded = F.concat(F.lit("$"), term, F.lit("$"))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - (k - 1)),
+        lambda i: F.substring(padded, i, k),
+    )
+
+
+def duck_chargrams(term_sql: str, k: int) -> str:
+    padded = f"('$' || {term_sql} || '$')"
+    return (
+        f"list_transform(generate_series(1, length({padded}) - {k - 1}), "
+        f"i -> {padded}[i:i+{k - 1}])"
+    )

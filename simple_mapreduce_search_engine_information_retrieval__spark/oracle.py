@@ -1,0 +1,77 @@
+"""DuckDB-oracle comparison helper — local replica of the driver's
+correctness gate (row-count + schema-name + order-insensitive value
+compare) so every QuerySpec is verified in-repo before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.tables import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    issues: list[str] = []
+    s = spark_df.toPandas()
+    d = con.execute(sql).df()
+    if sorted(s.columns) != sorted(d.columns):
+        return [f"columns differ: spark={sorted(s.columns)} duck={sorted(d.columns)}"]
+    if len(s) != len(d):
+        issues.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return issues
+    sn, dn = _normalize(s), _normalize(d)
+    for c in sn.columns:
+        sv, dv = sn[c], dn[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            ok = all(
+                (math.isnan(a) and math.isnan(b)) or a == b
+                for a, b in zip(sv.astype(float), dv.astype(float))
+            )
+        else:
+            ok = sv.astype(str).equals(dv.astype(str))
+        if not ok:
+            bad = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(sv, dv))
+                if str(a) != str(b)
+            ][:5]
+            issues.append(f"column {c} values differ, first diffs: {bad}")
+    return issues
+
+
+def check_query(
+    spark: SparkSession, sf_dir: str, name: str, spec
+) -> list[str]:
+    con = duck_connect(sf_dir)
+    try:
+        df = spec.fn(spark, sf_dir)
+        if spec.oracle is None:
+            n = df.count()
+            return [] if n >= 0 else [f"{name}: negative count?"]
+        return [f"{name}: {m}" for m in compare(df, con, spec.oracle)]
+    finally:
+        con.close()

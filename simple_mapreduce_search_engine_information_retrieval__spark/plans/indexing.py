@@ -1,0 +1,250 @@
+"""Index-build plans — the reference's three MapReduce jobs re-expressed
+as single declarative DataFrame chains (SURVEY.md §3.1-3.2).
+
+Scale design (100 TB):
+- The PRIMARY index representation is FLAT postings ``(term, docno, tf)``
+  — one shuffle (hash by (term, docno), partial aggregation = the
+  reference's combiner, TermKGramDocIndexer.java:273, is automatic).
+  Written out it is bucketed/sorted by term so term-lookup joins need no
+  shuffle and Parquet row-group stats prune scans (replaces the
+  reference's hand-built byte-offset forward index,
+  BuildIntDocVectorsForwardIndex.java — obsolete under Parquet).
+- The array-of-struct postings form (reference SequenceFile layout,
+  TermKGramDocIndexer.java:269-275) is a DERIVED view: ``collect_list``
+  per term is skew-prone for stopword-like heavy hitters, so it is not on
+  the query hot path; ``postings_arrays`` caps nothing but documents the
+  two-level-agg mitigation for heavy terms.
+- docno assignment: ``row_number() over (order by docid)`` matches the
+  reference's single-reducer sequential numbering
+  (NumberTrecDocuments.java:97-107). A global window is a single-task
+  sort at 100 TB — ``docno_mapping_scalable`` shows the
+  sort + per-partition-offset formulation that parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import (
+    chargrams_col,
+    duck_chargrams,
+    duck_kgrams,
+    duck_tokens_list,
+    kgrams_col,
+    tokens_col,
+)
+from ..sources.tables import table
+from . import QuerySpec
+
+
+def doc_terms(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """(docno, term) — one row per k-gram occurrence, in-document order
+    irrelevant downstream. The tokenizer is pure built-in expressions:
+    the whole chain is one WholeStageCodegen span over the Parquet scan
+    (only doc_id and text are read — column pruning)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("docno"),
+        F.explode(kgrams_col(toks, k)).alias("term"),
+    )
+
+
+def duck_doc_terms(k: int = 1) -> str:
+    lst = duck_tokens_list("text")
+    return (
+        f"SELECT doc_id AS docno, unnest({duck_kgrams(lst, k)}) AS term "
+        f"FROM documents"
+    )
+
+
+def postings_flat(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """Inverted index, flat form: (term, docno, tf).
+
+    Reference: map emit + combiner + reducer tf-merge
+    (TermKGramDocIndexer.java:135-213) == groupBy(term, docno).sum —
+    Catalyst's partial/final HashAggregate IS the combiner."""
+    return (
+        doc_terms(spark, sf_dir, k)
+        .groupBy("term", "docno")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def duck_postings_flat(k: int = 1) -> str:
+    return (
+        f"SELECT term, docno, count(*) AS tf FROM ({duck_doc_terms(k)}) "
+        f"GROUP BY term, docno"
+    )
+
+
+def term_stats(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """Dictionary: (term, df, cf). df computed CORRECTLY (number of docs
+    containing the term); the reference leaves df=1 for every real term
+    (the A8 'df bug', TermKGramDocIndexer.java:116,174-213) — search.py
+    offers compat_df1 scoring to reproduce reference scores."""
+    return (
+        postings_flat(spark, sf_dir, k)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def duck_term_stats(k: int = 1) -> str:
+    return (
+        f"SELECT term, count(*) AS df, sum(tf) AS cf "
+        f"FROM ({duck_postings_flat(k)}) GROUP BY term"
+    )
+
+
+def postings_arrays(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """Derived array form matching the reference SequenceFile layout:
+    (term, df, postings array<struct<docno,tf>> sorted tf desc, docno asc
+    — deterministic tiebreak; the reference's tf-only comparator
+    (PostingWritable.java:56-59) is order-unstable on ties).
+
+    Heavy-hitter note: at 100 TB a single term's postings can exceed one
+    task's memory; mitigation is chunked rows (term, chunk_id, postings)
+    via an extra bucketing key — not needed at test SF."""
+    return (
+        postings_flat(spark, sf_dir, k)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.reverse(
+                F.array_sort(F.collect_list(F.struct("tf", "docno")))
+            ).alias("postings"),
+        )
+    )
+
+
+def docno_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docid(string) -> docno(long), 1-based, ordered by docid — the
+    reference's NumberTrecDocuments + TrecDocnoMapping (docno = sorted
+    array index, TrecDocnoMapping.java:59,137-155)."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("docid")
+    )
+    w = Window.orderBy("docid")
+    return docs.select(
+        "docid", F.row_number().over(w).cast("long").alias("docno")
+    )
+
+
+DUCK_DOCNO_MAPPING = (
+    "SELECT docid, CAST(row_number() OVER (ORDER BY docid) AS BIGINT) AS docno "
+    "FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)"
+)
+
+
+def docno_mapping_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result without a single-task global window: range-partitioned
+    sort, then per-partition counts broadcast back as offsets. This is
+    the 100 TB path (the global-window version funnels every row through
+    one task)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("docid"))
+        .repartitionByRange(32, "docid")
+        .sortWithinPartitions("docid")
+    )
+
+    rdd = docs.rdd.map(lambda r: r[0])
+    counts = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    def assign(pid, it, offs=offsets):
+        base = offs[pid]
+        for i, docid in enumerate(it):
+            yield (docid, base + i + 1)
+
+    out = rdd.mapPartitionsWithIndex(assign)
+    return spark.createDataFrame(out, schema="docid string, docno long")
+
+
+def chargram_flat(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Char-k-gram -> term index, flat (gram, term) distinct pairs.
+    Reference: CharKGramTermIndexer ($-padding F9, in-mapper dedup A4,
+    sorted-merge union O4) == distinct over exploded chargrams."""
+    vocab = doc_terms(spark, sf_dir, 1).select("term").distinct()
+    return (
+        vocab.select(
+            F.explode(chargrams_col(F.col("term"), k)).alias("gram"),
+            "term",
+        )
+        .distinct()
+    )
+
+
+def duck_chargram_flat(k: int = 3) -> str:
+    return (
+        f"SELECT DISTINCT unnest({duck_chargrams('term', k)}) AS gram, term "
+        f"FROM (SELECT DISTINCT term FROM ({duck_doc_terms(1)}))"
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row stats table (n_docs, n_tokens, n_vocab) — replaces the
+    reference's sentinel-record smuggling of N through the index
+    (TermKGramDocIndexer.java:84,125-126,174-183)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = doc_terms(spark, sf_dir, 1)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    tok_stats = toks.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_vocab"),
+    )
+    return n_docs.crossJoin(tok_stats)
+
+
+DUCK_CORPUS_STATS = None  # filled below (needs duck_doc_terms)
+
+
+def _duck_corpus_stats() -> str:
+    return (
+        f"SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        f"count(*) AS n_tokens, count(DISTINCT term) AS n_vocab "
+        f"FROM ({duck_doc_terms(1)})"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docno_mapping": QuerySpec(
+        fn=docno_mapping,
+        oracle=DUCK_DOCNO_MAPPING,
+        note="A9 sequential numbering (NumberTrecDocuments.java:97-107)",
+    ),
+    "inv_postings_k1": QuerySpec(
+        fn=lambda s, d: postings_flat(s, d, 1),
+        oracle=duck_postings_flat(1),
+        note="A1/A2/A3 inverted index, word 1-grams (TermKGramDocIndexer)",
+    ),
+    "inv_postings_k2": QuerySpec(
+        fn=lambda s, d: postings_flat(s, d, 2),
+        oracle=duck_postings_flat(2),
+        note="W1 word-2-gram slide (TermKGramDocIndexer.java:135-159)",
+    ),
+    "term_stats_k1": QuerySpec(
+        fn=lambda s, d: term_stats(s, d, 1),
+        oracle=duck_term_stats(1),
+        note="A8 df computed correctly (reference df bug documented)",
+    ),
+    "chargram_k2": QuerySpec(
+        fn=lambda s, d: chargram_flat(s, d, 2),
+        oracle=duck_chargram_flat(2),
+        note="F9/A4/A5/O4 char-2-gram term index (CharKGramTermIndexer)",
+    ),
+    "chargram_k3": QuerySpec(
+        fn=lambda s, d: chargram_flat(s, d, 3),
+        oracle=duck_chargram_flat(3),
+        note="char-3-gram term index",
+    ),
+    "corpus_stats": QuerySpec(
+        fn=corpus_stats,
+        oracle=_duck_corpus_stats(),
+        note="A6 global doc count (sentinel replaced by stats table)",
+    ),
+}

@@ -1,0 +1,127 @@
+"""Interactive-query plan — the reference REPL
+(IntDocVectorsForwardIndex.java:243-322) as one declarative chain:
+
+    query terms -> postings lookup (broadcast semi-join, J2)
+                -> score accumulate (A10) -> top-k (O5) -> docid display (J3)
+
+Scoring preserves the reference's exact mixed-log-base formula
+(IntDocVectorsForwardIndex.java:211):
+
+    score(doc) = sum_over_query_terms( (1 + ln(tf)) * log10(N / df) )
+
+Two df modes (SURVEY.md A8):
+- ``correct``   : df = docs containing the term (what the code intends);
+- ``compat_df1``: df = 1 (what the reference actually computes — reduce
+  never calls setDf on real keys, TermKGramDocIndexer.java:116).
+
+Tie-break: score desc, docno asc (the reference's integer-truncated
+comparator, IntDocVectorsForwardIndex.java:360-365, is order-unstable on
+near-ties — documented divergence, SURVEY.md O6).
+
+Scale: the query side is a handful of terms — Catalyst broadcasts it
+(BroadcastHashJoin) so the index side never shuffles; with the index
+bucketed by term the lookup is a pruned scan, the exact Spark analogue of
+the reference's forward-index seek (and why that job is obsolete here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stopwords import STOPWORD_SET
+from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES
+from ..sources.tables import table
+from . import QuerySpec
+from .indexing import duck_postings_flat, duck_term_stats, postings_flat, term_stats
+
+TOP_K = 10  # reference truncates at 10 (IntDocVectorsForwardIndex.java:218-222)
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Driver-side query tokenization (tiny input — no cluster work),
+    mirroring the expression tokenizer's semantics."""
+    import re
+
+    toks = [t for t in re.split(SPLIT_RE, text.lower().replace("'", "")) if t]
+    toks = [t for t in toks if len(t.encode()) < MAX_TOKEN_BYTES]
+    return [t for t in toks if t not in STOPWORD_SET]
+
+
+def search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    *,
+    k: int = 1,
+    top_k: int = TOP_K,
+    df_mode: str = "correct",
+) -> DataFrame:
+    """Top-k docs for a free-text query. Returns (docno, score, rank)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+
+    post = postings_flat(spark, sf_dir, k)
+    stats = term_stats(spark, sf_dir, k)
+    n_docs = table(spark, sf_dir, "documents").count()
+
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    # broadcast the tiny query side; missing terms drop out (inner join ==
+    # the reference's silent dictionary-miss skip, J2)
+    hits = post.join(F.broadcast(qdf), "term").join(
+        F.broadcast(stats.join(F.broadcast(qdf), "term")), "term"
+    )
+    df_expr = F.lit(1) if df_mode == "compat_df1" else F.col("df")
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / df_expr)
+    scored = (
+        hits.groupBy("docno")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return scored.select(
+        "docno", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def duck_search(query: str, *, k: int = 1, top_k: int = TOP_K) -> str:
+    terms = tokenize_query(query)
+    lits = ", ".join("'" + t + "'" for t in set(terms))
+    return f"""
+WITH post AS ({duck_postings_flat(k)}),
+     stats AS ({duck_term_stats(k)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN stats USING (term) CROSS JOIN n
+       WHERE post.term IN ({lits})
+       GROUP BY post.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "search_one_term": QuerySpec(
+        fn=lambda s, d: search(s, d, "spark"),
+        oracle=duck_search("spark"),
+        note="A10/O5 tf-idf top-10, 1-term query (reference REPL shape)",
+    ),
+    "search_two_term": QuerySpec(
+        fn=lambda s, d: search(s, d, "spark join"),
+        oracle=duck_search("spark join"),
+        note="2-term query — reference REPL max (P4)",
+    ),
+    "search_with_stopwords_and_miss": QuerySpec(
+        fn=lambda s, d: search(s, d, "the spark zzzmissing"),
+        oracle=duck_search("the spark zzzmissing"),
+        note="stopword dropped pre-lookup; missing term silently skipped (J2)",
+    ),
+}

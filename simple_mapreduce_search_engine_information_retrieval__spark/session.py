@@ -1,0 +1,42 @@
+"""SparkSession factory.
+
+Defaults are chosen for the test harness (local[32], 128 GiB box) but the
+knobs mirror what a 1000-executor cluster run would set: AQE on (runtime
+partition coalescing + skew-join splitting), explicit shuffle partitions,
+Arrow for the few pandas-UDF paths, UTC session timezone so results are
+byte-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "smse-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_scale(spark: SparkSession, target_partitions: int) -> None:
+    """At 100 TB, shuffle partition count must track data volume
+    (~128-256 MB per post-shuffle partition); AQE coalesces down but the
+    initial number bounds parallelism. Call-site override for big jobs."""
+    spark.conf.set("spark.sql.shuffle.partitions", str(target_partitions))

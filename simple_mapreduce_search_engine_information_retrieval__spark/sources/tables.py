@@ -1,0 +1,36 @@
+"""Fixture table loaders.
+
+All tests/benches read the driver-generated Parquet tables
+(`/root/testdata/sf*/`, see TESTDATA.md). Loading is plain
+``spark.read.parquet`` — Catalyst gets column pruning + predicate pushdown
+for free, and at cluster scale the same call reads a partitioned
+directory tree with partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (mirrors the driver's
+    DuckDB-side pre-registered views) and return the DataFrames."""
+    out = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
