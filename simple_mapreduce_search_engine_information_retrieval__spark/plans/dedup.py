@@ -1,0 +1,236 @@
+"""Deduplication operators (north star: training-data pipeline).
+
+- exact dedup: hash-groupBy on the normalized token-stream fingerprint;
+- near-dup: MinHash + LSH banding + exact-Jaccard verify over word-3-gram
+  shingles, then n-gram-Jaccard on adjacent-id pairs as a dense check.
+
+Portability trick that makes MinHash oracle-checkable: the "random" hash
+family is md5 with an integer salt prefix — identical strings in Spark
+and DuckDB — and min() over hex strings is the lexicographic min in both.
+No RNG, no engine-specific hash.
+
+Scale notes: shingle explode → groupBy(doc) agg of H mins is one shuffle;
+band self-join keys are tiny (doc, band_key) pairs; the quadratic
+candidate blow-up is bounded by band selectivity (that is the entire
+point of LSH — only same-bucket pairs are joined). The exact-verify join
+touches only candidate docs' shingle sets. At 100 TB the shingle table is
+the big intermediate: it is derived, never materialized, and the min-agg
+is partial (map-side combine) so the shuffle carries H×docs rows, not the
+shingle stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from ..functions.tokenize import duck_tokens_list, tokens_col
+from . import QuerySpec
+from .indexing import doc_terms, duck_doc_terms
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+JACCARD_THRESHOLD = 0.3
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of byte-identical-after-normalization docs:
+    (fingerprint, n_docs, keeper). Keeper = min doc_id (the row a
+    pipeline would retain)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(tokens_col(F.col("text"), stopworded=False), " "))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DUCK_EXACT_DUP_GROUPS = f"""
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+FROM (SELECT doc_id,
+             md5(array_to_string({duck_tokens_list('text', stopworded=False)}, ' ')) AS fingerprint
+      FROM documents)
+GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_terms(spark, sf_dir, k=3).select(
+        F.col("docno").alias("doc_id"), F.col("term").alias("shingle")
+    ).distinct()
+
+
+_DUCK_SHINGLES = (
+    f"SELECT DISTINCT docno AS doc_id, term AS shingle FROM ({duck_doc_terms(3)})"
+)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h7): salted-md5 MinHash signature over 3-gram
+    shingles."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_DUCK_SHINGLES}) GROUP BY doc_id"
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    rows = []
+    per = N_HASHES // N_BANDS
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * per + r}") for r in range(per)]
+        rows.append(
+            sig.select(
+                "doc_id",
+                F.md5(F.concat(F.lit(f"{b}:"), *cols)).alias("band_key"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+def _duck_bands() -> str:
+    per = N_HASHES // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        concat = " || ".join(f"h{b * per + r}" for r in range(per))
+        selects.append(
+            f"SELECT doc_id, md5('{b}:' || {concat}) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard over shingle sets:
+    (doc_a, doc_b, jaccard) for jaccard >= threshold."""
+    sh = _shingles(spark, sf_dir).cache()
+    bands = _bands(minhash_signatures(spark, sf_dir))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out
+
+
+def _duck_near_dups() -> str:
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+     sig AS ({_duck_minhash()}),
+     bands AS ({_duck_bands()}),
+     cand AS (
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM bands x JOIN bands y USING (band_key)
+       WHERE x.doc_id < y.doc_id
+     ),
+     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       FROM cand c
+       JOIN sh a ON a.doc_id = c.doc_a
+       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       GROUP BY c.doc_a, c.doc_b
+     )
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for adjacent doc_id pairs — a dense,
+    LSH-free n-gram-Jaccard reference line (and the oracle for what the
+    LSH path may legitimately miss below threshold)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(tokens_col(F.col("text"), stopworded=False)).alias("ts"),
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_a"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("ts_a", "ts_b"))
+                / F.size(F.array_union("ts_a", "ts_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+DUCK_ADJACENT_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({duck_tokens_list('text', stopworded=False)}) AS ts
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.ts, b.ts))
+             / CAST(len(list_distinct(a.ts || b.ts)) AS DOUBLE), 6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_groups": QuerySpec(fn=exact_dup_groups, oracle=DUCK_EXACT_DUP_GROUPS),
+    "dedup_minhash_signatures": QuerySpec(
+        fn=minhash_signatures, oracle=_duck_minhash(),
+        note="salted-md5 MinHash — engine-portable hash family",
+    ),
+    "dedup_minhash_near_dups": QuerySpec(
+        fn=minhash_near_dups, oracle=_duck_near_dups(),
+        note="LSH bands → candidate pairs → exact-Jaccard verify",
+    ),
+    "dedup_adjacent_jaccard": QuerySpec(
+        fn=adjacent_jaccard, oracle=DUCK_ADJACENT_JACCARD,
+        note="n-gram Jaccard dense reference",
+    ),
+}

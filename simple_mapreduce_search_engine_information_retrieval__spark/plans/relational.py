@@ -1,0 +1,244 @@
+"""Relational query pack — joins, aggregations, windows, set ops,
+grouping sets, subqueries over the TPC-H-ish fixtures (SURVEY.md §2.3-2.7:
+the reference has only key-lookup joins; everything here is the free
+Spark-SQL capability surface, hash-checked against DuckDB).
+
+Authoring style: ONE ANSI-SQL string executed by BOTH Spark SQL and the
+DuckDB oracle (QuerySpec via ``shared_sql``) — zero drift by construction.
+Events queries need dual fragments only for time handling (Spark reads the
+parquet TIMESTAMP(NANOS) column as epoch-nanos long — see session.py —
+while DuckDB reads TIMESTAMP_NS; both bucket via exact integer division).
+
+Determinism rules for the value-hash gate:
+- every float aggregate is round(x, 2..6);
+- every LIMIT has a total deterministic ORDER BY tiebreak;
+- ROLLUP/GROUPING-SETS nulls are COALESCEd to literals;
+- extract()/row_number() results CAST to BIGINT (Spark int vs DuckDB
+  bigint would otherwise differ in schema).
+
+Scale notes (100 TB):
+- dim tables (region/nation/supplier/part at TPC-H ratios) sit far under
+  the broadcast threshold → Catalyst plans BroadcastHashJoin; the big
+  fact-fact join (orders⋈lineitem) hash-shuffles on the join key and AQE
+  handles skew/coalescing. Verified via .explain in tests/test_plans.py.
+- aggregations are partial+final (map-side combine) automatically.
+"""
+
+from __future__ import annotations
+
+from . import QuerySpec, shared_sql
+from ..sources.tables import register_views
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+Q1_PRICING_SUMMARY = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT)      AS order_year
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate  > DATE '1996-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+Q5_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate <  DATE '1999-01-01'
+GROUP BY n.n_name
+"""
+
+Q6_REVENUE_FORECAST = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)                                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+TOP_CUSTOMERS_PER_NATION = """
+SELECT n_name, c_custkey, acctbal, rk
+FROM (
+  SELECT n.n_name,
+         c.c_custkey,
+         round(c.c_acctbal, 2) AS acctbal,
+         CAST(row_number() OVER (PARTITION BY n.n_name
+                                 ORDER BY c.c_acctbal DESC, c.c_custkey)
+              AS BIGINT) AS rk
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+) t
+WHERE rk <= 3
+"""
+
+ORDER_YEAR_ROLLUP = """
+SELECT COALESCE(order_year, -1)      AS order_year,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       count(*)                                     AS n_orders,
+       round(sum(o_totalprice), 2)                  AS total_price
+FROM (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+         o_orderstatus, o_totalprice
+  FROM orders
+) t
+GROUP BY ROLLUP (order_year, o_orderstatus)
+"""
+
+NATION_SET_OPS = """
+SELECT n_name, 'both' AS tag FROM (
+  SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  INTERSECT
+  SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+) a
+UNION ALL
+SELECT n_name, 'customers_only' AS tag FROM (
+  SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  EXCEPT
+  SELECT n.n_name FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+) b
+"""
+
+CUSTOMERS_WITHOUT_ORDERS = """
+SELECT count(*) AS n_customers_no_orders
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ABOVE_NATION_AVG_BALANCE = """
+SELECT c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+PART_SIZE_STATS = """
+SELECT p_brand,
+       count(DISTINCT p_type)     AS n_types,
+       CAST(max(p_size) AS BIGINT) AS max_size,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY p_brand
+"""
+
+LINEITEM_LAG_WINDOW = """
+SELECT l_orderkey, l_linenumber, qty, prev_qty, running_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         round(l_quantity, 2) AS qty,
+         round(COALESCE(lag(l_quantity) OVER w, -1.0), 2) AS prev_qty,
+         round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW), 2) AS running_qty
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+) t
+WHERE l_orderkey <= 100
+"""
+
+# ------------------------------------------------------------------- events
+# Spark sees ts as epoch-nanos BIGINT; DuckDB sees TIMESTAMP_NS. Bucketing
+# uses exact integer division on nanos in both engines (no float rounding).
+
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+def _events_pair(body: str) -> QuerySpec:
+    """body contains {HOUR} (hour bucket, BIGINT) and {JSONK} (props->'k'
+    as BIGINT) placeholders; rendered per engine."""
+    spark_sql = body.format(
+        HOUR=f"(ts div {_NS_PER_HOUR})",
+        JSONK="CAST(get_json_object(props, '$.k') AS BIGINT)",
+    )
+    duck_sql = body.format(
+        HOUR=f"(epoch_ns(ts) // {_NS_PER_HOUR})",
+        JSONK="CAST(json_extract_string(props, '$.k') AS BIGINT)",
+    )
+
+    def fn(spark, sf_dir, _sql=spark_sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return QuerySpec(fn=fn, oracle=duck_sql, note="events (dual time fragments)")
+
+
+EVENTS_HOURLY = """
+SELECT {HOUR}      AS hour_bucket,
+       event_type,
+       count(*)    AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+EVENTS_JSON_PROPS = """
+SELECT ({JSONK} % 10) AS k_mod,
+       count(*)       AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE {JSONK} IS NOT NULL
+GROUP BY 1
+"""
+
+EVENTS_USER_ACTIVITY = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       CAST(max({HOUR}) - min({HOUR}) AS BIGINT) AS active_hour_span
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": shared_sql(Q1_PRICING_SUMMARY, "A-class agg parity"),
+    "tpch_q3_shipping_priority": shared_sql(Q3_SHIPPING_PRIORITY, "3-way join + top-k"),
+    "tpch_q5_local_supplier": shared_sql(Q5_LOCAL_SUPPLIER_VOLUME, "6-way join"),
+    "tpch_q6_revenue_forecast": shared_sql(Q6_REVENUE_FORECAST, "scan + scalar agg"),
+    "window_top_customers_per_nation": shared_sql(TOP_CUSTOMERS_PER_NATION, "ranking window"),
+    "rollup_orders_by_year_status": shared_sql(ORDER_YEAR_ROLLUP, "ROLLUP grouping sets"),
+    "setops_nation_coverage": shared_sql(NATION_SET_OPS, "INTERSECT/EXCEPT"),
+    "anti_customers_without_orders": shared_sql(CUSTOMERS_WITHOUT_ORDERS, "anti join via NOT EXISTS"),
+    "correlated_above_nation_avg": shared_sql(ABOVE_NATION_AVG_BALANCE, "correlated scalar subquery"),
+    "part_brand_stats": shared_sql(PART_SIZE_STATS, "count distinct + min/max"),
+    "window_lineitem_lag_running": shared_sql(LINEITEM_LAG_WINDOW, "lag + running sum frames"),
+    "events_hourly": _events_pair(EVENTS_HOURLY),
+    "events_json_props": _events_pair(EVENTS_JSON_PROPS),
+    "events_user_activity": _events_pair(EVENTS_USER_ACTIVITY),
+}

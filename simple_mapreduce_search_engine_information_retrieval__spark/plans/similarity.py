@@ -1,0 +1,195 @@
+"""Similarity search over the embeddings table (north star).
+
+Brute-force cosine top-k is the exact baseline; the IVF-style bucketed
+variant is the scale path (search only the query's coarse cell). All
+vector math is built-in higher-order functions (zip_with + aggregate —
+JVM-side, codegen'd); verified bit-exact against DuckDB's
+list_dot_product on this data, rounded to 6 dp for the hash gate anyway.
+
+Scale notes (100 TB of embeddings):
+- brute force is a full scan per query — fine for batch scoring (one pass
+  scores ALL queries via crossJoin + per-partition vectorization), wrong
+  for interactive; the IVF bucket path prunes the scan to one cell, and
+  the cell id is a pure expression so Parquet partition-by-cell makes it
+  partition pruning, not even a filter.
+- for >512-dim vectors a mapInPandas/numpy (BLAS) kernel beats per-element
+  codegen; the operator contract (vec_id, score) stays identical. Left as
+  the documented swap-in; 64-dim fixtures don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from . import QuerySpec
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DUCK_D = "list_transform({0}, x -> CAST(x AS DOUBLE))"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    da, db = _DUCK_D.format(a), _DUCK_D.format(b)
+    return (
+        f"(list_dot_product({da}, {db}) / "
+        f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db}))))"
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the fixed query vector (vec_id=0):
+    (vec_id, cos) — the correctness baseline every ANN variant is
+    measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+DUCK_KNN_BRUTE = f"""
+SELECT vec_id, round({_duck_cos('embedding', 'q.qvec')}, 6) AS cos
+FROM embeddings
+CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def _cell(e: Column) -> Column:
+    """IVF coarse cell: sign bits of the first 3 components (8 cells).
+    Deterministic, partition-prunable."""
+    bit = lambda i: F.when(F.element_at(e, i) > 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    return (bit(1) * 4 + bit(2) * 2 + bit(3)).cast("long")
+
+
+def _duck_cell(e: str) -> str:
+    bit = lambda i: f"(CASE WHEN {e}[{i}] > 0 THEN 1 ELSE 0 END)"  # noqa: E731
+    return f"CAST({bit(1)} * 4 + {bit(2)} * 2 + {bit(3)} AS BIGINT)"
+
+
+def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: search only the query's coarse cell. May differ from brute
+    force (that is the approximation); deterministic given the data."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "cell", _cell(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+DUCK_KNN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding, {_duck_cell('embedding')} AS cell FROM embeddings),
+     q AS (SELECT embedding AS qvec, cell AS qcell FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.cell, round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+FROM e CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID} AND e.cell = q.qcell
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm + member count — the aggregate shape of
+    embedding analytics (explode dims → two-level agg; dim-major shuffle
+    is narrow: labels × dims rows)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(
+            emb.groupBy("label").agg(F.count("*").alias("n_vecs")), "label"
+        )
+        .select(F.col("label").cast("long").alias("label"), "centroid_norm", "n_vecs")
+    )
+
+
+DUCK_LABEL_CENTROIDS = """
+WITH dims AS (
+  SELECT label, j.dim AS dim, CAST(embedding[j.dim] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) j
+),
+per_dim AS (SELECT label, dim, avg(v) AS m FROM dims GROUP BY label, dim)
+SELECT CAST(p.label AS BIGINT) AS label,
+       round(sqrt(sum(p.m * p.m)), 6) AS centroid_norm,
+       n.n_vecs
+FROM per_dim p
+JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) n
+  ON n.label = p.label
+GROUP BY p.label, n.n_vecs
+"""
+
+
+def adjacent_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense exact line: cosine of (vec_id, vec_id+1) pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_a"), F.col("embedding").alias("eb")
+    )
+    return a.join(b, "vec_a").select(
+        "vec_a",
+        (F.col("vec_a") + 1).alias("vec_b"),
+        F.round(_cos(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    )
+
+
+DUCK_ADJACENT_COSINES = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "knn_cosine_brute_force": QuerySpec(fn=knn_brute_force, oracle=DUCK_KNN_BRUTE),
+    "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
+    "embedding_label_centroid_norms": QuerySpec(
+        fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
+    ),
+    "embedding_adjacent_cosines": QuerySpec(
+        fn=adjacent_cosines, oracle=DUCK_ADJACENT_COSINES
+    ),
+}

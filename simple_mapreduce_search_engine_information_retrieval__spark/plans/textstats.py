@@ -1,0 +1,159 @@
+"""Text-analysis operators for a training-data pipeline (north star):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All expression-only (JVM-side at scale) with DuckDB
+oracles rendered from the same tokenizer constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stopwords import STOPWORD_SET, STOPWORDS, sql_not_in_stopwords
+from ..functions.tokenize import duck_tokens_list, tokens_col
+from ..sources.tables import table
+from . import QuerySpec
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token accounting: raw whitespace tokens, engine tokens
+    (split-char tokenizer, pre-stopword), kept tokens (post-stopword),
+    distinct terms."""
+    docs = table(spark, sf_dir, "documents")
+    all_toks = tokens_col(F.col("text"), stopworded=False)
+    kept = tokens_col(F.col("text"), stopworded=True)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(all_toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(F.array_distinct(kept)).cast("long").alias("n_distinct"),
+    )
+
+
+DUCK_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len({duck_tokens_list('text', stopworded=False)}) AS n_tokens,
+       len({duck_tokens_list('text', stopworded=True)})  AS n_kept,
+       len(list_distinct({duck_tokens_list('text', stopworded=True)})) AS n_distinct
+FROM documents
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: char length, mean token length,
+    stopword ratio, digit ratio, punctuation ratio. Heuristics like
+    these gate corpus inclusion at pipeline scale; all pure expressions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"), stopworded=False)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)).cast("double"), 4).alias("stopword_ratio"),
+        F.round(digits / F.length("text").cast("double"), 4).alias("digit_ratio"),
+        F.round(punct / F.length("text").cast("double"), 4).alias("punct_ratio"),
+    )
+
+
+def _duck_quality() -> str:
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks)    AS n_tokens,
+       round(list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1), 4) AS mean_token_len,
+       round(len(list_filter(toks, t -> NOT ({sql_not_in_stopwords('t')}))) / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+       round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio
+FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: share of tokens that are
+    English function words (the stopword list). Deterministic and
+    oracle-checkable; a real pipeline would swap in a char-n-gram model
+    behind the same (doc_id, pred_lang, en_ratio) contract."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"), stopworded=False)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n = F.size(toks)
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = F.round(n_en / F.greatest(n, F.lit(1)).cast("double"), 4)
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.1, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        ratio.alias("en_ratio"),
+    )
+
+
+def _duck_lang_id() -> str:
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+SELECT doc_id,
+       CASE WHEN ratio >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang,
+       ratio AS en_ratio
+FROM (
+  SELECT doc_id,
+         round(len(list_filter(toks, t -> NOT ({sql_not_in_stopwords('t')})))
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS ratio
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+)
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the normalized token
+    stream (tokenizer output joined by single spaces) — robust to
+    whitespace/markup differences, exact-content sensitive."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"), stopworded=False)
+    return docs.select(
+        "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint")
+    )
+
+
+DUCK_FINGERPRINTS = f"""
+SELECT doc_id,
+       md5(array_to_string({duck_tokens_list('text', stopworded=False)}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def term_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over the kept-token stream — a cheap
+    corpus-health profile (tokenizer drift shows up here first)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy(F.length("term").cast("long").alias("term_len"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+DUCK_TERM_LENGTH_HIST = f"""
+SELECT length(term) AS term_len, count(*) AS n
+FROM (SELECT unnest({duck_tokens_list('text')}) AS term FROM documents)
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_counts": QuerySpec(fn=token_counts, oracle=DUCK_TOKEN_COUNTS),
+    "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
+    "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
+    "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
+    "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
+}
