@@ -1,0 +1,158 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing — schemas, batch iteration, partition sizing,
+kernel signatures — is real and tested; the actual codec calls are
+STUBBED (this container has no image/audio libraries): ``decode_image``
+parses a deterministic fake header and raises ``NotImplementedError`` for
+real formats, exactly where PIL/ffmpeg would slot in.
+
+Scale notes (100 TB of media):
+- payloads dominate row size → keep them OUT of shuffles: derive features
+  first (mapInPandas, narrow), shuffle only the small feature columns;
+- maxPartitionBytes governs rows-per-task for fat binary rows; the
+  kernels are per-batch vectorized and never hold more than one Arrow
+  batch of payloads in memory;
+- metadata lives in plain columns so Catalyst prunes/pushes down without
+  touching bytes (a scan counting JPEGs must not read payloads — columnar
+  Parquet gives that for free).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # fake | jpeg | png | wav | mp4
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+_MAGIC = b"FAKE"
+
+
+def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake codec: FAKE | w | h | w*h bytes of a fixed
+    pattern. Stands in for a real encoder so plumbing tests have bytes
+    whose decoded stats are predictable."""
+    body = bytes(((media_id + i) % 251) for i in range(width * height))
+    return _MAGIC + struct.pack("<II", width, height) + body
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """A small deterministic media table for tests/demos."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5), 6 + (i % 3)
+        rows.append((i, "image", "fake", encode_fake_image(i, w, h), w, h, 1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:4] == _MAGIC:
+        w, h = struct.unpack("<II", payload[4:12])
+        return w, h, payload[12 : 12 + w * h]
+    raise NotImplementedError(
+        "real image decoding (jpeg/png) requires PIL/libvips — "
+        "not available in this container; plug the codec in here"
+    )
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("max_px", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel: payload -> numeric features. Output carries no
+    binary, so everything downstream shuffles cheaply."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = _decode(bytes(payload))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "mean_px": round(sum(body) / len(body), 6) if body else 0.0,
+                        "max_px": max(body) if body else 0,
+                        "n_bytes": len(body),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def resize_stub(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """mapInPandas kernel returning re-encoded payloads (fake codec:
+    nearest-neighbor crop/pad; a real pipeline swaps in PIL.resize)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = _decode(bytes(payload))
+                px = [
+                    body[min(int(y * h / new_h), h - 1) * w + min(int(x * w / new_w), w - 1)]
+                    for y in range(new_h)
+                    for x in range(new_w)
+                ]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": _MAGIC + struct.pack("<II", new_w, new_h) + bytes(px),
+                        "width": new_w,
+                        "height": new_h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+    return media.select("media_id", "payload").mapInPandas(kernel, schema)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only scan: must never touch payload bytes (column
+    pruning) — the 100 TB 'count by format' query."""
+    return media.groupBy("kind", "format").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("width") * F.col("height")).alias("total_px"),
+    )

@@ -119,6 +119,25 @@ def postings_arrays(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
     )
 
 
+def postings_flat_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the FULL reference pipeline (acronym rules +
+    stopwords + Porter2 stem) via the Arrow-batched fidelity UDF — the
+    reference-parity index (stemmed terms, e.g. 'running'→'run').
+    Not oracle-checkable (no stemmer in DuckDB here); covered by golden
+    unit tests instead (tests/test_tokenizer_fidelity.py)."""
+    from ..functions.fidelity import tokenize_udf
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").alias("docno"),
+            F.explode(tokenize_udf(F.col("text"))).alias("term"),
+        )
+        .groupBy("term", "docno")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def docno_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docid(string) -> docno(long), 1-based, ordered by docid — the
     reference's NumberTrecDocuments + TrecDocnoMapping (docno = sorted

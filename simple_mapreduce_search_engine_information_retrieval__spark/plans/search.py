@@ -86,16 +86,46 @@ def search(
     )
 
 
-def duck_search(query: str, *, k: int = 1, top_k: int = TOP_K) -> str:
+def search_fidelity(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Reference-parity search over the STEMMED fidelity index: the query
+    goes through the identical tokenize→stopword→stem pipeline the
+    documents did (reference REPL uses the same GalagoTokenizer for
+    queries, IntDocVectorsForwardIndex.java:295)."""
+    from ..functions.fidelity import tokenize_text
+    from .indexing import postings_flat_fidelity
+
+    terms = tokenize_text(query)
+    if not terms:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+    post = postings_flat_fidelity(spark, sf_dir).cache()
+    stats = post.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = table(spark, sf_dir, "documents").count()
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    hits = post.join(F.broadcast(qdf), "term").join(F.broadcast(stats.join(qdf, "term")), "term")
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        hits.groupBy("docno")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+        .select("docno", "score", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+def duck_search(query: str, *, k: int = 1, top_k: int = TOP_K, df_mode: str = "correct") -> str:
     terms = tokenize_query(query)
     lits = ", ".join("'" + t + "'" for t in set(terms))
+    df_expr = "1" if df_mode == "compat_df1" else "stats.df"
     return f"""
 WITH post AS ({duck_postings_flat(k)}),
      stats AS ({duck_term_stats(k)}),
      n AS (SELECT count(*) AS n_docs FROM documents),
      scored AS (
        SELECT post.docno,
-              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / {df_expr})), 6) AS score
        FROM post JOIN stats USING (term) CROSS JOIN n
        WHERE post.term IN ({lits})
        GROUP BY post.docno
@@ -123,5 +153,18 @@ QUERIES: dict[str, QuerySpec] = {
         fn=lambda s, d: search(s, d, "the spark zzzmissing"),
         oracle=duck_search("the spark zzzmissing"),
         note="stopword dropped pre-lookup; missing term silently skipped (J2)",
+    ),
+    "search_compat_df1": QuerySpec(
+        fn=lambda s, d: search(s, d, "spark join", df_mode="compat_df1"),
+        oracle=duck_search("spark join", df_mode="compat_df1"),
+        note="reference-score compat: df pinned to 1 (the A8 df bug, "
+        "TermKGramDocIndexer.java:116) so idf == log10(N)",
+    ),
+    "search_fidelity_stemmed": QuerySpec(
+        fn=lambda s, d: search_fidelity(s, d, "merges sorting"),
+        oracle=None,
+        note="stemmed-index search via the fidelity pandas UDF; "
+        "rows-only check (no DuckDB stemmer) — goldens in "
+        "tests/test_tokenizer_fidelity.py",
     ),
 }

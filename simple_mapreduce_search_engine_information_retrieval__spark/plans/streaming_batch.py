@@ -1,0 +1,80 @@
+"""Batch twins of the streaming jobs, oracle-checked.
+
+The headline pair: Spark's built-in ``session_window`` vs a DuckDB
+gaps-and-islands reimplementation — two completely different formulations
+of sessionization that must agree row-for-row. (Session semantics: a new
+session starts when the gap to the previous event is >= the gap duration;
+Spark's window is [ts, ts+gap) merged on overlap, which is the same rule.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import table
+from ..streaming.jobs import hourly_counts, user_sessions
+from . import QuerySpec
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_sessions(table(spark, sf_dir, "events"), watermark=False)
+
+
+DUCK_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) AS us, value FROM events
+),
+marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(us)  AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def hourly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped hourly windows run in batch (window() + agg) —
+    same result contract as relational.events_hourly but via the
+    window-function formulation the stream uses."""
+    return hourly_counts(table(spark, sf_dir, "events"))
+
+
+DUCK_HOURLY = """
+SELECT (epoch_ns(ts) // 3600000000000) AS hour_bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_sessionize_users": QuerySpec(
+        fn=sessionize_users,
+        oracle=DUCK_SESSIONIZE,
+        note="session_window vs gaps-and-islands oracle",
+    ),
+    "streaming_hourly_windows": QuerySpec(
+        fn=hourly_batch,
+        oracle=DUCK_HOURLY,
+        note="window() tumbling agg, batch twin of the stream job",
+    ),
+}

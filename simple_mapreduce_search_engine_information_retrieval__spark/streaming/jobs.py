@@ -1,0 +1,175 @@
+"""Structured Streaming over the events fixture (SURVEY.md §2.9 — the
+reference is batch-only; this is the north-star streaming surface).
+
+Every job is readStream → the SAME transformations the batch plans use →
+writeStream; tests run them with ``trigger(availableNow=True)`` and
+assert equality with the batch result (the Structured Streaming
+correctness contract: a stream replay of a finite input must equal the
+batch query over it).
+
+Time handling: events.ts arrives as epoch-nanos long (see session.py);
+streams convert to a proper timestamp column once
+(``timestamp_micros(ts div 1000)``) because watermarks/windows need
+TimestampType.
+
+Scale notes: file-source streams at 100 TB are driven by maxFilesPerTrigger
+(bounded state per micro-batch); watermarks bound the window state store;
+session windows + dropDuplicatesWithinWatermark keep state O(active keys),
+not O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows with a 10-minute watermark: the streaming
+    twin of the batch events_hourly plan (hour bucket = window start)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            # exact integer µs→hour bucket (float math would lose ulps at 1e18)
+            F.expr(f"unix_micros(window.start) div {NS_PER_HOUR // 1000}")
+            .cast("long")
+            .alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+def user_sessions(events: DataFrame, *, watermark: bool = True) -> DataFrame:
+    """Session windows per user (gap 30 min) — the stateful operator the
+    reference has no analogue for. ``watermark=False`` gives the batch
+    twin (withWatermark is streaming-only)."""
+    df = with_event_time(events)
+    if watermark:
+        df = df.withWatermark("event_time", "10 minutes")
+    return (
+        df.groupBy(F.session_window("event_time", SESSION_GAP), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drain a finite stream into an in-memory table (test/demo sink)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_index(
+    spark: SparkSession, docs_stream: DataFrame, out_path: str
+) -> None:
+    """Streaming index maintenance: micro-batches of documents upsert
+    into a postings store via foreachBatch (the Spark twin of rebuilding
+    the reference's SequenceFile index incrementally).
+
+    Each batch computes its local (term, docno, tf) and appends; readers
+    aggregate tf by (term, docno) on load — an LSM-style layout that
+    avoids rewriting the index per batch (at scale: compact periodically,
+    bucketBy(term) on compaction)."""
+    from ..functions.tokenize import tokens_col
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select(
+                F.col("doc_id").alias("docno"),
+                F.explode(tokens_col(F.col("text"))).alias("term"),
+            )
+            .groupBy("term", "docno")
+            .agg(F.count("*").alias("tf"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_index(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.parquet(path)
+        .groupBy("term", "docno")
+        .agg(F.sum("tf").alias("tf"))
+    )

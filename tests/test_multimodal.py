@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.operators import multimodal as mm
+
+
+def test_feature_extraction_schema_and_values(spark):
+    media = mm.synthetic_media(spark, n=32).repartition(4)
+    feats = mm.extract_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "width", "height", "mean_px", "max_px", "n_bytes",
+    ]
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 32
+    r0 = rows[0]
+    # media 0: 8x6, body = bytes(i % 251 for i in range(48)) -> mean 23.5
+    assert (r0.width, r0.height, r0.n_bytes) == (8, 6, 48)
+    assert r0.mean_px == 23.5 and r0.max_px == 47
+
+
+def test_resize_roundtrip(spark):
+    media = mm.synthetic_media(spark, n=8)
+    resized = mm.resize_stub(media, 4, 4)
+    feats = mm.extract_features(resized)
+    for r in feats.collect():
+        assert (r.width, r.height, r.n_bytes) == (4, 4, 16)
+
+
+def test_unknown_format_raises(spark):
+    df = spark.createDataFrame(
+        [(99, "image", "jpeg", b"\xff\xd8\xff\xe0realjpegbytes", 1, 1, 1)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+        mm.extract_features(df).collect()
+
+
+def test_media_stats_prunes_payload(spark, tmp_path):
+    # pruning is only observable on a real columnar scan: write to
+    # parquet, read back, and assert the scan's ReadSchema skips payload
+    mm.synthetic_media(spark, n=16).write.parquet(str(tmp_path / "media"))
+    media = spark.read.parquet(str(tmp_path / "media"))
+    stats = mm.media_stats(media)
+    physical = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in physical
+    assert stats.agg(F.sum("n")).collect()[0][0] == 16

@@ -1,0 +1,46 @@
+"""TREC-XML ingestion roundtrip (reference S1/S2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import table
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.trec import (
+    read_trec,
+    write_trec_fixture,
+)
+
+
+def test_trec_roundtrip(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = write_trec_fixture(spark, sf_dir, f"{tmp}/corpus.trec")
+        got = read_trec(spark, path)
+        want = table(spark, sf_dir, "documents")
+        assert got.count() == want.count()
+        joined = got.alias("g").join(
+            want.select(F.col("doc_id").cast("string").alias("doc_id"), "text").alias("w"),
+            "doc_id",
+        )
+        assert joined.count() == want.count()
+        mismatched = joined.filter(F.col("g.text") != F.col("w.text")).count()
+        assert mismatched == 0
+
+
+def test_trec_multiline_and_missing_docno(spark):
+    import os, tempfile
+
+    content = (
+        "<DOC>\n<DOCNO> A1 </DOCNO>\n<TEXT>\nline one\nline two\n</TEXT>\n</DOC>"
+        "<DOC>\nno docno here\n</DOC>"
+        "<DOC>\n<DOCNO>B2</DOCNO>\n<TEXT>body</TEXT>\n</DOC>"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "x.trec")
+        open(p, "w").write(content)
+        rows = {r.doc_id: r.text for r in read_trec(spark, p).collect()}
+        # record without <DOCNO> dropped (reference would NPE-skip it)
+        assert set(rows) == {"A1", "B2"}
+        assert rows["A1"] == "line one\nline two"
+        assert rows["B2"] == "body"

@@ -1,0 +1,82 @@
+"""Structured Streaming correctness: a finite stream replay must equal
+the batch query over the same data."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import table
+from simple_mapreduce_search_engine_information_retrieval__spark.streaming import jobs
+
+
+def _collect_sorted(df, cols):
+    return sorted([tuple(r) for r in df.select(*cols).collect()])
+
+
+def test_hourly_counts_stream_equals_batch(spark, sf_dir):
+    stream = jobs.hourly_counts(jobs.read_events_stream(spark, sf_dir))
+    jobs.run_to_memory(stream, "hourly_stream")
+    got = spark.table("hourly_stream")
+    want = jobs.hourly_counts(table(spark, sf_dir, "events"))
+    cols = ["hour_bucket", "event_type", "n_events", "total_value"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+
+def test_sessions_stream_equals_batch(spark, sf_dir):
+    stream = jobs.user_sessions(jobs.read_events_stream(spark, sf_dir))
+    jobs.run_to_memory(stream, "sessions_stream")
+    got = spark.table("sessions_stream")
+    want = jobs.user_sessions(table(spark, sf_dir, "events"), watermark=False)
+    cols = ["user_id", "session_start_us", "n_events", "total_value"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+
+def test_dedup_stream(spark, sf_dir):
+    stream = jobs.dedup_stream(jobs.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    n = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_incremental_index_equals_batch(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.indexing import (
+        postings_flat,
+    )
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs_stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sf_dir)
+        )
+        jobs.incremental_index(spark, docs_stream, f"{tmp}/index")
+        got = jobs.read_incremental_index(spark, f"{tmp}/index")
+        want = postings_flat(spark, sf_dir, 1)
+        assert (
+            got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0
+        )
