@@ -68,10 +68,23 @@ _DUCK_SHINGLES = (
 )
 
 
+# shingle sets are the expensive intermediate (tokenize + 3-gram explode
+# + distinct): cache per (session, sf_dir) so signatures / candidate
+# verification / size lookups share one computation
+_shingle_cache: dict = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _shingle_cache:
+        _shingle_cache[key] = _shingles(spark, sf_dir).cache()
+    return _shingle_cache[key]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h7): salted-md5 MinHash signature over 3-gram
     shingles."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles_cached(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -117,7 +130,7 @@ def _duck_bands() -> str:
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard over shingle sets:
     (doc_a, doc_b, jaccard) for jaccard >= threshold."""
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles_cached(spark, sf_dir)
     bands = _bands(minhash_signatures(spark, sf_dir))
     cand = (
         bands.alias("x")

@@ -1,0 +1,98 @@
+"""Materialized index store — the on-disk engine layout for query serving.
+
+The reference's answer to "how do I look up a term fast" is a hand-built
+byte-offset forward index over SequenceFiles
+(BuildIntDocVectorsForwardIndex.java + the Hashtable load at
+IntDocVectorsForwardIndex.java:106-120). The Spark-native answer:
+
+    postings (term, docno, tf)  -> write bucketed+sorted by term
+    stats    (term, df, cf)     -> same layout
+    meta     (n_docs)           -> one-row table
+
+- ``term IN (...)`` predicates push into the Parquet scan (dictionary +
+  row-group stats skip nearly all data — the moral equivalent of the
+  forward-index seek);
+- bucketBy(term) means ANY term-keyed join against the index is
+  shuffle-free on the index side;
+- at 100 TB the same layout holds with more buckets (buckets ~ total
+  size / 1 GB), and heavy terms stay within one bucket but spread over
+  row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from .indexing import postings_flat
+
+DEFAULT_BUCKETS = 16
+
+
+def build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    k: int = 1,
+    buckets: int = DEFAULT_BUCKETS,
+    name: str = "smse_index",
+) -> str:
+    """Build + persist the index; returns the table name prefix."""
+    post = postings_flat(spark, sf_dir, k)
+    (
+        post.write.mode("overwrite")
+        .option("path", f"{out_dir}/postings")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{name}_postings")
+    )
+    stats = (
+        spark.table(f"{name}_postings")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+    (
+        stats.write.mode("overwrite")
+        .option("path", f"{out_dir}/stats")
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{name}_stats")
+    )
+    n_docs = table(spark, sf_dir, "documents").count()
+    spark.createDataFrame([(n_docs,)], "n_docs long").write.mode(
+        "overwrite"
+    ).option("path", f"{out_dir}/meta").format("parquet").saveAsTable(
+        f"{name}_meta"
+    )
+    return name
+
+
+def search_indexed(
+    spark: SparkSession,
+    terms: list[str],
+    *,
+    top_k: int = 10,
+    name: str = "smse_index",
+) -> DataFrame:
+    """Top-k over the PREBUILT index: the serving path. The only work is
+    a pushed-down `term IN (...)` scan of a few row groups + a tiny agg —
+    no tokenization, no corpus scan."""
+    from pyspark.sql import Window
+
+    post = spark.table(f"{name}_postings").filter(F.col("term").isin(terms))
+    stats = spark.table(f"{name}_stats").filter(F.col("term").isin(terms))
+    n_docs = spark.table(f"{name}_meta").head().n_docs
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        post.join(stats, "term")
+        .groupBy("docno")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+        .select("docno", "score", F.row_number().over(w).cast("long").alias("rank"))
+    )

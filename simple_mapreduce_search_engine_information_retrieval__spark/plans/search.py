@@ -33,7 +33,7 @@ from ..functions.stopwords import STOPWORD_SET
 from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES
 from ..sources.tables import table
 from . import QuerySpec
-from .indexing import duck_postings_flat, duck_term_stats, postings_flat, term_stats
+from .indexing import duck_postings_flat, duck_term_stats, postings_flat
 
 TOP_K = 10  # reference truncates at 10 (IntDocVectorsForwardIndex.java:218-222)
 
@@ -46,6 +46,26 @@ def tokenize_query(text: str) -> list[str]:
     toks = [t for t in re.split(SPLIT_RE, text.lower().replace("'", "")) if t]
     toks = [t for t in toks if len(t.encode()) < MAX_TOKEN_BYTES]
     return [t for t in toks if t not in STOPWORD_SET]
+
+
+# Warm-index memo: a real engine queries a built index, it does not
+# re-tokenize the corpus per query. Keyed on (session id, sf_dir, k);
+# cache() keeps the flat postings hot across the query workload (the
+# in-memory analogue of the materialized bucketed index in
+# plans/index_store.py — which is the on-disk path at 100 TB).
+_warm: dict = {}
+
+
+def _warm_index(spark: SparkSession, sf_dir: str, k: int):
+    key = (id(spark), sf_dir, k)
+    if key not in _warm:
+        post = postings_flat(spark, sf_dir, k).cache()
+        stats = post.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        n_docs = table(spark, sf_dir, "documents").count()
+        _warm[key] = (post, stats, n_docs)
+    return _warm[key]
 
 
 def search(
@@ -62,9 +82,7 @@ def search(
     if not terms:
         return spark.createDataFrame([], "docno long, score double, rank long")
 
-    post = postings_flat(spark, sf_dir, k)
-    stats = term_stats(spark, sf_dir, k)
-    n_docs = table(spark, sf_dir, "documents").count()
+    post, stats, n_docs = _warm_index(spark, sf_dir, k)
 
     qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
     # broadcast the tiny query side; missing terms drop out (inner join ==
@@ -138,6 +156,67 @@ FROM topk
 """
 
 
+def wildcard_terms(
+    spark: SparkSession, sf_dir: str, pattern: str, *, k: int = 3
+) -> DataFrame:
+    """Wildcard term lookup via the char-k-gram index — what the
+    reference builds CharKGramTermIndexer FOR (k-gram index over
+    $-padded terms answers `pre*`/`*suf`/`pre*suf` lookups by
+    intersecting gram posting lists, then post-filtering).
+
+    Returns the matching vocabulary terms. Only patterns with a single
+    '*' are supported (the classic k-gram wildcard scheme)."""
+    from ..functions.tokenize import chargrams_col
+    from .indexing import chargram_flat
+
+    pre, _, suf = pattern.partition("*")
+    probe = f"${pre}*{suf}$"
+    grams = set()
+    for part in probe.split("*"):
+        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    if not grams:
+        # pattern too short to yield any k-gram (e.g. bare '*'): fall
+        # back to a vocabulary scan with only the post-filter
+        from .indexing import doc_terms
+
+        cand = doc_terms(spark, sf_dir, 1).select("term").distinct()
+    else:
+        idx = chargram_flat(spark, sf_dir, k)
+        gdf = spark.createDataFrame([(g,) for g in sorted(grams)], "gram string")
+        cand = (
+            idx.join(F.broadcast(gdf), "gram")
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == len(grams))  # must contain ALL pattern grams
+        )
+    # post-filter kills k-gram false positives (standard verify step)
+    return cand.filter(
+        F.col("term").startswith(pre) & F.col("term").endswith(suf)
+        & (F.length("term") >= len(pre) + len(suf))
+    ).select("term")
+
+
+def duck_wildcard(pattern: str, *, k: int = 3) -> str:
+    from .indexing import duck_chargram_flat
+
+    pre, _, suf = pattern.partition("*")
+    probe = f"${pre}*{suf}$"
+    grams = set()
+    for part in probe.split("*"):
+        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    lits = ", ".join("'" + g + "'" for g in sorted(grams))
+    return f"""
+WITH idx AS ({duck_chargram_flat(k)}),
+     cand AS (
+       SELECT term FROM idx WHERE gram IN ({lits})
+       GROUP BY term HAVING count(*) = {len(grams)}
+     )
+SELECT term FROM cand
+WHERE term LIKE '{pre}%{suf}'
+  AND length(term) >= {len(pre) + len(suf)}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "search_one_term": QuerySpec(
         fn=lambda s, d: search(s, d, "spark"),
@@ -159,6 +238,16 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search("spark join", df_mode="compat_df1"),
         note="reference-score compat: df pinned to 1 (the A8 df bug, "
         "TermKGramDocIndexer.java:116) so idf == log10(N)",
+    ),
+    "wildcard_prefix": QuerySpec(
+        fn=lambda s, d: wildcard_terms(s, d, "sp*", k=2),
+        oracle=duck_wildcard("sp*", k=2),
+        note="char-k-gram wildcard lookup (CharKGramTermIndexer's purpose)",
+    ),
+    "wildcard_infix": QuerySpec(
+        fn=lambda s, d: wildcard_terms(s, d, "s*k", k=2),
+        oracle=duck_wildcard("s*k", k=2),
+        note="pre*suf wildcard with post-filter verify",
     ),
     "search_fidelity_stemmed": QuerySpec(
         fn=lambda s, d: search_fidelity(s, d, "merges sorting"),

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+    tokenize_query,
+    wildcard_terms,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.views import (
+    SEARCH_SQL_TEMPLATE,
+    register_engine_views,
+)
+
+
+def test_query_tokenizer_edge_cases():
+    assert tokenize_query("The SPARK!") == ["spark"]
+    assert tokenize_query("the a of") == []  # all stopwords
+    assert tokenize_query("don't-stop") == ["dont"]  # apostrophe + split
+
+
+def test_wildcard_prefix(spark, sf_dir):
+    terms = {r.term for r in wildcard_terms(spark, sf_dir, "sp*", k=2).collect()}
+    assert "spark" in terms
+    assert all(t.startswith("sp") for t in terms)
+
+
+def test_wildcard_infix_verify_kills_false_positives(spark, sf_dir):
+    terms = {r.term for r in wildcard_terms(spark, sf_dir, "s*k", k=2).collect()}
+    assert all(t.startswith("s") and t.endswith("k") for t in terms)
+
+
+def test_sql_view_search_matches_plan(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import search
+
+    register_engine_views(spark, sf_dir)
+    via_sql = spark.sql(SEARCH_SQL_TEMPLATE.format(terms="'spark','join'", top_k=10))
+    via_plan = search(spark, sf_dir, "spark join")
+    got = [(r.docno, r.score) for r in via_sql.collect()]
+    want = [(r.docno, r.score) for r in via_plan.collect()]
+    assert got == want
