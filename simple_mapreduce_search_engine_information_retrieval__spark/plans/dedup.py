@@ -195,6 +195,74 @@ WHERE round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) >= {JACCARD_
 """
 
 
+N_SIMHASH_BITS = 32
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc over distinct tokens: (doc_id, simhash).
+
+    Engine-portable formulation: bit j of md5(token)'s first 8 hex chars,
+    extracted with floor/pow/mod arithmetic (identical semantics in Spark
+    and DuckDB — no engine-specific bit operators); per-bit vote sum
+    over tokens; positive votes set the bit. Docs sharing a simhash are
+    near-dup candidates (equal-hash join; banded hamming comes free by
+    splitting the 32 bits into band columns)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_col(F.col("text"), stopworded=False)).alias("term"),
+        )
+        .distinct()
+    )
+    j = F.col("j")
+    hexchar = F.substring(F.md5(F.col("term")), (F.floor(j / 4) + 1).cast("int"), 1)
+    nibble = F.conv(hexchar, 16, 10).cast("int")
+    bit = (
+        F.floor(nibble / F.pow(F.lit(2.0), 3 - (j % 4))).cast("int") % 2
+    )
+    votes = (
+        toks.select("doc_id", "term")
+        .crossJoin(spark.range(N_SIMHASH_BITS).select(F.col("id").alias("j")))
+        .select("doc_id", j.alias("j"), (2 * bit - 1).alias("v"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, 1).otherwise(0)
+                * F.pow(F.lit(2.0), F.col("j")).cast("long")
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def _duck_simhash() -> str:
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+),
+votes AS (
+  SELECT doc_id, js.j AS j,
+         sum(2 * (CAST(floor((strpos('0123456789abcdef',
+                    substr(md5(term), CAST(floor(js.j / 4) AS INT) + 1, 1)) - 1)
+                  / pow(2, 3 - (js.j % 4))) AS INT) % 2) - 1) AS s
+  FROM toks, (SELECT unnest(generate_series(0, {N_SIMHASH_BITS - 1})) AS j) js
+  GROUP BY doc_id, js.j
+)
+SELECT doc_id,
+       CAST(sum((CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+"""
+
+
 def adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for adjacent doc_id pairs — a dense,
     LSH-free n-gram-Jaccard reference line (and the oracle for what the
@@ -245,5 +313,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_adjacent_jaccard": QuerySpec(
         fn=adjacent_jaccard, oracle=DUCK_ADJACENT_JACCARD,
         note="n-gram Jaccard dense reference",
+    ),
+    "dedup_simhash": QuerySpec(
+        fn=simhash, oracle=_duck_simhash(),
+        note="32-bit SimHash, portable floor/pow bit arithmetic",
     ),
 }

@@ -154,6 +154,10 @@ FROM part
 GROUP BY p_brand
 """
 
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+# the ORDER BY must be total (up to fully-identical rows, whose relative
+# order cannot affect lag/running outputs) or both engines are free to
+# disagree on tie order.
 LINEITEM_LAG_WINDOW = """
 SELECT l_orderkey, l_linenumber, qty, prev_qty, running_qty
 FROM (
@@ -162,11 +166,14 @@ FROM (
          round(l_quantity, 2) AS qty,
          round(COALESCE(lag(l_quantity) OVER w, -1.0), 2) AS prev_qty,
          round(sum(l_quantity) OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_linenumber
+                                     ORDER BY l_linenumber, l_quantity,
+                                              l_extendedprice, l_partkey, l_suppkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                               AND CURRENT ROW), 2) AS running_qty
   FROM lineitem
-  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity,
+                        l_extendedprice, l_partkey, l_suppkey)
 ) t
 WHERE l_orderkey <= 100
 """

@@ -183,6 +183,55 @@ FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 """
 
 
+# the synthetic embeddings are near-orthogonal random vectors (max
+# pairwise cosine ≈ 0.51) — 0.4 yields a meaningful, non-empty pair set;
+# a real corpus-dedup run would sit at 0.95+
+NEAR_DUP_COS = 0.4
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed: only same-cell
+    pairs are compared (the LSH-style quadratic bound), then exact cosine
+    filters at the threshold. (vec_a, vec_b, cos)."""
+    # norms computed ONCE per vector before the pair join (the join side
+    # recomputing dot(a,a) per pair would triple the flops)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _cell(F.col("embedding")).alias("cell"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "cell", F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "cell", F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+    )
+
+
+DUCK_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding, {_duck_cell('embedding')} AS cell FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
+FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_cosine_brute_force": QuerySpec(fn=knn_brute_force, oracle=DUCK_KNN_BRUTE),
     "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
@@ -191,5 +240,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_adjacent_cosines": QuerySpec(
         fn=adjacent_cosines, oracle=DUCK_ADJACENT_COSINES
+    ),
+    "embedding_near_dups": QuerySpec(
+        fn=embedding_near_dups, oracle=DUCK_EMBEDDING_NEAR_DUPS,
+        note="cell-bucketed cosine near-dup pairs",
     ),
 }

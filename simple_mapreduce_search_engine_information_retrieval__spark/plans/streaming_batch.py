@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import table
-from ..streaming.jobs import hourly_counts, user_sessions
+from ..streaming.jobs import hourly_counts, sliding_counts, user_sessions
 from . import QuerySpec
 
 _GAP_US = 30 * 60 * 1_000_000
@@ -66,7 +66,30 @@ GROUP BY 1, 2
 """
 
 
+def sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+# each event belongs to window/slide = 4 overlapping windows; starts are
+# slide-aligned µs since epoch (Spark aligns sliding windows to the epoch)
+_SLIDE_US = 15 * 60 * 1_000_000
+
+DUCK_SLIDING = f"""
+SELECT ws AS window_start_us, count(*) AS n_events
+FROM (
+  SELECT (((epoch_ns(ts) // 1000) // {_SLIDE_US}) - k.k) * {_SLIDE_US} AS ws
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+GROUP BY ws
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_sliding_windows": QuerySpec(
+        fn=sliding_batch,
+        oracle=DUCK_SLIDING,
+        note="1h windows sliding 15min vs explicit window-enumeration oracle",
+    ),
     "streaming_sessionize_users": QuerySpec(
         fn=sessionize_users,
         oracle=DUCK_SESSIONIZE,

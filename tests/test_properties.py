@@ -1,0 +1,131 @@
+"""Property-based invariants (SURVEY.md §5): random documents through the
+real Spark pipeline must satisfy the index algebra, and the pure-Python
+pieces must agree with the distributed renderings."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.functions.stopwords import (
+    STOPWORD_SET,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.functions.stemmer import stem
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.indexing import (
+    docno_mapping,
+    docno_mapping_scalable,
+    postings_arrays,
+    postings_flat,
+)
+
+WORDS = st.text(alphabet="abcdefgh<>&'.x ", min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORDS)
+def test_expression_tokenizer_matches_python_rendering(text):
+    """The driver-side query tokenizer (pure Python re) and the Spark
+    column tokenizer are two renderings of the same constants — check
+    they agree on arbitrary text (modulo stopwords, both applied)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        SPLIT_RE,
+        TAG_NOISE_RE,
+    )
+
+    cleaned = re.sub(TAG_NOISE_RE, " ", text.lower()).replace("'", "")
+    expect = [
+        t
+        for t in re.split(SPLIT_RE, cleaned)
+        if t and len(t.encode()) < 100 and t not in STOPWORD_SET
+    ]
+    # compare against the oracle SQL rendering via DuckDB (cheap per-case;
+    # the Spark rendering is covered by the oracle parity suite)
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        duck_tokens_list,
+    )
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {duck_tokens_list('?::VARCHAR')} AS t", [text]
+    ).fetchone()[0]
+    assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1, max_size=20))
+def test_stemmer_total_and_idempotent_shape(word):
+    s = stem(word)
+    assert isinstance(s, str)
+    assert len(s) <= len(word) + 1  # porter2 may add back an 'e'
+    assert s == s.lower()
+
+
+def test_index_algebra_invariants(spark, sf_dir):
+    """sum(tf) per doc == kept-token count; df == postings length; every
+    indexed term retrievable with positive tf."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        tokens_col,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    post = postings_flat(spark, sf_dir, 1)
+    per_doc = post.groupBy("docno").agg(F.sum("tf").alias("s"))
+    kept = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docno"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n"),
+    )
+    bad = (
+        per_doc.join(kept, "docno", "full")
+        .filter(F.coalesce(F.col("s"), F.lit(0)) != F.coalesce(F.col("n"), F.lit(0)))
+        .count()
+    )
+    assert bad == 0
+    assert post.filter(F.col("tf") <= 0).count() == 0
+    arr = postings_arrays(spark, sf_dir, 1)
+    mismatch = arr.filter(F.col("df") != F.size("postings")).count()
+    assert mismatch == 0
+    # arrays sorted tf desc with docno-asc tiebreak
+    sorted_ok = arr.filter(
+        F.exists(
+            F.sequence(F.lit(1), F.size("postings") - 1),
+            lambda i: (
+                F.element_at("postings", i)["tf"] < F.element_at("postings", (i + 1).cast("int"))["tf"]
+            ),
+        )
+    ).count()
+    assert sorted_ok == 0
+
+
+def test_docno_mapping_scalable_matches_window_version(spark, sf_dir):
+    a = {(r.docid, r.docno) for r in docno_mapping(spark, sf_dir).collect()}
+    b = {(r.docid, r.docno) for r in docno_mapping_scalable(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_parsers(spark):
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.parsers import (
+        dochdr_url,
+        whitelisted_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "<DOCHDR>\nHTTP://Example.COM:80/path/#\n</DOCHDR>"
+                "<HEADLINE>big news</HEADLINE><TEXT>body here</TEXT>"
+                "<GARBAGE>skip me</GARBAGE>",
+            )
+        ],
+        "rec string",
+    )
+    r = df.select(
+        whitelisted_text(F.col("rec")).alias("t"), dochdr_url(F.col("rec")).alias("u")
+    ).collect()[0]
+    assert r.t == "body here big news"
+    assert r.u == "http://example.com/path"
