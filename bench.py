@@ -60,6 +60,28 @@ def main() -> None:
             print(f"# bench {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # steady-state index throughput vs BASELINE.md (reference: ~0.45 MiB/s
+    # for the full inverted-index build) — re-run after warm-up so JVM /
+    # first-scan overhead doesn't pollute the rate
+    index_mib_per_sec = None
+    try:
+        from pyspark.sql import functions as F
+
+        corpus_bytes = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .agg(F.sum("n_chars"))
+            .collect()[0][0]
+        )
+        t0 = time.perf_counter()
+        registry["inv_postings_k1"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        index_mib_per_sec = round(corpus_bytes / (1024 * 1024) / dt, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench throughput failed: {exc!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -68,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "index_mib_per_sec": index_mib_per_sec,
+                "baseline_index_mib_per_sec": 0.45,
             }
         )
     )

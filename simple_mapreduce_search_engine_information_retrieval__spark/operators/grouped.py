@@ -1,0 +1,73 @@
+"""Grouped-map analytics via ``applyInPandas`` (SURVEY.md §2.10: the
+grouped-map UDF surface; the scalar pandas UDF lives in
+functions/fidelity.py, the iterator form in operators/multimodal.py).
+
+Operator: per-user event z-scores — each user's events normalized by the
+user's own mean/std. The kernel sees one user's events as a pandas frame;
+Spark handles the hash partition by user_id (one shuffle), the kernel is
+Arrow-batched per group.
+
+Scale: state is one group in memory at a time; skewed users (millions of
+events) are the applyInPandas hazard — cap group size upstream or switch
+to the window-function formulation (which the DuckDB oracle uses, and
+which is also the better Spark plan when the kernel is expressible in
+SQL — this operator exists to exercise the API for kernels that are NOT).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+ZSCORE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+
+def user_value_zscores(events: DataFrame) -> DataFrame:
+    """(user_id, event_id, z) for users with >= 2 events and nonzero
+    spread; z = (value - mean) / std_pop, rounded to 6."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["user_id", "event_id", "z"])
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=0)
+        if s == 0:
+            return pd.DataFrame(columns=["user_id", "event_id", "z"])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "z": ((pdf["value"] - m) / s).round(6),
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(kernel, ZSCORE_SCHEMA)
+    )
+
+
+DUCK_USER_ZSCORES = """
+SELECT user_id, event_id, round((value - m) / s, 6) AS z
+FROM (
+  SELECT user_id, event_id, value,
+         avg(value)        OVER (PARTITION BY user_id) AS m,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS s,
+         count(*)          OVER (PARTITION BY user_id) AS c
+  FROM events
+) t
+WHERE c >= 2 AND s > 0
+"""

@@ -233,7 +233,25 @@ HAVING count(*) >= 2
 """
 
 
+def _user_zscores(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    from ..operators.grouped import user_value_zscores
+    from ..sources.tables import table
+
+    return user_value_zscores(table(spark, sf_dir, "events"))
+
+
+def _duck_user_zscores() -> str:
+    from ..operators.grouped import DUCK_USER_ZSCORES
+
+    return DUCK_USER_ZSCORES
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_user_zscores": QuerySpec(
+        fn=_user_zscores,
+        oracle=_duck_user_zscores(),
+        note="applyInPandas grouped-map kernel vs SQL window oracle",
+    ),
     "tpch_q1_pricing_summary": shared_sql(Q1_PRICING_SUMMARY, "A-class agg parity"),
     "tpch_q3_shipping_priority": shared_sql(Q3_SHIPPING_PRIORITY, "3-way join + top-k"),
     "tpch_q5_local_supplier": shared_sql(Q5_LOCAL_SUPPLIER_VOLUME, "6-way join"),

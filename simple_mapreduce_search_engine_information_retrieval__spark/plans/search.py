@@ -156,6 +156,38 @@ FROM topk
 """
 
 
+def search_with_docids(
+    spark: SparkSession, sf_dir: str, query: str, **kw
+) -> DataFrame:
+    """Search results joined back to display docids (reference J3:
+    docno→docid array lookup at print time becomes a broadcast join
+    against the docno mapping)."""
+    from .indexing import docno_mapping
+
+    res = search(spark, sf_dir, query, **kw)
+    mapping = docno_mapping(spark, sf_dir)
+    # our corpus uses doc_id == docno; the reference's mapping is keyed by
+    # its own 1-based docno — join on the docid rendering of docno
+    return (
+        res.join(
+            F.broadcast(mapping),
+            res["docno"] == mapping["docid"].cast("long"),
+        )
+        .select(res["docno"], mapping["docid"], res["score"], res["rank"])
+    )
+
+
+def duck_search_with_docids(query: str, **kw) -> str:
+    from .indexing import DUCK_DOCNO_MAPPING
+
+    return f"""
+WITH res AS ({duck_search(query, **kw)}),
+     m AS ({DUCK_DOCNO_MAPPING})
+SELECT res.docno, m.docid, res.score, res.rank
+FROM res JOIN m ON res.docno = CAST(m.docid AS BIGINT)
+"""
+
+
 def wildcard_terms(
     spark: SparkSession, sf_dir: str, pattern: str, *, k: int = 3
 ) -> DataFrame:
@@ -232,6 +264,12 @@ QUERIES: dict[str, QuerySpec] = {
         fn=lambda s, d: search(s, d, "the spark zzzmissing"),
         oracle=duck_search("the spark zzzmissing"),
         note="stopword dropped pre-lookup; missing term silently skipped (J2)",
+    ),
+    "search_with_docids": QuerySpec(
+        fn=lambda s, d: search_with_docids(s, d, "spark join"),
+        oracle=duck_search_with_docids("spark join"),
+        note="J3 display join: results joined back to docid via the "
+        "broadcast docno mapping (IntDocVectorsForwardIndex.java:310-312)",
     ),
     "search_compat_df1": QuerySpec(
         fn=lambda s, d: search(s, d, "spark join", df_mode="compat_df1"),
