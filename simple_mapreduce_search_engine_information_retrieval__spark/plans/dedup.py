@@ -207,38 +207,35 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     over tokens; positive votes set the bit. Docs sharing a simhash are
     near-dup candidates (equal-hash join; banded hamming comes free by
     splitting the 32 bits into band columns)."""
+    # Formulation notes (both alternatives measured much slower):
+    # - explode×32-bits + groupBy(doc, bit): shuffles 32× the token stream;
+    # - nested higher-order array folds: lambda functions are evaluated
+    #   INTERPRETED (no codegen) — ~7× slower than this;
+    # here: explode tokens once, md5 once per token, then ONE partial+final
+    # hash aggregate with 32 flat codegen'd sum(±1) columns, and the final
+    # hash assembled in a flat projection.
     docs = table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(tokens_col(F.col("text"), stopworded=False)).alias("term"),
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens_col(F.col("text"), stopworded=False))
+        ).alias("term"),
+    ).select("doc_id", F.md5(F.col("term")).alias("h"))
+
+    def bit(j: int):
+        nibble = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
+        return (F.floor(nibble / F.lit(float(2 ** (3 - j % 4)))).cast("int") % 2)
+
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(2 * bit(j) - 1).alias(f"s{j}") for j in range(N_SIMHASH_BITS)]
+    )
+    simhash = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .distinct()
-    )
-    j = F.col("j")
-    hexchar = F.substring(F.md5(F.col("term")), (F.floor(j / 4) + 1).cast("int"), 1)
-    nibble = F.conv(hexchar, 16, 10).cast("int")
-    bit = (
-        F.floor(nibble / F.pow(F.lit(2.0), 3 - (j % 4))).cast("int") % 2
-    )
-    votes = (
-        toks.select("doc_id", "term")
-        .crossJoin(spark.range(N_SIMHASH_BITS).select(F.col("id").alias("j")))
-        .select("doc_id", j.alias("j"), (2 * bit - 1).alias("v"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, 1).otherwise(0)
-                * F.pow(F.lit(2.0), F.col("j")).cast("long")
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-    )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 def _duck_simhash() -> str:

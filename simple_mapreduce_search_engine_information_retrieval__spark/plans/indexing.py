@@ -44,10 +44,17 @@ def doc_terms(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
     the whole chain is one WholeStageCodegen span over the Parquet scan
     (only doc_id and text are read — column pruning)."""
     docs = table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    return docs.select(
-        F.col("doc_id").alias("docno"),
-        F.explode(kgrams_col(toks, k)).alias("term"),
+    # materialize the tokens array in its own projection BEFORE any
+    # expression that references it more than once: kgrams_col uses the
+    # array in both the sequence bound and the slice, and codegen does
+    # NOT common-subexpression-eliminate inside Generate — inlining the
+    # tokenizer there re-tokenizes per reference (measured 11x slower)
+    return (
+        docs.select(
+            F.col("doc_id").alias("docno"),
+            tokens_col(F.col("text")).alias("toks"),
+        )
+        .select("docno", F.explode(kgrams_col(F.col("toks"), k)).alias("term"))
     )
 
 

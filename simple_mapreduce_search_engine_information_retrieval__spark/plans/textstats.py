@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stopwords import STOPWORD_SET, STOPWORDS, sql_not_in_stopwords
+from ..functions.stopwords import sql_not_in_stopwords
 from ..functions.tokenize import duck_tokens_list, tokens_col
 from ..sources.tables import table
 from . import QuerySpec
@@ -20,14 +20,20 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split-char tokenizer, pre-stopword), kept tokens (post-stopword),
     distinct terms."""
     docs = table(spark, sf_dir, "documents")
-    all_toks = tokens_col(F.col("text"), stopworded=False)
-    kept = tokens_col(F.col("text"), stopworded=True)
-    return docs.select(
+    # project tokens once, then derive (see indexing.doc_terms: repeated
+    # references re-evaluate the tokenizer otherwise)
+    staged = docs.select(
+        "doc_id",
+        "text",
+        tokens_col(F.col("text"), stopworded=False).alias("all_toks"),
+        tokens_col(F.col("text"), stopworded=True).alias("kept"),
+    )
+    return staged.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
-        F.size(all_toks).cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.size(F.array_distinct(kept)).cast("long").alias("n_distinct"),
+        F.size("all_toks").cast("long").alias("n_tokens"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.size(F.array_distinct(F.col("kept"))).cast("long").alias("n_distinct"),
     )
 
 
@@ -45,11 +51,18 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: char length, mean token length,
     stopword ratio, digit ratio, punctuation ratio. Heuristics like
     these gate corpus inclusion at pipeline scale; all pure expressions."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"), stopworded=False)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    # n_stop = n_tokens - n_kept: both tokenizer variants compile the
+    # stopword list to an INSET hash probe, vs O(733) array_contains scans
+    # per token if filtered against a literal array (measured ~3x slower)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        tokens_col(F.col("text"), stopworded=False).alias("toks"),
+        tokens_col(F.col("text"), stopworded=True).alias("kept"),
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = n_tok - F.size(F.col("kept"))
     mean_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     ) / F.greatest(n_tok, F.lit(1))
@@ -85,11 +98,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     English function words (the stopword list). Deterministic and
     oracle-checkable; a real pipeline would swap in a char-n-gram model
     behind the same (doc_id, pred_lang, en_ratio) contract."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"), stopworded=False)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n = F.size(toks)
-    n_en = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens_col(F.col("text"), stopworded=False).alias("toks"),
+        tokens_col(F.col("text"), stopworded=True).alias("kept"),
+    )
+    n = F.size(F.col("toks"))
+    n_en = n - F.size(F.col("kept"))
     ratio = F.round(n_en / F.greatest(n, F.lit(1)).cast("double"), 4)
     return docs.select(
         "doc_id",
