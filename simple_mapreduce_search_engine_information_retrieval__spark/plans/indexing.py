@@ -145,6 +145,35 @@ def postings_flat_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def postings_arrays_salted(
+    spark: SparkSession, sf_dir: str, k: int = 1, salt: int = 8
+) -> DataFrame:
+    """Heavy-hitter-safe array build (SURVEY.md hard part 3): two-level
+    aggregation — postings first collect within (term, salt) chunks
+    (bounded state per task), then chunk arrays concat+sort per term.
+    Output identical to ``postings_arrays``; the intermediate per-group
+    state is 1/salt the size, which is what survives a stopword-like term
+    with 10^9 postings at 100 TB."""
+    post = postings_flat(spark, sf_dir, k)
+    chunked = (
+        post.withColumn("salt", F.pmod(F.hash("docno"), F.lit(salt)))
+        .groupBy("term", "salt")
+        .agg(
+            F.count("*").alias("df_part"),
+            F.collect_list(F.struct("tf", "docno")).alias("chunk"),
+        )
+    )
+    return (
+        chunked.groupBy("term")
+        .agg(
+            F.sum("df_part").alias("df"),
+            F.reverse(
+                F.array_sort(F.flatten(F.collect_list("chunk")))
+            ).alias("postings"),
+        )
+    )
+
+
 def docno_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docid(string) -> docno(long), 1-based, ordered by docid — the
     reference's NumberTrecDocuments + TrecDocnoMapping (docno = sorted

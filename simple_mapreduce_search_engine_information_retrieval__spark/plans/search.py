@@ -188,6 +188,88 @@ FROM res JOIN m ON res.docno = CAST(m.docid AS BIGINT)
 """
 
 
+WORKLOAD = {
+    1: "spark join",
+    2: "merge sort",
+    3: "the window",          # stopword dropped
+    4: "vector",
+    5: "zzznothing found",    # partial miss
+}
+
+
+def batch_workload(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, str] | None = None,
+    *,
+    k: int = 1,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Score MANY queries in ONE job: (query_id, docno, score, rank).
+
+    The scale-correct serving shape — the index is scanned once for the
+    whole workload (query terms broadcast, per-query top-k via ranking
+    window) instead of once per query. This is the FIXTURES.md
+    query_results contract."""
+    queries = queries or WORKLOAD
+    pairs = [
+        (qid, t)
+        for qid, qtext in queries.items()
+        for t in sorted(set(tokenize_query(qtext)))
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id long, docno long, score double, rank long"
+        )
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    post, stats, n_docs = _warm_index(spark, sf_dir, k)
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
+    scored = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats.join(F.broadcast(qdf.select("term").distinct()), "term")), "term")
+        .groupBy("query_id", "docno")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "docno", "score", "rank")
+    )
+
+
+def duck_batch_workload(
+    queries: dict[int, str] | None = None, *, k: int = 1, top_k: int = TOP_K
+) -> str:
+    queries = queries or WORKLOAD
+    pairs = [
+        (qid, t)
+        for qid, qtext in queries.items()
+        for t in sorted(set(tokenize_query(qtext)))
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+WITH post AS ({duck_postings_flat(k)}),
+     stats AS ({duck_term_stats(k)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     q(query_id, term) AS (VALUES {values}),
+     scored AS (
+       SELECT q.query_id, post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN q USING (term) JOIN stats USING (term) CROSS JOIN n
+       GROUP BY q.query_id, post.docno
+     ),
+     ranked AS (
+       SELECT query_id, docno, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, docno) AS rk
+       FROM scored
+     )
+SELECT query_id, docno, score, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {top_k}
+"""
+
+
 def wildcard_terms(
     spark: SparkSession, sf_dir: str, pattern: str, *, k: int = 3
 ) -> DataFrame:
@@ -270,6 +352,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search_with_docids("spark join"),
         note="J3 display join: results joined back to docid via the "
         "broadcast docno mapping (IntDocVectorsForwardIndex.java:310-312)",
+    ),
+    "search_batch_workload": QuerySpec(
+        fn=lambda s, d: batch_workload(s, d),
+        oracle=duck_batch_workload(),
+        note="whole-workload batch scorer: one index scan for N queries, "
+        "per-query top-k via ranking window (query_results contract)",
     ),
     "search_compat_df1": QuerySpec(
         fn=lambda s, d: search(s, d, "spark join", df_mode="compat_df1"),

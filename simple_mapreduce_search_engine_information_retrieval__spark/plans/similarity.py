@@ -127,6 +127,32 @@ LIMIT {TOP_K}
 """
 
 
+def write_ivf_store(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist embeddings partitioned by IVF cell: a query touches ONE
+    directory — partition pruning, not even a row filter (SCALE.md)."""
+    emb = table(spark, sf_dir, "embeddings")
+    (
+        emb.withColumn("cell", _cell(F.col("embedding")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def query_ivf_store(
+    spark: SparkSession, path: str, qvec: list[float], qcell: int, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Top-k within the query's cell over the partitioned store."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell") == qcell)
+        .select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid L2 norm + member count — the aggregate shape of
     embedding analytics (explode dims → two-level agg; dim-major shuffle
