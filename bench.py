@@ -48,6 +48,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     names += [n for n in registry if n not in HEADLINE]
 
+    # warm the JVM + file listings so the first timed query isn't charged
+    # ~6s of session startup
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
