@@ -178,6 +178,96 @@ FROM (
 WHERE l_orderkey <= 100
 """
 
+Q4_ORDER_PRIORITY = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate <  DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+Q7_VOLUME_BY_NATION_PAIR = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+    AND n1.n_nationkey <> n2.n_nationkey
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q12_SHIPMODE_CASE = """
+SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate <  DATE '1999-01-01'
+GROUP BY 1
+"""
+
+Q14_PROMO_SHARE = """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate <  DATE '1998-01-01'
+"""
+
+Q18_LARGE_ORDERS = """
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price,
+       round(t.sum_qty, 2) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) t
+  ON t.l_orderkey = o.o_orderkey
+"""
+
+Q22_IDLE_CUSTOMERS = """
+SELECT seg, count(*) AS n_custs, round(sum(acctbal), 2) AS total_bal
+FROM (
+  SELECT substring(c_name, 1, 9) AS seg, c_acctbal AS acctbal
+  FROM customer c
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+) t
+GROUP BY seg
+"""
+
+OUTER_JOIN_NULL_AGG = """
+SELECT c.c_mktsegment,
+       count(*) AS n_rows,
+       count(o.o_orderkey) AS n_orders,
+       round(COALESCE(avg(o.o_totalprice), -1.0), 2) AS avg_price_or_sentinel
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+LIKE_NAME_FILTER = """
+SELECT p_brand, count(*) AS n
+FROM part
+WHERE p_name LIKE '%widget%' AND p_type LIKE 'PROM%'
+GROUP BY p_brand
+"""
+
 # ------------------------------------------------------------------- events
 # Spark sees ts as epoch-nanos BIGINT; DuckDB sees TIMESTAMP_NS. Bucketing
 # uses exact integer division on nanos in both engines (no float rounding).
@@ -263,6 +353,14 @@ QUERIES: dict[str, QuerySpec] = {
     "correlated_above_nation_avg": shared_sql(ABOVE_NATION_AVG_BALANCE, "correlated scalar subquery"),
     "part_brand_stats": shared_sql(PART_SIZE_STATS, "count distinct + min/max"),
     "window_lineitem_lag_running": shared_sql(LINEITEM_LAG_WINDOW, "lag + running sum frames"),
+    "tpch_q4_order_priority": shared_sql(Q4_ORDER_PRIORITY, "EXISTS semi-join"),
+    "tpch_q7_nation_volume": shared_sql(Q7_VOLUME_BY_NATION_PAIR, "self-join on nation, theta filter"),
+    "tpch_q12_shipmode_case": shared_sql(Q12_SHIPMODE_CASE, "conditional aggregation"),
+    "tpch_q14_promo_share": shared_sql(Q14_PROMO_SHARE, "ratio-of-sums scalar"),
+    "tpch_q18_large_orders": shared_sql(Q18_LARGE_ORDERS, "HAVING-filtered derived join"),
+    "tpch_q22_idle_customers": shared_sql(Q22_IDLE_CUSTOMERS, "anti join + scalar subquery"),
+    "outer_join_null_agg": shared_sql(OUTER_JOIN_NULL_AGG, "left join null-aware aggregates"),
+    "like_name_filter": shared_sql(LIKE_NAME_FILTER, "LIKE pushdown"),
     "events_hourly": _events_pair(EVENTS_HOURLY),
     "events_json_props": _events_pair(EVENTS_JSON_PROPS),
     "events_user_activity": _events_pair(EVENTS_USER_ACTIVITY),
