@@ -105,11 +105,27 @@ def duck_term_stats(k: int = 1) -> str:
     )
 
 
+def _canonical_postings(tf_docno_array):
+    """Sort an array<struct<tf,docno>> to the index contract: tf desc,
+    docno asc tiebreak (FIXTURES.md; the reference's tf-only comparator,
+    PostingWritable.java:56-59, is order-unstable on ties), emitted as
+    struct<docno,tf>. NOTE reverse(array_sort(...)) would flip the docno
+    tiebreak to desc as well — sort on a negated-tf key instead."""
+    keyed = F.transform(
+        tf_docno_array,
+        lambda s: F.struct(
+            (-s["tf"]).alias("ntf"), s["docno"].alias("docno"), s["tf"].alias("tf")
+        ),
+    )
+    return F.transform(
+        F.array_sort(keyed),
+        lambda s: F.struct(s["docno"].alias("docno"), s["tf"].alias("tf")),
+    )
+
+
 def postings_arrays(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
     """Derived array form matching the reference SequenceFile layout:
-    (term, df, postings array<struct<docno,tf>> sorted tf desc, docno asc
-    — deterministic tiebreak; the reference's tf-only comparator
-    (PostingWritable.java:56-59) is order-unstable on ties).
+    (term, df, postings array<struct<docno,tf>> sorted tf desc, docno asc).
 
     Heavy-hitter note: at 100 TB a single term's postings can exceed one
     task's memory; mitigation is chunked rows (term, chunk_id, postings)
@@ -119,8 +135,8 @@ def postings_arrays(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
         .groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.reverse(
-                F.array_sort(F.collect_list(F.struct("tf", "docno")))
+            _canonical_postings(
+                F.collect_list(F.struct("tf", "docno"))
             ).alias("postings"),
         )
     )
@@ -167,8 +183,8 @@ def postings_arrays_salted(
         chunked.groupBy("term")
         .agg(
             F.sum("df_part").alias("df"),
-            F.reverse(
-                F.array_sort(F.flatten(F.collect_list("chunk")))
+            _canonical_postings(
+                F.flatten(F.collect_list("chunk"))
             ).alias("postings"),
         )
     )
@@ -266,7 +282,39 @@ def _duck_corpus_stats() -> str:
     )
 
 
+def postings_ranked(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """The array form's ordering (O3: tf desc, docno asc —
+    TermKGramDocIndexer.java:211 with deterministic tiebreak) exposed as
+    flat (term, pos, docno, tf) so the oracle can verify order: pos is
+    the 1-based array index after posexplode."""
+    arr = postings_arrays(spark, sf_dir, k)
+    return arr.select(
+        "term", F.posexplode("postings").alias("pos", "p")
+    ).select(
+        "term",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("p.docno").alias("docno"),
+        F.col("p.tf").alias("tf"),
+    )
+
+
+def duck_postings_ranked(k: int = 1) -> str:
+    return f"""
+SELECT term,
+       CAST(row_number() OVER (PARTITION BY term
+                               ORDER BY tf DESC, docno) AS BIGINT) AS pos,
+       docno, tf
+FROM ({duck_postings_flat(k)})
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "inv_postings_ranked": QuerySpec(
+        fn=postings_ranked,
+        oracle=duck_postings_ranked(1),
+        note="O3 postings order (tf desc, docno tiebreak) oracle-checked "
+        "via posexplode position vs row_number",
+    ),
     "docno_mapping": QuerySpec(
         fn=docno_mapping,
         oracle=DUCK_DOCNO_MAPPING,

@@ -115,6 +115,15 @@ FROM (
 GROUP BY ROLLUP (order_year, o_orderstatus)
 """
 
+LINEITEM_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 NATION_SET_OPS = """
 SELECT n_name, 'both' AS tag FROM (
   SELECT n.n_name FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -348,6 +357,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q6_revenue_forecast": shared_sql(Q6_REVENUE_FORECAST, "scan + scalar agg"),
     "window_top_customers_per_nation": shared_sql(TOP_CUSTOMERS_PER_NATION, "ranking window"),
     "rollup_orders_by_year_status": shared_sql(ORDER_YEAR_ROLLUP, "ROLLUP grouping sets"),
+    "cube_lineitem_flags": shared_sql(LINEITEM_CUBE, "CUBE grouping sets"),
     "setops_nation_coverage": shared_sql(NATION_SET_OPS, "INTERSECT/EXCEPT"),
     "anti_customers_without_orders": shared_sql(CUSTOMERS_WITHOUT_ORDERS, "anti join via NOT EXISTS"),
     "correlated_above_nation_avg": shared_sql(ABOVE_NATION_AVG_BALANCE, "correlated scalar subquery"),

@@ -370,6 +370,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_wildcard("sp*", k=2),
         note="char-k-gram wildcard lookup (CharKGramTermIndexer's purpose)",
     ),
+    "wildcard_suffix": QuerySpec(
+        fn=lambda s, d: wildcard_terms(s, d, "*rk", k=2),
+        oracle=duck_wildcard("*rk", k=2),
+        note="*suf wildcard via trailing $-gram",
+    ),
     "wildcard_infix": QuerySpec(
         fn=lambda s, d: wildcard_terms(s, d, "s*k", k=2),
         oracle=duck_wildcard("s*k", k=2),

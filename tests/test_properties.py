@@ -90,16 +90,20 @@ def test_index_algebra_invariants(spark, sf_dir):
     arr = postings_arrays(spark, sf_dir, 1)
     mismatch = arr.filter(F.col("df") != F.size("postings")).count()
     assert mismatch == 0
-    # arrays sorted tf desc with docno-asc tiebreak
-    sorted_ok = arr.filter(
-        F.exists(
-            F.sequence(F.lit(1), F.size("postings") - 1),
-            lambda i: (
-                F.element_at("postings", i)["tf"] < F.element_at("postings", (i + 1).cast("int"))["tf"]
-            ),
+    # arrays sorted tf desc with docno-asc tiebreak (the full contract —
+    # tf-only monotonicity let a docno-desc tie order slip through once)
+    def out_of_order(i):
+        a = F.element_at("postings", i)
+        b = F.element_at("postings", (i + 1).cast("int"))
+        return ~(
+            (a["tf"] > b["tf"])
+            | ((a["tf"] == b["tf"]) & (a["docno"] < b["docno"]))
         )
+
+    violations = arr.filter(
+        F.exists(F.sequence(F.lit(1), F.size("postings") - 1), out_of_order)
     ).count()
-    assert sorted_ok == 0
+    assert violations == 0
 
 
 def test_docno_mapping_scalable_matches_window_version(spark, sf_dir):
