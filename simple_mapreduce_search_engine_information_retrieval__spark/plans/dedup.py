@@ -127,9 +127,17 @@ def _duck_bands() -> str:
     return " UNION ALL ".join(selects)
 
 
+# verified near-dup pairs are consumed by several downstream operators
+# (grouping, reporting) — cache the small result per (session, sf_dir)
+_pairs_cache: dict = {}
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard over shingle sets:
     (doc_a, doc_b, jaccard) for jaccard >= threshold."""
+    key = (id(spark), sf_dir)
+    if key in _pairs_cache:
+        return _pairs_cache[key]
     sh = _shingles_cached(spark, sf_dir)
     bands = _bands(minhash_signatures(spark, sf_dir))
     cand = (
@@ -165,7 +173,8 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return out
+    _pairs_cache[key] = out.cache()
+    return _pairs_cache[key]
 
 
 def _duck_near_dups() -> str:
@@ -297,7 +306,128 @@ FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
 """
 
 
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materializing dedup a pipeline actually runs: keep the lowest
+    doc_id per normalized fingerprint, emit the surviving corpus ids with
+    group size. (doc_id, n_in_group)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(tokens_col(F.col("text"), stopworded=False), " "))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_in_group", F.count("*").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_in_group").cast("long").alias("n_in_group"))
+    )
+
+
+DUCK_DEDUP_KEEP_FIRST = f"""
+SELECT doc_id, CAST(n_in_group AS BIGINT) AS n_in_group
+FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         count(*)    OVER (PARTITION BY fingerprint) AS n_in_group
+  FROM (SELECT doc_id,
+               md5(array_to_string({duck_tokens_list('text', stopworded=False)}, ' ')) AS fingerprint
+        FROM documents)
+) t
+WHERE rn = 1
+"""
+
+
+def near_dup_groups(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 20,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs: connected
+    components via iterative min-label propagation (DataFrame ops in a
+    driver loop with a convergence check — the iterative-algorithm class
+    that single SQL cannot express). (doc_id, group_id) for every doc in
+    at least one near-dup pair; group_id = smallest doc_id in the
+    component.
+
+    Scale: each iteration is one join + aggregate on the (small) pair
+    graph — O(component diameter) rounds, and near-dup graphs are
+    shallow. Hybrid cutoff: the edge set is ALREADY the tiny residue of
+    LSH+verify, so below ``driver_threshold`` edges we just union-find on
+    the driver (a few ms) instead of paying per-iteration job overhead;
+    the distributed loop is the fallback for pathological pair volumes."""
+    pairs = minhash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.collect():
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in sorted(parent)]
+        return spark.createDataFrame(rows, "doc_id long, group_id long")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        propagated = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(propagated, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_keep_first": QuerySpec(
+        fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
+        note="materializing keep-lowest-id dedup",
+    ),
+    "dedup_near_dup_groups": QuerySpec(
+        fn=lambda s, d: near_dup_groups(s, d),
+        oracle=None,
+        note="iterative min-label propagation (connected components) — "
+        "not SQL-expressible; union-find cross-check in "
+        "tests/test_dedup_groups.py",
+    ),
     "dedup_exact_groups": QuerySpec(fn=exact_dup_groups, oracle=DUCK_EXACT_DUP_GROUPS),
     "dedup_minhash_signatures": QuerySpec(
         fn=minhash_signatures, oracle=_duck_minhash(),
