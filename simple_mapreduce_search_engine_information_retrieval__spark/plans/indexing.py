@@ -330,6 +330,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_postings_flat(2),
         note="W1 word-2-gram slide (TermKGramDocIndexer.java:135-159)",
     ),
+    "inv_postings_k3": QuerySpec(
+        fn=lambda s, d: postings_flat(s, d, 3),
+        oracle=duck_postings_flat(3),
+        note="arbitrary-k parameter parity (reference CLI arg K)",
+    ),
     "term_stats_k1": QuerySpec(
         fn=lambda s, d: term_stats(s, d, 1),
         oracle=duck_term_stats(1),

@@ -270,6 +270,58 @@ FROM ranked WHERE rk <= {top_k}
 """
 
 
+def search_phrase(
+    spark: SparkSession, sf_dir: str, phrase: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Exact-phrase search: an n-word phrase is ONE term in the word-
+    n-gram index (this is what the reference builds k>1 TermKGram
+    indexes FOR — the phrase postings are precomputed, no positional
+    intersection needed). tf = phrase occurrence count; scoring formula
+    unchanged."""
+    terms = tokenize_query(phrase)
+    k = len(terms)
+    if k == 0:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+    gram = " ".join(terms)
+    post, stats, n_docs = _warm_index(spark, sf_dir, k)
+    qdf = spark.createDataFrame([(gram,)], "term string")
+    hits = post.join(F.broadcast(qdf), "term").join(
+        F.broadcast(stats.join(F.broadcast(qdf), "term")), "term"
+    )
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        hits.groupBy("docno")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+        .select("docno", "score", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+def duck_search_phrase(phrase: str, *, top_k: int = TOP_K) -> str:
+    terms = tokenize_query(phrase)
+    gram = " ".join(terms)
+    k = max(len(terms), 1)
+    return f"""
+WITH post AS ({duck_postings_flat(k)}),
+     stats AS ({duck_term_stats(k)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN stats USING (term) CROSS JOIN n
+       WHERE post.term = '{gram}'
+       GROUP BY post.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 def wildcard_terms(
     spark: SparkSession, sf_dir: str, pattern: str, *, k: int = 3
 ) -> DataFrame:
@@ -364,6 +416,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search("spark join", df_mode="compat_df1"),
         note="reference-score compat: df pinned to 1 (the A8 df bug, "
         "TermKGramDocIndexer.java:116) so idf == log10(N)",
+    ),
+    "search_phrase_2gram": QuerySpec(
+        fn=lambda s, d: search_phrase(s, d, "spark join"),
+        oracle=duck_search_phrase("spark join"),
+        note="exact-phrase search over the word-2-gram index (the point "
+        "of the reference's k>1 TermKGram indexes)",
     ),
     "wildcard_prefix": QuerySpec(
         fn=lambda s, d: wildcard_terms(s, d, "sp*", k=2),
