@@ -285,15 +285,21 @@ _NS_PER_HOUR = 3_600_000_000_000
 
 
 def _events_pair(body: str) -> QuerySpec:
-    """body contains {HOUR} (hour bucket, BIGINT) and {JSONK} (props->'k'
-    as BIGINT) placeholders; rendered per engine."""
+    """body may contain {HOUR} (hour bucket, BIGINT), {JSONK} (props->'k'
+    as BIGINT) and {TS} (epoch-nanos BIGINT) placeholders; rendered per
+    engine."""
+    # {TS} is µs in BOTH engines: DuckDB reads the ns-parquet column as a
+    # µs TIMESTAMP (epoch_ns returns µs*1000), so ns-side values must be
+    # truncated to µs for parity
     spark_sql = body.format(
         HOUR=f"(ts div {_NS_PER_HOUR})",
         JSONK="CAST(get_json_object(props, '$.k') AS BIGINT)",
+        TS="(ts div 1000)",
     )
     duck_sql = body.format(
         HOUR=f"(epoch_ns(ts) // {_NS_PER_HOUR})",
         JSONK="CAST(json_extract_string(props, '$.k') AS BIGINT)",
+        TS="(epoch_ns(ts) // 1000)",
     )
 
     def fn(spark, sf_dir, _sql=spark_sql):
@@ -319,6 +325,38 @@ SELECT ({JSONK} % 10) AS k_mod,
 FROM events
 WHERE {JSONK} IS NOT NULL
 GROUP BY 1
+"""
+
+# As-of join (operator Spark lacks natively — SURVEY.md §4 'custom
+# operators'): for each click, the most recent STRICTLY PRIOR purchase by
+# the same user, composed as a frame-bounded window max (no per-row
+# subquery, one shuffle on user_id; at scale this beats a range-condition
+# join because the frame never materializes pair candidates).
+EVENTS_ASOF_LAST_PURCHASE = """
+SELECT event_id, user_id, ts_us,
+       COALESCE(last_purchase_us, -1) AS last_purchase_us
+FROM (
+  SELECT event_id, user_id, event_type, {TS} AS ts_us,
+         max(CASE WHEN event_type = 'purchase' THEN {TS} END)
+           OVER (PARTITION BY user_id ORDER BY {TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_purchase_us
+  FROM events
+) t
+WHERE event_type = 'click'
+"""
+
+# Range join: band predicate against a tiny inline dimension — Catalyst
+# plans BroadcastNestedLoopJoin (broadcast side = 4 rows, fine); at scale
+# a bucketing key turns it into an equi-join.
+RANGE_JOIN_VALUE_BANDS = """
+SELECT r.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN (SELECT * FROM VALUES (0.0, 50.0, 'low'), (50.0, 100.0, 'mid'),
+                           (100.0, 150.0, 'high'), (150.0, 1e9, 'top')
+      AS v(lo, hi, band)) r
+  ON e.value >= r.lo AND e.value < r.hi
+GROUP BY r.band
 """
 
 EVENTS_USER_ACTIVITY = """
@@ -371,6 +409,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q22_idle_customers": shared_sql(Q22_IDLE_CUSTOMERS, "anti join + scalar subquery"),
     "outer_join_null_agg": shared_sql(OUTER_JOIN_NULL_AGG, "left join null-aware aggregates"),
     "like_name_filter": shared_sql(LIKE_NAME_FILTER, "LIKE pushdown"),
+    "events_asof_last_purchase": _events_pair(EVENTS_ASOF_LAST_PURCHASE),
+    "range_join_value_bands": shared_sql(RANGE_JOIN_VALUE_BANDS, "band/range join"),
     "events_hourly": _events_pair(EVENTS_HOURLY),
     "events_json_props": _events_pair(EVENTS_JSON_PROPS),
     "events_user_activity": _events_pair(EVENTS_USER_ACTIVITY),
