@@ -75,7 +75,7 @@ _shingle_cache: dict = {}
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _shingle_cache:
         _shingle_cache[key] = _shingles(spark, sf_dir).cache()
     return _shingle_cache[key]
@@ -135,7 +135,7 @@ _pairs_cache: dict = {}
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact Jaccard over shingle sets:
     (doc_a, doc_b, jaccard) for jaccard >= threshold."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _pairs_cache:
         return _pairs_cache[key]
     sh = _shingles_cached(spark, sf_dir)

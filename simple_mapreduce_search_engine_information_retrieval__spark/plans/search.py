@@ -57,7 +57,7 @@ _warm: dict = {}
 
 
 def _warm_index(spark: SparkSession, sf_dir: str, k: int):
-    key = (id(spark), sf_dir, k)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _warm:
         post = postings_flat(spark, sf_dir, k).cache()
         stats = post.groupBy("term").agg(

@@ -122,6 +122,64 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) maintained in explicit GroupState across
+    micro-batches — the escape hatch for stateful logic the built-in
+    windowed aggregations cannot express (reference has no analogue;
+    north-star §2.9). Emits the updated stats row per user per batch."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drain a finite stream into an in-memory table (test/demo sink)."""
     q = (
