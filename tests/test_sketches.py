@@ -68,3 +68,40 @@ def test_repl_scriptable(spark, sf_dir, monkeypatch, capsys):
     assert rc == 0
     assert "doc" in out and "score" in out
     assert "1-2 words" in out  # 3-word warning, not termination
+
+
+def test_term_bloom_filter_membership(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.operators.sketches import (
+        term_bloom_filter,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.indexing import (
+        postings_flat,
+    )
+
+    post = postings_flat(spark, sf_dir, 1)
+    bf = term_bloom_filter(post, expected=100_000, fpp=0.01)
+    vocab = [r.term for r in post.select("term").distinct().collect()]
+    assert all(bf.might_contain(t) for t in vocab)  # no false negatives
+    misses = sum(bf.might_contain(f"zz-missing-{i}") for i in range(1000))
+    assert misses < 50  # fpp holds loosely
+
+
+def test_docno_count_min_estimates(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.operators.sketches import (
+        docno_count_min,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.indexing import (
+        postings_flat,
+    )
+    from pyspark.sql import functions as F
+
+    post = postings_flat(spark, sf_dir, 1)
+    cms = docno_count_min(post)
+    truth = {
+        r.docno: r.n
+        for r in post.groupBy("docno").agg(F.count("*").alias("n")).limit(20).collect()
+    }
+    for docno, n in truth.items():
+        est = cms.estimate(docno)
+        assert est >= n  # CMS never underestimates
+        assert est <= n + 0.01 * post.count()  # eps bound (loose)
