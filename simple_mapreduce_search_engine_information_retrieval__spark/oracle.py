@@ -43,6 +43,20 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> li
     if len(s) != len(d):
         issues.append(f"row count differs: spark={len(s)} duck={len(d)}")
         return issues
+    # The driver's value-hash is sensitive to PHYSICAL type, not just the
+    # rendered value — e.g. DuckDB widens sum(BIGINT) to HUGEINT (arrives
+    # as float64/object in pandas) while Spark stays int64; values agree,
+    # hashes don't (round-1 term_stats_k1/tpch_q12 failures). Flag any
+    # numeric-kind divergence so it is caught here, not by the driver.
+    for c in sorted(s.columns):
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk and {sk, dk} <= {"i", "u", "f", "O"}:
+            issues.append(
+                f"column {c} dtype kind differs: spark={s[c].dtype} "
+                f"duck={d[c].dtype} (cast both sides, e.g. BIGINT)"
+            )
+    if issues:
+        return issues
     sn, dn = _normalize(s), _normalize(d)
     for c in sn.columns:
         sv, dv = sn[c], dn[c]

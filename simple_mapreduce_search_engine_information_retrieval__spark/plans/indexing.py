@@ -94,13 +94,19 @@ def term_stats(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
     return (
         postings_flat(spark, sf_dir, k)
         .groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .agg(
+            F.count("*").alias("df"),
+            # Explicit BIGINT on both engines: DuckDB sum(BIGINT) widens to
+            # HUGEINT (int128) while Spark stays BIGINT — identical values,
+            # different physical type, which fails the driver's value-hash.
+            F.sum("tf").cast("long").alias("cf"),
+        )
     )
 
 
 def duck_term_stats(k: int = 1) -> str:
     return (
-        f"SELECT term, count(*) AS df, sum(tf) AS cf "
+        f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
         f"FROM ({duck_postings_flat(k)}) GROUP BY term"
     )
 
