@@ -45,7 +45,37 @@ def _registry():
         for qname, spec in mod.QUERIES.items():
             assert qname not in out, f"duplicate query name {qname}"
             out[qname] = spec
-    return out
+    # The driver's correctness pass is budgeted (round 1 recorded rows for
+    # exactly the first 50 of 66 registered queries, in registry order) —
+    # order the registry so queries with no verdict yet run first:
+    # round-1-unchecked block + round-2 additions, cheapest first, then
+    # the already-green remainder.
+    rank = {name: i for i, name in enumerate(_CHECK_FIRST)}
+    ordered = sorted(out, key=lambda n: (rank.get(n, len(rank)),))
+    return {name: out[name] for name in ordered}
+
+
+# Queries needing a driver verdict most urgently (no CORRECTNESS_r01 row,
+# or new this round). Names absent from the registry are ignored.
+_CHECK_FIRST = [
+    # round-1 unchecked block (driver budget cut off at 50/66)
+    "text_term_length_hist",
+    "dedup_keep_first",
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "dedup_minhash_near_dups",
+    "dedup_adjacent_jaccard",
+    "dedup_simhash",
+    "dedup_near_dup_groups",
+    "knn_cosine_brute_force",
+    "knn_ivf_bucketed",
+    "embedding_label_centroid_norms",
+    "embedding_adjacent_cosines",
+    "embedding_near_dups",
+    "streaming_sliding_windows",
+    "streaming_sessionize_users",
+    "streaming_hourly_windows",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
