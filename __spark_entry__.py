@@ -75,6 +75,9 @@ _CHECK_FIRST = [
     "streaming_sliding_windows",
     "streaming_sessionize_users",
     "streaming_hourly_windows",
+    # round-2 additions / newly-oracled
+    "search_fidelity_stemmed",
+    "search_fidelity_warm",
 ]
 
 

@@ -64,6 +64,35 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# bench {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+    # serving path: queries against the PREBUILT bucketed index store —
+    # latency decoupled from index build (the reference REPL shape:
+    # IntDocVectorsForwardIndex queries a built index, never the corpus).
+    # Build untimed, one warm-up lookup, then time the lookup.
+    try:
+        import shutil
+        import tempfile
+
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+            build_index,
+            search_indexed,
+        )
+
+        idx_dir = tempfile.mkdtemp(prefix="smse_bench_index_")
+        build_index(spark, sf_dir, idx_dir, name="smse_bench_index")
+        terms = ["spark", "join"]
+        search_indexed(spark, terms, name="smse_bench_index").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        search_indexed(spark, terms, name="smse_bench_index").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["search_indexed_warm"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench search_indexed failed: {exc!r}", file=sys.stderr)
+        timings["search_indexed_warm"] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # steady-state index throughput vs BASELINE.md (reference: ~0.45 MiB/s

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stopwords import STOPWORD_SET
-from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES
+from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES, duck_tokens_list
 from ..sources.tables import table
 from . import QuerySpec
 from .indexing import duck_postings_flat, duck_term_stats, postings_flat
@@ -104,6 +104,26 @@ def search(
     )
 
 
+# Stemmed-index memo, same contract as _warm: the reference REPL queries
+# a PREBUILT stemmed index (IntDocVectorsForwardIndex.java:243-322) — it
+# never re-tokenizes the corpus per query, and neither do we. The
+# pandas-UDF tokenize+stem runs once per (session, sf_dir); every query
+# after that is a broadcast lookup against the cached postings.
+_warm_fid: dict = {}
+
+
+def _warm_fidelity_index(spark: SparkSession, sf_dir: str):
+    from .indexing import postings_flat_fidelity
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _warm_fid:
+        post = postings_flat_fidelity(spark, sf_dir).cache()
+        stats = post.groupBy("term").agg(F.count("*").alias("df"))
+        n_docs = table(spark, sf_dir, "documents").count()
+        _warm_fid[key] = (post, stats, n_docs)
+    return _warm_fid[key]
+
+
 def search_fidelity(
     spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
 ) -> DataFrame:
@@ -112,14 +132,11 @@ def search_fidelity(
     documents did (reference REPL uses the same GalagoTokenizer for
     queries, IntDocVectorsForwardIndex.java:295)."""
     from ..functions.fidelity import tokenize_text
-    from .indexing import postings_flat_fidelity
 
     terms = tokenize_text(query)
     if not terms:
         return spark.createDataFrame([], "docno long, score double, rank long")
-    post = postings_flat_fidelity(spark, sf_dir).cache()
-    stats = post.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = table(spark, sf_dir, "documents").count()
+    post, stats, n_docs = _warm_fidelity_index(spark, sf_dir)
     qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
     hits = post.join(F.broadcast(qdf), "term").join(F.broadcast(stats.join(qdf, "term")), "term")
     contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
@@ -175,6 +192,59 @@ def search_with_docids(
         )
         .select(res["docno"], mapping["docid"], res["score"], res["rank"])
     )
+
+
+# The synthetic documents fixture draws from this fixed word pool
+# (TESTDATA.md) — no acronym/period shapes, so on THIS corpus the
+# fidelity tokenizer (acronym rules + stem) equals the expression
+# tokenizer followed by a per-word stem lookup. That equivalence is
+# asserted doc-for-doc in tests/test_search_extras.py; it is what makes
+# the stemmed search oracle-checkable without a stemmer in DuckDB.
+FIXTURE_POOL = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def duck_search_fidelity(query: str, *, top_k: int = TOP_K) -> str:
+    """DuckDB oracle for the stemmed-index search: expression tokenize
+    (stopworded) -> embedded (token, stem) dictionary -> the identical
+    postings/df/scoring SQL as duck_search. Only the per-word stem
+    mapping is shared with the engine; the Porter2 stemmer producing it
+    is independently golden-tested against the published Snowball
+    vocabulary (tests/test_stemmer_snowball.py)."""
+    from ..functions.fidelity import tokenize_text
+    from ..functions.stemmer import stem
+
+    terms = sorted(set(tokenize_text(query)))
+    lits = ", ".join("'" + t + "'" for t in terms) or "''"
+    values = ", ".join(f"('{w}', '{stem(w)}')" for w in FIXTURE_POOL)
+    toks = duck_tokens_list("text", stopworded=True)
+    return f"""
+WITH stemmap(token, stem) AS (VALUES {values}),
+     toks AS (SELECT doc_id AS docno, unnest({toks}) AS token FROM documents),
+     post AS (
+       SELECT coalesce(m.stem, t.token) AS term, t.docno, count(*) AS tf
+       FROM toks t LEFT JOIN stemmap m ON m.token = t.token
+       GROUP BY 1, 2
+     ),
+     stats AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN stats USING (term) CROSS JOIN n
+       WHERE post.term IN ({lits})
+       GROUP BY post.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
 
 
 def duck_search_with_docids(query: str, **kw) -> str:
@@ -440,9 +510,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "search_fidelity_stemmed": QuerySpec(
         fn=lambda s, d: search_fidelity(s, d, "merges sorting"),
-        oracle=None,
-        note="stemmed-index search via the fidelity pandas UDF; "
-        "rows-only check (no DuckDB stemmer) — goldens in "
-        "tests/test_tokenizer_fidelity.py",
+        oracle=duck_search_fidelity("merges sorting"),
+        note="stemmed-index search via the fidelity pandas UDF, served "
+        "from the memoized warm index; oracled via expression tokenize "
+        "+ embedded stem dictionary (equivalence on the fixture corpus "
+        "asserted in tests/test_search_extras.py)",
+    ),
+    "search_fidelity_warm": QuerySpec(
+        fn=lambda s, d: search_fidelity(s, d, "customer tables valued"),
+        oracle=duck_search_fidelity("customer tables valued"),
+        note="second stemmed query against the warm memoized index — "
+        "benches the serving latency the reference REPL shape implies "
+        "(index built once, queries are lookups)",
     ),
 }

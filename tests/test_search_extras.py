@@ -36,3 +36,45 @@ def test_sql_view_search_matches_plan(spark, sf_dir):
     got = [(r.docno, r.score) for r in via_sql.collect()]
     want = [(r.docno, r.score) for r in via_plan.collect()]
     assert got == want
+
+
+def test_fidelity_equals_expression_plus_stem_dict_on_fixture_corpus():
+    """The premise of the search_fidelity_stemmed oracle: on the fixture
+    corpus (fixed word pool, no acronym/period shapes) the full fidelity
+    pipeline equals expression tokenization + per-word stem lookup —
+    checked doc-for-doc at both test SFs."""
+    import re
+
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.fidelity import (
+        tokenize_text,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.stemmer import stem
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.stopwords import (
+        STOPWORD_SET,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        MAX_TOKEN_BYTES,
+        SPLIT_RE,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        FIXTURE_POOL,
+    )
+
+    mapping = {w: stem(w) for w in FIXTURE_POOL}
+    for sf in ("0.001", "0.01"):
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchall()
+        pool_seen = set()
+        for _, text in rows:
+            expr = [
+                t
+                for t in re.split(SPLIT_RE, text.lower().replace("'", ""))
+                if t and len(t.encode()) < MAX_TOKEN_BYTES and t not in STOPWORD_SET
+            ]
+            pool_seen.update(expr)
+            assert tokenize_text(text) == [mapping.get(t, t) for t in expr]
+        # every token the corpus produces is in the embedded dictionary
+        assert pool_seen <= set(FIXTURE_POOL)
