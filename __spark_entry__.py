@@ -30,7 +30,14 @@ def _registry():
     )
 
     modules = [indexing, search]
-    for name in ("relational", "textstats", "dedup", "similarity", "streaming_batch"):
+    for name in (
+        "relational",
+        "textstats",
+        "dedup",
+        "similarity",
+        "streaming_batch",
+        "trec_parse",
+    ):
         try:
             mod = __import__(
                 "simple_mapreduce_search_engine_information_retrieval__spark.plans."
@@ -78,6 +85,10 @@ _CHECK_FIRST = [
     # round-2 additions / newly-oracled
     "search_fidelity_stemmed",
     "search_fidelity_warm",
+    "docno_mapping_scalable",
+    "chargram_arrays",
+    "trec_text_parsed",
+    "trec_web_urls",
 ]
 
 

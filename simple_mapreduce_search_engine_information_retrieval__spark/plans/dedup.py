@@ -454,22 +454,28 @@ def near_dup_groups(
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(propagated, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
+        new_labels = labels.join(propagated, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # lineage + cache hygiene: each iteration's plan references the
+        # previous labels TWICE (propagation join + convergence join), so
+        # an uncheckpointed loop grows the plan exponentially (measured
+        # 21k joins by iteration 2 at sf0.001). The convergence count
+        # below materializes every round regardless, so an EAGER
+        # localCheckpoint per round costs no extra pass and keeps the
+        # plan depth constant; superseded labels are unpersisted once
+        # the new ones are materialized.
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

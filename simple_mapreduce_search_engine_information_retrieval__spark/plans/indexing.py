@@ -270,6 +270,31 @@ def duck_chargram_flat(k: int = 3) -> str:
     )
 
 
+def chargram_arrays(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """The reference's char-gram index ARRAY layout — gram -> sorted
+    distinct term list (CharKGramTermIndexer.java:75,257-258 stores
+    ArrayListWritable<Text> per gram) — exposed flat as (gram, pos, term)
+    via posexplode so the oracle can verify the in-array ORDER, mirroring
+    inv_postings_ranked's treatment of the postings arrays."""
+    arr = (
+        chargram_flat(spark, sf_dir, k)
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+    return arr.select("gram", F.posexplode("terms").alias("pos", "term")).select(
+        "gram", (F.col("pos") + 1).cast("long").alias("pos"), "term"
+    )
+
+
+def duck_chargram_arrays(k: int = 3) -> str:
+    return f"""
+SELECT gram,
+       CAST(row_number() OVER (PARTITION BY gram ORDER BY term) AS BIGINT) AS pos,
+       term
+FROM ({duck_chargram_flat(k)})
+"""
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row stats table (n_docs, n_tokens, n_vocab) — replaces the
     reference's sentinel-record smuggling of N through the index
@@ -367,5 +392,19 @@ QUERIES: dict[str, QuerySpec] = {
         fn=corpus_stats,
         oracle=_duck_corpus_stats(),
         note="A6 global doc count (sentinel replaced by stats table)",
+    ),
+    "docno_mapping_scalable": QuerySpec(
+        fn=docno_mapping_scalable,
+        oracle=DUCK_DOCNO_MAPPING,
+        note="A9 numbering via range-partition + per-partition offsets — "
+        "the 100 TB formulation (no single-task global window); identical "
+        "output contract to docno_mapping, same oracle",
+    ),
+    "chargram_arrays": QuerySpec(
+        fn=lambda s, d: chargram_arrays(s, d, 2),
+        oracle=duck_chargram_arrays(2),
+        note="reference char-gram ARRAY layout (gram -> sorted distinct "
+        "terms, CharKGramTermIndexer.java:75,257-258), order verified "
+        "positionally via posexplode vs row_number",
     ),
 }
