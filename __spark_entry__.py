@@ -37,6 +37,8 @@ def _registry():
         "similarity",
         "streaming_batch",
         "trec_parse",
+        "multimodal_queries",
+        "sketches_queries",
     ):
         try:
             mod = __import__(
@@ -89,6 +91,10 @@ _CHECK_FIRST = [
     "chargram_arrays",
     "trec_text_parsed",
     "trec_web_urls",
+    "multimodal_features",
+    "multimodal_stats",
+    "sketch_cms_estimates",
+    "sketch_bloom_membership",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Driver-checked multimodal queries.
+
+The media table is derived deterministically from the documents fixture
+(media_id = doc_id, size from doc_id arithmetic, payload from the fake
+codec), so the ENTIRE binary round-trip — encode kernel -> Spark binary
+column -> Arrow batch -> decode kernel -> numeric features — is
+oracle-checkable: DuckDB recomputes the expected features from the same
+doc_id arithmetic without ever touching bytes.
+
+Scale shape (operators/multimodal.py): payloads stay out of shuffles
+(features extracted via mapInPandas before any wide op), metadata-only
+queries never read the payload column (columnar pruning — asserted in
+tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_fake_image,
+    extract_features,
+    media_stats,
+)
+from ..sources.tables import table
+from . import QuerySpec
+
+# sizes derived from the id so every engine can recompute them
+_W = "(8 + doc_id % 5)"
+_H = "(6 + doc_id % 3)"
+
+
+def media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fake image per fixture doc: payload encoded in an
+    Arrow-batched kernel (binary construction is Python-side by nature —
+    this is the ingest/encode stage of a media pipeline)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 6 + d % 3
+                rows.append(
+                    {
+                        "media_id": d,
+                        "kind": "image",
+                        "format": "fake",
+                        "payload": encode_fake_image(d, w, h),
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_from_docs(spark, sf_dir))
+
+
+# body[i] = (media_id + i) % 251 for i in range(w*h) — recomputed in SQL
+DUCK_MULTIMODAL_FEATURES = f"""
+WITH m AS (SELECT doc_id AS media_id, {_W} AS w, {_H} AS h FROM documents)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(list_aggregate(
+           list_transform(range(0, w * h), i -> CAST((media_id + i) % 251 AS DOUBLE)),
+           'avg'), 6) AS mean_px,
+       CAST(list_aggregate(
+           list_transform(range(0, w * h), i -> (media_id + i) % 251),
+           'max') AS BIGINT) AS max_px,
+       CAST(w * h AS BIGINT) AS n_bytes
+FROM m
+"""
+
+
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats(media_from_docs(spark, sf_dir))
+
+
+DUCK_MULTIMODAL_STATS = f"""
+SELECT 'image' AS kind, 'fake' AS format, count(*) AS n,
+       CAST(sum({_W} * {_H}) AS BIGINT) AS total_px
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_features": QuerySpec(
+        fn=multimodal_features,
+        oracle=DUCK_MULTIMODAL_FEATURES,
+        note="binary payload round-trip (encode kernel -> mapInPandas "
+        "decode -> features); oracle recomputes features from id "
+        "arithmetic — checks schema, batching and codec end-to-end",
+    ),
+    "multimodal_stats": QuerySpec(
+        fn=multimodal_stats,
+        oracle=DUCK_MULTIMODAL_STATS,
+        note="metadata-only media aggregate — payload column must be "
+        "pruned from the scan (asserted in tests/test_multimodal.py)",
+    ),
+}
