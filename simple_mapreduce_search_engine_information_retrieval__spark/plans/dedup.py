@@ -138,10 +138,13 @@ def _signatures_of(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _lsh_verified_pairs(sh: DataFrame) -> DataFrame:
+def _lsh_verified_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs over a (doc_id, shingle) set, verified with
-    exact Jaccard: (doc_a, doc_b, jaccard) for jaccard >= threshold."""
-    bands = _bands(_signatures_of(sh))
+    exact Jaccard: (doc_a, doc_b, jaccard) for jaccard >= threshold.
+    ``sig`` optionally supplies precomputed signatures for exactly the
+    docs in ``sh`` (a signature depends only on the doc's own shingles,
+    so callers that already aggregated can skip the second pass)."""
+    bands = _bands(_signatures_of(sh) if sig is None else sig)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), "band_key")
@@ -195,26 +198,36 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pairs_cache[key]
     sh = _shingles_cached(spark, sf_dir)
     fp_w = Window.partitionBy("fp")
-    # one row per doc and referenced by five downstream branches
-    # (reps / both expansion sides / within-group self-join) — cache, or
-    # the shingle-stream collect_list agg reruns per branch
+    # ONE aggregate over the shingle stream computes both the set
+    # fingerprint (collapse key) and the MinHash signature — a doc's
+    # signature depends only on its own shingles, so the rep signatures
+    # fall out of the same pass instead of a second shuffle. One row per
+    # doc, referenced by five downstream branches (rep signatures / both
+    # expansion sides / within-group self-join) — cache it.
     membership = (
         sh.groupBy("doc_id")
         .agg(
             F.md5(
                 F.array_join(F.sort_array(F.collect_list("shingle")), "\x00")
-            ).alias("fp")
+            ).alias("fp"),
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+                ).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ],
         )
-        .select("doc_id", F.min("doc_id").over(fp_w).alias("rep"))
+        .select("*", F.min("doc_id").over(fp_w).alias("rep"))
         .cache()
     )
-    reps = membership.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    # _lsh_verified_pairs scans its shingle input from four branches
-    # (bands / sizes / both verify sides) — cache the rep-filtered
-    # shingles once, exactly as the unguarded formulation leaned on the
-    # cached full shingle table
-    sh_rep = sh.join(reps, "doc_id").cache()
-    rep_pairs = _lsh_verified_pairs(sh_rep)
+    rep_rows = membership.filter(F.col("doc_id") == F.col("rep"))
+    rep_sig = rep_rows.select("doc_id", *[f"h{i}" for i in range(N_HASHES)])
+    # _lsh_verified_pairs scans its shingle input from three branches
+    # (sizes / both verify sides) — cache the rep-filtered shingles once,
+    # exactly as the unguarded formulation leaned on the cached full
+    # shingle table
+    sh_rep = sh.join(rep_rows.select("doc_id"), "doc_id").cache()
+    rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig)
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
     cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
