@@ -39,6 +39,7 @@ def _registry():
         "trec_parse",
         "multimodal_queries",
         "sketches_queries",
+        "pipeline",
     ):
         try:
             mod = __import__(
@@ -95,6 +96,7 @@ _CHECK_FIRST = [
     "multimodal_stats",
     "sketch_cms_estimates",
     "sketch_bloom_membership",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -1,0 +1,87 @@
+"""End-to-end training-data cleaning pipeline — the flagship composition
+of the north-star operators, as ONE declarative materializer:
+
+    quality gate (length / stopword-ratio heuristics)
+    -> language gate (en-ratio heuristic)
+    -> exact dedup, keep lowest doc_id per normalized fingerprint
+    -> near-dup removal (MinHash-LSH verified pairs: drop the higher id
+       of every pair)
+    -> surviving corpus ids
+
+Every stage reuses the already-oracled building block (textstats /
+dedup), and the oracle SQL composes the same blocks — so the one
+end-to-end answer is exactly checkable. At 100 TB each gate is a narrow
+expression filter fused into the scan; the only wide ops are the two
+dedup aggregations, both already shaped for scale (see plans/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _duck_near_dups,
+    dedup_keep_first,
+    DUCK_DEDUP_KEEP_FIRST,
+    minhash_near_dups,
+)
+from .textstats import _duck_lang_id, _duck_quality, lang_id, quality_scores
+
+MIN_TOKENS = 25
+MAX_STOPWORD_RATIO = 0.15
+MIN_EN_RATIO = 0.02
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) of documents surviving the full cleaning pipeline."""
+    quality_ok = quality_scores(spark, sf_dir).filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
+    )
+    lang_ok = lang_id(spark, sf_dir).filter(F.col("en_ratio") >= MIN_EN_RATIO)
+    exact_keepers = dedup_keep_first(spark, sf_dir)
+    near_dup_losers = (
+        minhash_near_dups(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality_ok.select("doc_id")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .join(exact_keepers.select("doc_id"), "doc_id")
+        .join(near_dup_losers, "doc_id", "left_anti")
+    )
+
+
+def _duck_clean_corpus() -> str:
+    return f"""
+WITH quality AS MATERIALIZED ({_duck_quality()}),
+     lang AS MATERIALIZED ({_duck_lang_id()}),
+     exact_keepers AS MATERIALIZED ({DUCK_DEDUP_KEEP_FIRST}),
+     near_pairs AS MATERIALIZED ({_duck_near_dups()}),
+     losers AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs
+                WHERE jaccard >= {JACCARD_THRESHOLD})
+SELECT q.doc_id
+FROM quality q
+JOIN lang l USING (doc_id)
+JOIN exact_keepers k USING (doc_id)
+WHERE q.n_tokens >= {MIN_TOKENS}
+  AND q.stopword_ratio <= {MAX_STOPWORD_RATIO}
+  AND l.en_ratio >= {MIN_EN_RATIO}
+  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pipeline_clean_corpus": QuerySpec(
+        fn=clean_corpus,
+        oracle=_duck_clean_corpus(),
+        note="end-to-end corpus cleaning: quality + language gates, "
+        "exact keep-first dedup, MinHash-LSH near-dup removal — one "
+        "declarative materializer composing the oracled building blocks",
+    ),
+}
