@@ -97,6 +97,7 @@ _CHECK_FIRST = [
     "sketch_cms_estimates",
     "sketch_bloom_membership",
     "pipeline_clean_corpus",
+    "knn_batch_workload",
 ]
 
 

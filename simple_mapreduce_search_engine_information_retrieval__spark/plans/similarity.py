@@ -258,8 +258,64 @@ WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
 """
 
 
+BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def knn_batch_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score MANY query vectors in ONE scan: (query_id, vec_id, cos,
+    rank) — the batch-serving shape (mirrors search_batch_workload: the
+    embedding table is scanned once for the whole workload, query
+    vectors broadcast, per-query top-k via ranking window). At 100 TB
+    this is how offline ANN labeling runs; per-query scans are the
+    anti-pattern."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(list(BATCH_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+DUCK_KNN_BATCH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id IN {BATCH_QUERY_IDS}),
+     scored AS (
+       SELECT q.query_id, e.vec_id,
+              round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+       FROM embeddings e CROSS JOIN q
+       WHERE e.vec_id != q.query_id
+     ),
+     ranked AS (
+       SELECT query_id, vec_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id) AS rk
+       FROM scored
+     )
+SELECT query_id, vec_id, cos, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_cosine_brute_force": QuerySpec(fn=knn_brute_force, oracle=DUCK_KNN_BRUTE),
+    "knn_batch_workload": QuerySpec(
+        fn=knn_batch_workload,
+        oracle=DUCK_KNN_BATCH,
+        note="one scan scores the whole query workload (broadcast query "
+        "vectors, per-query top-k via ranking window)",
+    ),
     "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
