@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "sketch_bloom_membership",
     "pipeline_clean_corpus",
     "knn_batch_workload",
+    "streaming_stateful_user_stats",
 ]
 
 

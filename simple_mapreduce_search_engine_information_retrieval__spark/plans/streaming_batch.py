@@ -9,7 +9,10 @@ Spark's window is [ts, ts+gap) merged on overlap, which is the same rule.)
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import table
 from ..streaming.jobs import hourly_counts, sliding_counts, user_sessions
@@ -84,7 +87,57 @@ GROUP BY ws
 """
 
 
+_stateful_run = itertools.count()
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL custom stateful stream (applyInPandasWithState,
+    streaming/jobs.py::user_running_stats) to completion with
+    availableNow, then reduces the per-batch emissions to the final
+    per-user state. Only the order-insensitive fields (count, max) are
+    emitted: the running float SUM depends on addition order across
+    micro-batches, so it is parity-tested with a tolerance in
+    tests/test_stateful_streaming.py instead of hash-compared here.
+    n_events and max_value are monotone across batches, so max() over
+    the append-mode emissions is exactly the final state regardless of
+    how the file source splits micro-batches."""
+    from ..streaming.jobs import read_events_stream, user_running_stats
+
+    name = f"smse_stateful_drain_{next(_stateful_run)}"
+    stream = user_running_stats(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+DUCK_STATEFUL_USER_STATS = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_stateful_user_stats": QuerySpec(
+        fn=stateful_user_stats,
+        oracle=DUCK_STATEFUL_USER_STATS,
+        note="custom stateful operator (applyInPandasWithState) actually "
+        "RUN as a stream and drained; final states vs plain batch "
+        "aggregate oracle",
+    ),
     "streaming_sliding_windows": QuerySpec(
         fn=sliding_batch,
         oracle=DUCK_SLIDING,
