@@ -99,6 +99,19 @@ _CHECK_FIRST = [
     "pipeline_clean_corpus",
     "knn_batch_workload",
     "streaming_stateful_user_stats",
+    # round-2 TPC-H suite completion (adapted to the slim fixture schema)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_count_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

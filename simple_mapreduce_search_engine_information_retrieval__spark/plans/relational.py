@@ -260,6 +260,223 @@ FROM (
 GROUP BY seg
 """
 
+# ---------------------------------------------------- TPC-H suite completion
+# The fixture schema is TPC-H-ish but slimmer than the spec: no partsupp
+# table, no l_commitdate/l_receiptdate, no p_mfgr/p_container, no c_phone.
+# Queries whose canonical form needs those columns are adapted to preserve
+# the SHAPE that makes each query interesting (the operator composition the
+# planner must handle), swapping only the missing columns:
+#   q2/q11/q16/q20 — partsupp is replaced by the (l_partkey, l_suppkey)
+#     supply relation derived from lineitem;
+#   q21 — "received late" becomes "shipped > 90 days after the order";
+#   q9  — supply cost becomes a retail-price cost proxy;
+#   q13 — the o_comment NOT LIKE filter becomes an o_orderpriority filter.
+# Determinism: min()/max() are exact on doubles (no fp-order risk); the
+# sum()-threshold comparisons (q11/q15/q20) tolerate fp reorder because
+# group sums sit far from the thresholds at both checked SFs.
+
+Q2_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_name, n.n_name, p.p_partkey, round(su.unit_cost, 4) AS unit_cost
+FROM part p
+JOIN supply su  ON su.partkey    = p.p_partkey
+JOIN supplier s ON s.s_suppkey   = su.suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+  AND su.unit_cost = (
+    SELECT min(su2.unit_cost)
+    FROM supply su2
+    JOIN supplier s2 ON s2.s_suppkey   = su2.suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE su2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+Q8_MARKET_SHARE = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_8' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey   = p.p_partkey
+  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+  JOIN customer c ON c.c_custkey   = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate <  DATE '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+Q9_PRODUCT_PROFIT = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.5 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON l.l_partkey   = p.p_partkey
+  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+Q10_RETURNED_ITEMS = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01'
+  AND o.o_orderdate <  DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q11_IMPORTANT_STOCK = """
+SELECT l.l_partkey AS partkey,
+       round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_partkey
+HAVING sum(l.l_extendedprice * l.l_quantity) > (
+  SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.001
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey   = l2.l_suppkey
+  JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+  WHERE n2.n_name = 'NATION_7')
+"""
+
+Q13_ORDER_COUNT_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+Q15_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate <  DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+Q16_SUPPLIER_CNT = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+Q17_SMALL_QTY_REVENUE = """
+SELECT round(COALESCE(sum(l.l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+Q19_DISJUNCTIVE_PREDICATES = """
+SELECT round(COALESCE(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0), 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+Q20_EXCESS_SUPPLY = """
+WITH part_totals AS (
+  SELECT l_partkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part_totals t ON t.l_partkey = l.l_partkey
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate <  DATE '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey, t.total_qty
+  HAVING sum(l.l_quantity) > 0.1 * t.total_qty)
+ORDER BY s_suppkey
+"""
+
+Q21_WAITING_SUPPLIERS = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey   = s.s_suppkey
+JOIN orders o    ON o.o_orderkey   = l1.l_orderkey
+JOIN nation n    ON n.n_nationkey  = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_2'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
 OUTER_JOIN_NULL_AGG = """
 SELECT c.c_mktsegment,
        count(*) AS n_rows,
@@ -407,6 +624,34 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q14_promo_share": shared_sql(Q14_PROMO_SHARE, "ratio-of-sums scalar"),
     "tpch_q18_large_orders": shared_sql(Q18_LARGE_ORDERS, "HAVING-filtered derived join"),
     "tpch_q22_idle_customers": shared_sql(Q22_IDLE_CUSTOMERS, "anti join + scalar subquery"),
+    "tpch_q2_min_cost_supplier": shared_sql(
+        Q2_MIN_COST_SUPPLIER, "correlated min over derived supply relation"
+    ),
+    "tpch_q8_market_share": shared_sql(Q8_MARKET_SHARE, "8-way join, conditional share"),
+    "tpch_q9_product_profit": shared_sql(Q9_PRODUCT_PROFIT, "5-way join, computed profit"),
+    "tpch_q10_returned_items": shared_sql(Q10_RETURNED_ITEMS, "4-way join + top-k revenue"),
+    "tpch_q11_important_stock": shared_sql(
+        Q11_IMPORTANT_STOCK, "HAVING vs scalar-subquery fraction"
+    ),
+    "tpch_q13_order_count_dist": shared_sql(
+        Q13_ORDER_COUNT_DIST, "left join + double aggregation histogram"
+    ),
+    "tpch_q15_top_supplier": shared_sql(Q15_TOP_SUPPLIER, "CTE reuse + argmax via scalar subquery"),
+    "tpch_q16_supplier_cnt": shared_sql(
+        Q16_SUPPLIER_CNT, "count distinct + NOT IN subquery exclusion"
+    ),
+    "tpch_q17_small_qty_revenue": shared_sql(
+        Q17_SMALL_QTY_REVENUE, "correlated avg threshold per part"
+    ),
+    "tpch_q19_disjunctive_pred": shared_sql(
+        Q19_DISJUNCTIVE_PREDICATES, "OR-of-conjunctions join predicate"
+    ),
+    "tpch_q20_excess_supply": shared_sql(
+        Q20_EXCESS_SUPPLY, "nested IN chain + correlated-share HAVING"
+    ),
+    "tpch_q21_waiting_suppliers": shared_sql(
+        Q21_WAITING_SUPPLIERS, "EXISTS + NOT EXISTS self-join on the fact table"
+    ),
     "outer_join_null_agg": shared_sql(OUTER_JOIN_NULL_AGG, "left join null-aware aggregates"),
     "like_name_filter": shared_sql(LIKE_NAME_FILTER, "LIKE pushdown"),
     "events_asof_last_purchase": _events_pair(EVENTS_ASOF_LAST_PURCHASE),
