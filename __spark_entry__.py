@@ -40,6 +40,7 @@ def _registry():
         "multimodal_queries",
         "sketches_queries",
         "pipeline",
+        "sinks_sources",
     ):
         try:
             mod = __import__(
@@ -112,6 +113,11 @@ _CHECK_FIRST = [
     "tpch_q19_disjunctive_pred",
     "tpch_q20_excess_supply",
     "tpch_q21_waiting_suppliers",
+    # round-2 streaming + sink/source additions
+    "streaming_interval_join",
+    "streaming_dedup_keys",
+    "tsv_docno_roundtrip",
+    "jsonl_documents_roundtrip",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Sink/source round-trips, driver-checked.
+
+The reference's non-Parquet I/O surface (SURVEY.md §2.1):
+- S7: the docid→docno mapping written as a delimited text file
+  (reference NumberTrecDocuments writes a TSV sidecar next to the
+  SequenceFile index) — here the Spark CSV sink with a tab separator;
+- a JSON-lines document feed — the ingestion format every modern corpus
+  pipeline consumes; the reference predates it, but a user switching from
+  TREC files expects it.
+
+Both are verified as ROUND-TRIPS: write with the Spark sink, read back
+with the matching Spark source (explicit schema — no inference pass over
+100 TB), and hash-compare the re-read result against a DuckDB oracle over
+the ORIGINAL parquet. Write-then-read identity checks the sink and the
+source in one driver row; the oracle never sees the intermediate files,
+so any corruption (quoting, escaping, type coercion) fails the gate.
+
+Scale notes: both sinks shard by partition (one file per task — the
+parallel write path); the TSV mapping is small-per-partition, the JSONL
+feed is the 100 TB format whose scan parallelizes by file split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import table
+from . import QuerySpec
+
+_WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehouse")
+
+
+def _out_path(kind: str, sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_WAREHOUSE, "roundtrip", kind, sf_name))
+
+
+_TSV_SCHEMA = StructType(
+    [StructField("docid", StringType()), StructField("docno", LongType())]
+)
+
+
+def tsv_docno_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docno mapping → TSV sink → TSV source (reference S7,
+    NumberTrecDocuments.java:97-107 writes the same two-column mapping as
+    delimited text). Uses the scalable (range-partitioned) numbering."""
+    from .indexing import docno_mapping_scalable
+
+    path = _out_path("tsv_docno", sf_dir)
+    (
+        docno_mapping_scalable(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .csv(path)
+    )
+    return spark.read.schema(_TSV_SCHEMA).option("sep", "\t").option(
+        "header", "true"
+    ).csv(path)
+
+
+DUCK_TSV_DOCNO = (
+    "SELECT docid, CAST(row_number() OVER (ORDER BY docid) AS BIGINT) AS docno "
+    "FROM (SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents)"
+)
+
+
+_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def jsonl_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL sink → JSONL source with explicit schema; the
+    returned projection recomputes the text length AFTER the round-trip,
+    so JSON escaping errors (quotes, unicode, newlines) surface as value
+    mismatches, not just row-count drift."""
+    path = _out_path("jsonl_docs", sf_dir)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return (
+        spark.read.schema(_JSONL_SCHEMA)
+        .json(path)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+    )
+
+
+DUCK_JSONL_DOCS = (
+    "SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS text_len "
+    "FROM documents"
+)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tsv_docno_roundtrip": QuerySpec(
+        fn=tsv_docno_roundtrip,
+        oracle=DUCK_TSV_DOCNO,
+        note="S7 TSV sink + source round-trip vs parquet-side oracle",
+    ),
+    "jsonl_documents_roundtrip": QuerySpec(
+        fn=jsonl_documents_roundtrip,
+        oracle=DUCK_JSONL_DOCS,
+        note="JSONL sink + schema-first source round-trip, text-length "
+        "integrity vs parquet-side oracle",
+    ),
+}

@@ -90,6 +90,69 @@ GROUP BY ws
 _stateful_run = itertools.count()
 
 
+def _drain(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
+    """Run a finite stream to completion (availableNow) into a memory sink
+    and return the sink table."""
+    name = f"{prefix}_{next(_stateful_run)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stream-stream interval self-join (streaming/jobs.py::
+    click_purchase_joins) to completion. Inner join on unique event ids →
+    the emitted pair set is deterministic however the source splits
+    micro-batches."""
+    from ..streaming.jobs import click_purchase_joins, read_events_stream
+
+    return _drain(
+        spark,
+        click_purchase_joins(read_events_stream(spark, sf_dir)),
+        "smse_interval_join",
+    )
+
+
+DUCK_INTERVAL_JOIN = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       (epoch_ns(c.ts) // 1000) AS click_us,
+       (epoch_ns(p.ts) // 1000) AS purchase_us
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND (epoch_ns(p.ts) // 1000)
+       BETWEEN (epoch_ns(c.ts) // 1000)
+           AND (epoch_ns(c.ts) // 1000) + 24 * 3600000000
+"""
+
+
+def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stateful stream dedup (dropDuplicatesWithinWatermark
+    on the composite key) to completion; output projects only the key
+    columns, so it equals the batch DISTINCT regardless of which duplicate
+    arrived first."""
+    from ..streaming.jobs import dedup_keys_stream, read_events_stream
+
+    return _drain(
+        spark,
+        dedup_keys_stream(read_events_stream(spark, sf_dir)),
+        "smse_dedup_keys",
+    )
+
+
+DUCK_DEDUP_KEYS = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL custom stateful stream (applyInPandasWithState,
     streaming/jobs.py::user_running_stats) to completion with
@@ -103,18 +166,12 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     how the file source splits micro-batches."""
     from ..streaming.jobs import read_events_stream, user_running_stats
 
-    name = f"smse_stateful_drain_{next(_stateful_run)}"
-    stream = user_running_stats(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _drain(
+            spark,
+            user_running_stats(read_events_stream(spark, sf_dir)),
+            "smse_stateful_drain",
+        )
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -137,6 +194,18 @@ QUERIES: dict[str, QuerySpec] = {
         note="custom stateful operator (applyInPandasWithState) actually "
         "RUN as a stream and drained; final states vs plain batch "
         "aggregate oracle",
+    ),
+    "streaming_interval_join": QuerySpec(
+        fn=interval_join,
+        oracle=DUCK_INTERVAL_JOIN,
+        note="stream-stream watermarked interval self-join actually RUN "
+        "as a stream and drained; pair set vs batch join oracle",
+    ),
+    "streaming_dedup_keys": QuerySpec(
+        fn=dedup_keys,
+        oracle=DUCK_DEDUP_KEYS,
+        note="dropDuplicatesWithinWatermark on composite key, key-only "
+        "projection vs batch DISTINCT oracle",
     ),
     "streaming_sliding_windows": QuerySpec(
         fn=sliding_batch,

@@ -122,6 +122,70 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keys_stream(events: DataFrame) -> DataFrame:
+    """Stateful dedup on a COMPOSITE key (user_id, event_type), projecting
+    only the key columns — which row of a duplicate group survives depends
+    on arrival order, so emitting just the keys makes the output the
+    deterministic distinct-key set (batch twin: SELECT DISTINCT)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+INTERVAL_JOIN_HOURS = 24
+
+
+def click_purchase_joins(events: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: each click pairs with the same
+    user's purchases that land within the following 24 h. Both sides carry
+    watermarks and the join condition bounds purchase_time relative to
+    click_time in BOTH directions, so Spark can expire join state (state
+    per side is O(watermark window), not O(history) — the required shape
+    for an unbounded 100 TB stream)."""
+    e = with_event_time(events)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_time") >= F.col("click_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("click_time")
+                + F.expr(f"INTERVAL {INTERVAL_JOIN_HOURS} HOURS")
+            ),
+            "inner",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.unix_micros("click_time").alias("click_us"),
+            F.unix_micros("purchase_time").alias("purchase_us"),
+        )
+    )
+
+
 USER_STATS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
