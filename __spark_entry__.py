@@ -118,6 +118,7 @@ _CHECK_FIRST = [
     "streaming_dedup_keys",
     "tsv_docno_roundtrip",
     "jsonl_documents_roundtrip",
+    "streaming_incremental_index",
 ]
 
 

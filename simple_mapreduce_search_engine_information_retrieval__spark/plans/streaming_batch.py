@@ -13,10 +13,17 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..sources.tables import table
 from ..streaming.jobs import hourly_counts, sliding_counts, user_sessions
 from . import QuerySpec
+from .indexing import duck_postings_flat
 
 _GAP_US = 30 * 60 * 1_000_000
 
@@ -153,6 +160,42 @@ def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUCK_DEDUP_KEYS = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def incremental_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index MAINTENANCE, driver-checked: stream the documents
+    table through the foreachBatch LSM upsert (streaming/jobs.py::
+    incremental_index), then serve postings from the incrementally-built
+    store. Must equal the batch-built inverted index exactly — the
+    contract that lets a 100 TB index stay fresh via micro-batch appends
+    instead of full rebuilds."""
+    import os
+    import shutil
+
+    from ..streaming.jobs import incremental_index, read_incremental_index
+    from .sinks_sources import _out_path
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    path = _out_path("incr_index", sf_dir)
+    # the upsert sink APPENDS (LSM layout) — start each run from empty or
+    # re-runs would double every tf
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    docs_stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    incremental_index(spark, docs_stream, path)
+    return read_incremental_index(spark, path)
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL custom stateful stream (applyInPandasWithState,
     streaming/jobs.py::user_running_stats) to completion with
@@ -194,6 +237,12 @@ QUERIES: dict[str, QuerySpec] = {
         note="custom stateful operator (applyInPandasWithState) actually "
         "RUN as a stream and drained; final states vs plain batch "
         "aggregate oracle",
+    ),
+    "streaming_incremental_index": QuerySpec(
+        fn=incremental_index_postings,
+        oracle=duck_postings_flat(1),
+        note="foreachBatch LSM index maintenance drained as a stream; "
+        "served postings vs the batch inverted-index oracle",
     ),
     "streaming_interval_join": QuerySpec(
         fn=interval_join,
