@@ -119,6 +119,8 @@ _CHECK_FIRST = [
     "tsv_docno_roundtrip",
     "jsonl_documents_roundtrip",
     "streaming_incremental_index",
+    "events_value_percentiles",
+    "events_type_pivot",
 ]
 
 

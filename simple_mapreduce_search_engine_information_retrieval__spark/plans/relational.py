@@ -587,6 +587,51 @@ HAVING count(*) >= 2
 """
 
 
+# Exact percentiles: Spark `percentile` and DuckDB `quantile_cont` use the
+# same linear interpolation — verified value-identical at 4 decimals. (The
+# approx_percentile/HLL family is deliberately NOT oracled: approximate
+# answers differ by construction; the portable-sketch queries cover that
+# ground with exactly-reproducible md5-salted formulations.)
+_PCTL_BODY = """
+SELECT event_type,
+       round({P}(value, 0.5), 4)  AS p50,
+       round({P}(value, 0.9), 4)  AS p90,
+       round({P}(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_percentiles(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    register_views(spark, sf_dir)
+    return spark.sql(_PCTL_BODY.format(P="percentile"))
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """groupBy().pivot() — the DataFrame-API-only reshape (no SQL
+    equivalent in Spark without hand-written CASE columns). Explicit pivot
+    values keep the plan single-pass (no distinct-scan to discover
+    columns) and the output schema stable for the driver."""
+    from ..sources.tables import table
+
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+# FILTER'd count(*) stays BIGINT in DuckDB (sum(CASE...) would widen to
+# HUGEINT and fail the type-sensitive value hash)
+_DUCK_PIVOT = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 def _user_zscores(spark: SparkSession, sf_dir: str) -> "DataFrame":
     from ..operators.grouped import user_value_zscores
     from ..sources.tables import table
@@ -656,6 +701,16 @@ QUERIES: dict[str, QuerySpec] = {
     "like_name_filter": shared_sql(LIKE_NAME_FILTER, "LIKE pushdown"),
     "events_asof_last_purchase": _events_pair(EVENTS_ASOF_LAST_PURCHASE),
     "range_join_value_bands": shared_sql(RANGE_JOIN_VALUE_BANDS, "band/range join"),
+    "events_value_percentiles": QuerySpec(
+        fn=_events_percentiles,
+        oracle=_PCTL_BODY.format(P="quantile_cont"),
+        note="exact interpolated percentiles (percentile vs quantile_cont)",
+    ),
+    "events_type_pivot": QuerySpec(
+        fn=_events_pivot,
+        oracle=_DUCK_PIVOT,
+        note="DataFrame pivot() reshape vs FILTER'd-count oracle",
+    ),
     "events_hourly": _events_pair(EVENTS_HOURLY),
     "events_json_props": _events_pair(EVENTS_JSON_PROPS),
     "events_user_activity": _events_pair(EVENTS_USER_ACTIVITY),
