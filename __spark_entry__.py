@@ -121,6 +121,7 @@ _CHECK_FIRST = [
     "streaming_incremental_index",
     "events_value_percentiles",
     "events_type_pivot",
+    "partitioned_lang_source",
 ]
 
 

@@ -114,6 +114,38 @@ DUCK_JSONL_DOCS = (
 )
 
 
+def partitioned_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-PRUNED source: documents
+    written `partitionBy(lang)`, then one language read back with a
+    filter that must prune at the directory level (PartitionFilters in
+    the scan, asserted in tests/test_plans_physical.py) — the layout that
+    turns a 100 TB corpus scan into a read of one language's files."""
+    path = _out_path("docs_by_lang", sf_dir)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+DUCK_PARTITIONED_LANG = (
+    "SELECT source, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tsv_docno_roundtrip": QuerySpec(
         fn=tsv_docno_roundtrip,
@@ -125,5 +157,11 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_JSONL_DOCS,
         note="JSONL sink + schema-first source round-trip, text-length "
         "integrity vs parquet-side oracle",
+    ),
+    "partitioned_lang_source": QuerySpec(
+        fn=partitioned_lang_source,
+        oracle=DUCK_PARTITIONED_LANG,
+        note="partitionBy(lang) sink + partition-pruned scan vs "
+        "parquet-side oracle",
     ),
 }

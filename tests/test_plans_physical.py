@@ -72,3 +72,18 @@ def test_indexed_search_pushes_term_filter(spark, sf_dir, tmp_path):
     want = [(r.docno, r.score, r.rank) for r in search(spark, sf_dir, "spark join").collect()]
     got = [(r.docno, r.score, r.rank) for r in rows]
     assert got == want
+
+
+def test_partitioned_lang_scan_prunes_directories(spark, sf_dir):
+    """The partitionBy(lang) layout must prune at the DIRECTORY level:
+    the lang filter appears as a PartitionFilter on the scan (never a
+    row-level filter), so a one-language query of a 100 TB corpus reads
+    one language's files."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.sinks_sources import (
+        partitioned_lang_source,
+    )
+
+    df = partitioned_lang_source(spark, sf_dir)
+    plan = _physical(df)
+    m = re.search(r"PartitionFilters: \[.{0,300}", plan)
+    assert m and "lang" in m.group(0), plan[:2000]

@@ -44,3 +44,35 @@ def test_trec_multiline_and_missing_docno(spark):
         assert set(rows) == {"A1", "B2"}
         assert rows["A1"] == "line one\nline two"
         assert rows["B2"] == "body"
+
+
+def test_jsonl_source_quarantines_corrupt_records(spark, tmp_path):
+    """PERMISSIVE mode: malformed JSONL lines land in _corrupt_record
+    instead of failing the 100 TB job; clean rows parse normally."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "{broken json!!\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # corrupt-record column requires a materialized referent
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    df.unpersist()
