@@ -277,6 +277,35 @@ WHERE round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) >= {JACCARD_
 """
 
 
+def _duck_near_dup_groups() -> str:
+    """Connected components as a recursive SQL fixpoint: seed every edge
+    endpoint with its own id, propagate labels one hop per recursion
+    round (the UNION dedups against all rows produced so far, so the
+    recursion terminates once no new (node, label) pair appears), then
+    take min(label) per node. Produces exactly the min-label-propagation
+    result: every reachable id becomes a label, so the minimum is the
+    component's smallest doc_id. Oracle-only formulation — the reach set
+    is O(sum of component sizes squared), fine for the verified-pair
+    residue at oracle SF, wrong for the 100 TB path (which is the
+    iterative DataFrame loop / union-find in ``near_dup_groups``)."""
+    return f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_duck_near_dups()})),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS group_id
+FROM reach GROUP BY node
+"""
+
+
 N_SIMHASH_BITS = 32
 
 
@@ -502,9 +531,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_near_dup_groups": QuerySpec(
         fn=lambda s, d: near_dup_groups(s, d),
-        oracle=None,
-        note="iterative min-label propagation (connected components) — "
-        "not SQL-expressible; union-find cross-check in "
+        oracle=_duck_near_dup_groups(),
+        note="iterative min-label propagation (connected components); "
+        "oracled via WITH RECURSIVE min-label reachability — the "
+        "fixpoint a SQL engine CAN express that the dataflow loop "
+        "computes iteratively; union-find cross-check in "
         "tests/test_dedup_groups.py",
     ),
     "dedup_exact_groups": QuerySpec(fn=exact_dup_groups, oracle=DUCK_EXACT_DUP_GROUPS),
