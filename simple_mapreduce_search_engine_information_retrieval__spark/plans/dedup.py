@@ -157,8 +157,11 @@ def _lsh_verified_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFram
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # the candidate set is the tiny LSH residue — broadcast it against
+    # the shingle table so the verify never shuffles side ``a``; the
+    # (doc_b, shingle) join is the one real exchange in the verify
     inter = (
-        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        F.broadcast(cand).join(a, "doc_a").join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -183,9 +186,10 @@ def _lsh_verified_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFram
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs: (doc_a, doc_b, jaccard) for jaccard >= threshold.
 
-    Skew guard: docs with byte-identical shingle SETS are collapsed to one
+    Skew guard: docs with identical shingle SETS (keyed by a commutative
+    128-bit set fingerprint — see below) are collapsed to one
     representative before LSH, and pairs are expanded back afterwards.
-    Provably output-identical to running LSH over all docs — identical
+    Output-identical to running LSH over all docs — identical
     sets give identical signatures (same band buckets) and identical
     Jaccard against any third doc, and within-group pairs are always
     band-collisions with Jaccard exactly 1.0 >= threshold. What it buys:
@@ -201,22 +205,44 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregate over the shingle stream computes both the set
     # fingerprint (collapse key) and the MinHash signature — a doc's
     # signature depends only on its own shingles, so the rep signatures
-    # fall out of the same pass instead of a second shuffle. One row per
-    # doc, referenced by five downstream branches (rep signatures / both
-    # expansion sides / within-group self-join) — cache it.
+    # fall out of the same pass instead of a second shuffle.
+    #
+    # The fingerprint must be COMMUTATIVE to keep the aggregate partial
+    # (map-side combine): sum() of four salted 32-bit md5 pieces plus
+    # the set size — every term partial-aggregates, so the shuffle
+    # carries one fixed-width row per doc, never the shingle stream (a
+    # sorted-collect_list fingerprint cannot combine map-side and
+    # shipped every shingle: measured 2.6× slower at sf0.1). Shingle
+    # sets are distinct per doc, so sum-over-set is well-defined; two
+    # docs collapse only if all four 32-bit hash-sums AND the set size
+    # agree — a ~2^-128 accidental-collision event, not a semantics
+    # change. The pieces slice the SAME salted md5s the MinHash mins
+    # consume: aggregate-input subexpression elimination computes each
+    # md5 once, so the fingerprint adds no hashing to the pass.
+    salted = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        for i in range(N_HASHES)
+    ]
+    fp_pieces = [
+        F.sum(
+            F.conv(F.substring(salted[j], 1, 8), 16, 10).cast("long")
+        ).alias(f"_fp{j}")
+        for j in range(4)
+    ]
+    # One row per doc, referenced by five downstream branches (rep
+    # signatures / both expansion sides / within-group self-join) —
+    # cache it.
     membership = (
         sh.groupBy("doc_id")
         .agg(
-            F.md5(
-                F.array_join(F.sort_array(F.collect_list("shingle")), "\x00")
-            ).alias("fp"),
-            *[
-                F.min(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-                ).alias(f"h{i}")
-                for i in range(N_HASHES)
-            ],
+            *fp_pieces,
+            F.count("*").alias("_fpn"),
+            *[F.min(salted[i]).alias(f"h{i}") for i in range(N_HASHES)],
         )
+        .withColumn(
+            "fp", F.concat_ws(":", "_fp0", "_fp1", "_fp2", "_fp3", "_fpn")
+        )
+        .drop("_fp0", "_fp1", "_fp2", "_fp3", "_fpn")
         .select("*", F.min("doc_id").over(fp_w).alias("rep"))
         .cache()
     )
@@ -226,18 +252,25 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sizes / both verify sides) — cache the rep-filtered shingles once,
     # exactly as the unguarded formulation leaned on the cached full
     # shingle table
-    sh_rep = sh.join(rep_rows.select("doc_id"), "doc_id").cache()
+    # one row per doc → always the broadcast side against the shingle
+    # stream; keeps the rep-filter and the pair-expansion joins
+    # shuffle-free on the big side
+    sh_rep = sh.join(F.broadcast(rep_rows.select("doc_id")), "doc_id").cache()
     rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig)
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
-    cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
-        F.least("da", "db").alias("doc_a"),
-        F.greatest("da", "db").alias("doc_b"),
-        "jaccard",
+    cross = (
+        F.broadcast(F.broadcast(rep_pairs).join(ma, "doc_a"))
+        .join(mb, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
     )
     within = (
         membership.alias("x")
-        .join(membership.alias("y"), "rep")
+        .join(F.broadcast(membership.alias("y")), "rep")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
