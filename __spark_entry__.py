@@ -122,6 +122,8 @@ _CHECK_FIRST = [
     "events_value_percentiles",
     "events_type_pivot",
     "partitioned_lang_source",
+    "multimodal_frame_sample",
+    "text_bpe_vocab",
 ]
 
 

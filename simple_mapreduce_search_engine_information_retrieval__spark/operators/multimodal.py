@@ -149,6 +149,73 @@ def resize_stub(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, schema)
 
 
+_MAGIC_VIDEO = b"FAKV"
+
+
+def encode_fake_video(
+    media_id: int, width: int, height: int, n_frames: int
+) -> bytes:
+    """Deterministic fake video codec: FAKV | w | h | n | frame bytes,
+    where frame ``f`` pixel ``i`` = (media_id + 7*f + i) % 251 — every
+    engine can recompute per-frame stats from the ids alone."""
+    frames = b"".join(
+        bytes(((media_id + 7 * f + i) % 251) for i in range(width * height))
+        for f in range(n_frames)
+    )
+    return _MAGIC_VIDEO + struct.pack("<III", width, height, n_frames) + frames
+
+
+def _decode_video(payload: bytes) -> tuple[int, int, int, bytes]:
+    if payload[:4] == _MAGIC_VIDEO:
+        w, h, n = struct.unpack("<III", payload[4:16])
+        return w, h, n, payload[16 : 16 + w * h * n]
+    raise NotImplementedError(
+        "real video decoding (mp4/webm) requires ffmpeg/pyav — "
+        "not available in this container; plug the codec in here"
+    )
+
+
+FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """mapInPandas kernel: decode video payload → keep every k-th frame →
+    per-frame features. The frame-sampling stage of a video training
+    pipeline: payload bytes never leave the kernel (only small typed
+    rows shuffle), and sampling happens at decode so dropped frames are
+    never materialized."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n, frames = _decode_video(bytes(payload))
+                fsz = w * h
+                for f in range(0, n, every_k):
+                    body = frames[f * fsz : (f + 1) * fsz]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_no": f,
+                            "mean_px": round(sum(body) / len(body), 6),
+                            "max_px": max(body),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, FRAME_FEATURES_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only scan: must never touch payload bytes (column
     pruning) — the 100 TB 'count by format' query."""

@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
     encode_fake_image,
+    encode_fake_video,
     extract_features,
     media_stats,
+    sample_frames,
 )
 from ..sources.tables import table
 from . import QuerySpec
@@ -95,6 +97,61 @@ FROM documents
 """
 
 
+# video geometry from the id so every engine can recompute it
+_NF = "(2 + doc_id % 4)"
+
+
+def video_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fake video per fixture doc (same w/h family as the images,
+    2-5 frames)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, n = 8 + d % 5, 6 + d % 3, 2 + d % 4
+                rows.append(
+                    {
+                        "media_id": d,
+                        "kind": "video",
+                        "format": "fake",
+                        "payload": encode_fake_video(d, w, h, n),
+                        "width": w,
+                        "height": h,
+                        "n_frames": n,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(video_from_docs(spark, sf_dir), every_k=2)
+
+
+# frame f pixel i = (media_id + 7*f + i) % 251, frames 0, 2, 4, ...
+DUCK_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH m AS (SELECT doc_id AS media_id, {_W} AS w, {_H} AS h, {_NF} AS n
+           FROM documents),
+f AS (SELECT media_id, w, h, unnest(range(0, n, 2)) AS frame_no FROM m)
+SELECT media_id,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       round(list_aggregate(
+           list_transform(range(0, w * h),
+                          i -> CAST((media_id + 7 * frame_no + i) % 251 AS DOUBLE)),
+           'avg'), 6) AS mean_px,
+       CAST(list_aggregate(
+           list_transform(range(0, w * h),
+                          i -> (media_id + 7 * frame_no + i) % 251),
+           'max') AS BIGINT) AS max_px
+FROM f
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         fn=multimodal_features,
@@ -108,5 +165,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_MULTIMODAL_STATS,
         note="metadata-only media aggregate — payload column must be "
         "pruned from the scan (asserted in tests/test_multimodal.py)",
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        fn=multimodal_frame_sample,
+        oracle=DUCK_MULTIMODAL_FRAME_SAMPLE,
+        note="video frame-sampling kernel (decode → every-2nd-frame → "
+        "per-frame features); oracle recomputes sampled-frame stats "
+        "from id arithmetic",
     ),
 }

@@ -165,10 +165,55 @@ GROUP BY 1
 """
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead (RE2 has none), explicit ASCII classes instead of \p{L}.
+# Pieces: contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs.
+BPE_PATTERN = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization vocabulary over the corpus:
+    (piece, n_occ, n_docs). The piece inventory a tokenizer-training
+    pipeline feeds into BPE merge learning — pieces keep their leading
+    space (the GPT-2 convention), counting is a plain two-level
+    aggregate, output is vocabulary-sized."""
+    docs = table(spark, sf_dir, "documents")
+    pieces = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0)
+            )
+        ).alias("piece"),
+    )
+    return pieces.groupBy("piece").agg(
+        F.count("*").alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+_BPE_SQL_LIT = BPE_PATTERN.replace("'", "''")
+DUCK_BPE_VOCAB = f"""
+SELECT piece, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{_BPE_SQL_LIT}')) AS piece
+      FROM documents)
+GROUP BY piece
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_counts": QuerySpec(fn=token_counts, oracle=DUCK_TOKEN_COUNTS),
     "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
     "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
     "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
     "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
+    "text_bpe_vocab": QuerySpec(
+        fn=bpe_vocab,
+        oracle=DUCK_BPE_VOCAB,
+        note="GPT-2-style pre-tokenizer piece vocabulary (regex "
+        "restricted to the Java-regex/RE2 common subset)",
+    ),
 }

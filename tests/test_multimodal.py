@@ -46,3 +46,38 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     physical = stats._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in physical
     assert stats.agg(F.sum("n")).collect()[0][0] == 16
+
+
+def test_frame_sample_every_k_and_values(spark):
+    rows = [
+        (
+            i,
+            "video",
+            "fake",
+            mm.encode_fake_video(i, 4, 3, 5),
+            4,
+            3,
+            5,
+        )
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(3)
+    sampled = mm.sample_frames(media, every_k=2)
+    got = {(r.media_id, r.frame_no): r for r in sampled.collect()}
+    # 5 frames sampled every 2nd -> frames 0, 2, 4 per video
+    assert sorted({k[1] for k in got}) == [0, 2, 4]
+    assert len(got) == 18
+    # media 1, frame 2: pixel i = (1 + 7*2 + i) % 251 for i in range(12)
+    r = got[(1, 2)]
+    vals = [(1 + 14 + i) % 251 for i in range(12)]
+    assert r.max_px == max(vals)
+    assert r.mean_px == round(sum(vals) / len(vals), 6)
+
+
+def test_frame_sample_real_format_raises(spark):
+    df = spark.createDataFrame(
+        [(7, "video", "mp4", b"\x00\x00\x00\x18ftypmp42realvideo", 2, 2, 9)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real video decoding"):
+        mm.sample_frames(df).collect()
