@@ -60,6 +60,30 @@ def user_value_zscores(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_zscores_window(events: DataFrame) -> DataFrame:
+    """Window-function formulation of the same operator — the default
+    plan: one shuffle on user_id like the grouped-map form, but the
+    whole computation stays JVM-side inside whole-stage codegen (no
+    Arrow transfer, no Python workers), and a skewed user is a streamed
+    window partition rather than one giant pandas frame in memory."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        events.select("user_id", "event_id", "value")
+        .withColumn("m", F.avg("value").over(w))
+        .withColumn("s", F.stddev_pop("value").over(w))
+        .withColumn("c", F.count("*").over(w))
+        .where((F.col("c") >= 2) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round((F.col("value") - F.col("m")) / F.col("s"), 6).alias("z"),
+        )
+    )
+
+
 DUCK_USER_ZSCORES = """
 SELECT user_id, event_id, round((value - m) / s, 6) AS z
 FROM (

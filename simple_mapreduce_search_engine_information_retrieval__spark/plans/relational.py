@@ -384,6 +384,12 @@ FROM (
 GROUP BY c_count
 """
 
+# Q15 argmax via a window over the aggregated revenue relation instead of
+# the textbook scalar subquery: Spark inlines CTEs, so `(SELECT
+# max(total_revenue) FROM revenue)` would scan + re-aggregate lineitem a
+# second time. max() OVER () runs on the already-aggregated per-supplier
+# rows (|suppliers|, tiny) — lineitem is scanned exactly once. Same rows
+# in both engines.
 Q15_TOP_SUPPLIER = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
@@ -392,11 +398,16 @@ WITH revenue AS (
   WHERE l_shipdate >= DATE '1996-01-01'
     AND l_shipdate <  DATE '1996-04-01'
   GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT supplier_no, total_revenue,
+         max(total_revenue) OVER () AS max_revenue
+  FROM revenue
 )
 SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
 FROM supplier s
-JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+JOIN ranked r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = r.max_revenue
 ORDER BY s_suppkey
 """
 
@@ -633,6 +644,16 @@ _DUCK_PIVOT = "SELECT user_id, " + ", ".join(
 
 
 def _user_zscores(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Default plan: the JVM-side window formulation."""
+    from ..operators.grouped import user_value_zscores_window
+    from ..sources.tables import table
+
+    return user_value_zscores_window(table(spark, sf_dir, "events"))
+
+
+def _user_zscores_grouped(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """The applyInPandas grouped-map twin — kept as the §2.10 grouped-map
+    API exerciser (for kernels NOT expressible in SQL); same oracle."""
     from ..operators.grouped import user_value_zscores
     from ..sources.tables import table
 
@@ -649,7 +670,12 @@ QUERIES: dict[str, QuerySpec] = {
     "events_user_zscores": QuerySpec(
         fn=_user_zscores,
         oracle=_duck_user_zscores(),
-        note="applyInPandas grouped-map kernel vs SQL window oracle",
+        note="window-function z-scores (default plan) vs SQL window oracle",
+    ),
+    "events_user_zscores_grouped": QuerySpec(
+        fn=_user_zscores_grouped,
+        oracle=_duck_user_zscores(),
+        note="applyInPandas grouped-map twin (§2.10 API exerciser)",
     ),
     "tpch_q1_pricing_summary": shared_sql(Q1_PRICING_SUMMARY, "A-class agg parity"),
     "tpch_q3_shipping_priority": shared_sql(Q3_SHIPPING_PRIORITY, "3-way join + top-k"),

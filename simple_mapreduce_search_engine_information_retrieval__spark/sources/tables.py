@@ -24,9 +24,11 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any caller-provided SparkSession (e.g. the grading driver's,
     which won't have our session.py defaults) able to run every plan:
-    - events.parquet carries TIMESTAMP(NANOS) → read as epoch-nanos long
-      (all time queries do exact integer arithmetic on it);
-    - UTC session timezone so timestamp renderings match the oracle."""
+    - older fixture generations carried events.ts as TIMESTAMP(NANOS) →
+      read as epoch-nanos long (all time queries do exact integer
+      arithmetic on it);
+    - UTC session timezone so timestamp renderings match the oracle (and
+      so naive-timestamp → epoch conversions are timezone-independent)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -34,9 +36,30 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+def ts_as_nanos(df: DataFrame) -> DataFrame:
+    """Normalize an events DataFrame so ``ts`` is epoch-nanos BIGINT, the
+    canonical form every time plan does exact integer arithmetic on.
+
+    The driver's fixture has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (read as long via nanosAsLong) and timestamp[us] (read as
+    TIMESTAMP_NTZ); accept either. The NTZ value is interpreted as UTC —
+    matching DuckDB, whose naive-TIMESTAMP ``epoch_ns(ts)`` the oracles
+    use — via the UTC session timezone set in ensure_session_confs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    field = df.schema["ts"] if "ts" in df.columns else None
+    if field is None or isinstance(field.dataType, LongType):
+        return df
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ts_as_nanos(df) if name == "events" else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

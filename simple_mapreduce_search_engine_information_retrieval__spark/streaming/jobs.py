@@ -30,27 +30,40 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),  # physical fixture type; see below
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 SESSION_GAP = "30 minutes"
 NS_PER_HOUR = 3_600_000_000_000
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over the events fixture, normalized so ``ts``
+    is epoch-nanos long (the canonical form, see sources/tables.py) no
+    matter whether the fixture generation wrote TIMESTAMP(NANOS) or
+    timestamp[us]. The stream schema must match the file's physical type,
+    so probe it once with a driver-side batch schema read (metadata only,
+    no scan)."""
+    from ..sources.tables import ensure_session_confs, ts_as_nanos
+
+    ensure_session_confs(spark)
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    stream = (
+        spark.readStream.schema(_events_schema(physical))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return ts_as_nanos(stream)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
