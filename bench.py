@@ -92,6 +92,33 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench search_indexed failed: {exc!r}", file=sys.stderr)
         timings["search_indexed_warm"] = -1.0
+    # phrase serving: same decoupling for the word-2-gram index — a phrase
+    # is ONE term in the k=2 store, so serving is the identical pushed-down
+    # `term IN` lookup (build untimed, warm-up, time the lookup).
+    try:
+        import shutil
+        import tempfile
+
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+            build_index,
+            search_indexed,
+        )
+
+        idx_dir = tempfile.mkdtemp(prefix="smse_bench_index2_")
+        build_index(spark, sf_dir, idx_dir, k=2, name="smse_bench_index2")
+        grams = ["spark join"]
+        search_indexed(spark, grams, name="smse_bench_index2").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        search_indexed(spark, grams, name="smse_bench_index2").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["search_phrase_indexed_warm"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench search_phrase_indexed failed: {exc!r}", file=sys.stderr)
+        timings["search_phrase_indexed_warm"] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 

@@ -1,0 +1,55 @@
+"""Registry + eviction for session-lifetime memo caches.
+
+Several plans memoize expensive intermediates (warm postings, shingle
+sets, verified near-dup pairs) keyed by ``(applicationId, sf_dir, ...)``.
+In the test/driver harness the session is short-lived and the memos are
+harmless; in a long-lived driver serving many scale factors they would
+grow without bound and pin cached DataFrames in executor memory. Modules
+register their memo dicts here; ``evict(sf_dir)`` unpersists and drops
+every entry for that corpus, ``clear()`` drops everything.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_REGISTRY: list[dict] = []
+
+
+def register_cache(memo: dict) -> dict:
+    """Register a memo dict (keys are tuples whose second element is
+    sf_dir) and return it, so modules can write
+    ``_warm = register_cache({})``."""
+    _REGISTRY.append(memo)
+    return memo
+
+
+def _unpersist(value: Any) -> None:
+    from pyspark.sql import DataFrame
+
+    if isinstance(value, DataFrame):
+        try:
+            value.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    elif isinstance(value, (tuple, list)):
+        for item in value:
+            _unpersist(item)
+
+
+def evict(sf_dir: str | None = None) -> int:
+    """Unpersist + drop every registered memo entry for ``sf_dir`` (all
+    entries when None). Returns the number of entries dropped."""
+    dropped = 0
+    for memo in _REGISTRY:
+        for key in list(memo):
+            if sf_dir is None or (
+                isinstance(key, tuple) and len(key) > 1 and key[1] == sf_dir
+            ):
+                _unpersist(memo.pop(key))
+                dropped += 1
+    return dropped
+
+
+def clear() -> int:
+    return evict(None)

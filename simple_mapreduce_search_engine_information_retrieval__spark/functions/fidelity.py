@@ -39,7 +39,10 @@ _TAG_NOISE = re.compile(
 )
 # reference split chars EXCLUDING '.' and "'" (TagTokenizer.java:73-95)
 _SPLIT = re.compile(r"[\x00-\x20;\"&/:!#?$%()@^*+,=><\[\]{}|`~_-]+")
-_ALL_PERIODS_ODD = re.compile(r"^(?:[^.]\.)+[^.]?$")
+# TagTokenizer.java:495-501 checks only that every ODD index is '.' —
+# even indices are unchecked, so 'a...b' IS an acronym ('ab'). Post-strip
+# the token ends on a non-period, so the shape is (any-char '.')+ any-char.
+_ALL_PERIODS_ODD = re.compile(r"^(?:.\.)+.$")
 
 MAX_TOKEN_BYTES = 100
 

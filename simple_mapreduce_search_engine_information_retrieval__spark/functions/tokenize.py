@@ -44,8 +44,26 @@ TAG_NOISE_RE = (
 
 # Reference split chars (TagTokenizer.java:73-95): control chars <= 0x20,
 # ; " & / : ! # ? $ % ( ) @ ^ * + - , = > < [ ] { } | ` ~ _
-# plus '.' (expression-tokenizer simplification, see module docstring).
+# plus '.' (expression-tokenizer simplification, see module docstring —
+# pass acronyms=True for the reference's per-token period rules instead).
 SPLIT_RE = r"[\x00-\x20;\"&/:!#?$%()@^*+,.=><\[\]{}|`~_-]+"
+
+# The same split set WITHOUT '.': the acronym-rule path keeps periods
+# inside tokens and applies TagTokenizer.java:479-527 per token.
+SPLIT_RE_KEEP_DOT = r"[\x00-\x20;\"&/:!#?$%()@^*+,=><\[\]{}|`~_-]+"
+
+# TagTokenizer.java:495-501: a token (after leading/trailing periods are
+# stripped) is an acronym when every ODD index holds '.' — even indices
+# are UNCHECKED, so 'a...b' IS an acronym. Post-strip the token ends on a
+# non-period, so the shape is (any-char '.')+ any-char.
+ACRONYM_RE = r"^(.\.)+.$"
+_STRIP_DOTS_RE = r"^\.+|\.+$"
+
+# ASCII-only lowercase table (TagTokenizer.java:536-559 lowercases only
+# A-Z; compat_ascii_lower reproduces that byte-for-byte on non-ASCII
+# corpora; the default lowercases everything — documented divergence).
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 MAX_TOKEN_BYTES = 100
 
@@ -54,9 +72,46 @@ def _clean_text(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, TAG_NOISE_RE, " "), "'", "")
 
 
-def tokens_col(text: Column, *, stopworded: bool = True) -> Column:
-    """array<string> of tokens in document order (Spark rendering)."""
-    raw = F.split(_clean_text(F.lower(text)), SPLIT_RE)
+def _lower(col: Column, ascii_only: bool) -> Column:
+    if ascii_only:
+        return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+    return F.lower(col)
+
+
+def _acronym_pieces(t: Column) -> Column:
+    """TagTokenizer.java:479-527 for one pre-stripped token: no periods →
+    token unchanged (length-1 survives); acronym → periods deleted; else
+    split on '.' keeping pieces of length >= 2 ('ph.d' → ['ph'], the
+    reference code's behavior — its javadoc claims 'd' survives, the
+    e - s > 1 guard at :509-515 drops it)."""
+    return (
+        F.when(~t.contains("."), F.array(t))
+        .when(t.rlike(ACRONYM_RE), F.array(F.translate(t, ".", "")))
+        .otherwise(F.filter(F.split(t, r"\."), lambda p: F.length(p) >= 2))
+    )
+
+
+def tokens_col(
+    text: Column,
+    *,
+    stopworded: bool = True,
+    acronyms: bool = False,
+    compat_ascii_lower: bool = False,
+) -> Column:
+    """array<string> of tokens in document order (Spark rendering).
+
+    acronyms=True applies the reference's per-token period rules
+    (TagTokenizer.java:479-527) instead of treating '.' as a split char —
+    'i.b.m' indexes as 'ibm', 'umass.edu' as 'umass','edu'."""
+    cleaned = _clean_text(_lower(text, compat_ascii_lower))
+    if acronyms:
+        raw = F.split(cleaned, SPLIT_RE_KEEP_DOT)
+        stripped = F.transform(
+            raw, lambda t: F.regexp_replace(t, _STRIP_DOTS_RE, "")
+        )
+        raw = F.flatten(F.transform(stripped, _acronym_pieces))
+    else:
+        raw = F.split(cleaned, SPLIT_RE)
     keep = lambda t: (t != F.lit("")) & (F.octet_length(t) < MAX_TOKEN_BYTES)  # noqa: E731
     if stopworded:
         base = keep
@@ -64,17 +119,42 @@ def tokens_col(text: Column, *, stopworded: bool = True) -> Column:
     return F.filter(raw, keep)
 
 
-def duck_tokens_list(text_sql: str, *, stopworded: bool = True) -> str:
+def duck_tokens_list(
+    text_sql: str,
+    *,
+    stopworded: bool = True,
+    acronyms: bool = False,
+    compat_ascii_lower: bool = False,
+) -> str:
     """DuckDB SQL rendering of ``tokens_col`` (returns a LIST expression).
 
     Single-quote escaping: the regexes contain a double quote but no
     single quotes; apostrophe removal uses chr(39).
     """
+    lowered = (
+        f"translate({text_sql}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+        if compat_ascii_lower
+        else f"lower({text_sql})"
+    )
     cleaned = (
-        f"replace(regexp_replace(lower({text_sql}), "
+        f"replace(regexp_replace({lowered}, "
         f"'{TAG_NOISE_RE}', ' ', 'g'), chr(39), '')"
     )
-    lst = f"string_split_regex({cleaned}, '{SPLIT_RE}')"
+    if acronyms:
+        raw = f"string_split_regex({cleaned}, '{SPLIT_RE_KEEP_DOT}')"
+        stripped = (
+            f"list_transform({raw}, "
+            f"t -> regexp_replace(t, '{_STRIP_DOTS_RE}', '', 'g'))"
+        )
+        lst = (
+            f"flatten(list_transform({stripped}, t -> "
+            "CASE WHEN NOT contains(t, '.') THEN [t] "
+            f"WHEN regexp_matches(t, '{ACRONYM_RE}') THEN [replace(t, '.', '')] "
+            "ELSE list_filter(string_split(t, '.'), p -> length(p) >= 2) "
+            "END))"
+        )
+    else:
+        lst = f"string_split_regex({cleaned}, '{SPLIT_RE}')"
     # DuckDB strlen() == byte length of VARCHAR (its octet_length is
     # BLOB-only); matches Spark octet_length.
     cond = f"t <> '' AND strlen(t) < {MAX_TOKEN_BYTES}"

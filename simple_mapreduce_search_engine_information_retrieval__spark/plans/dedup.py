@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..sources.tables import table
 from ..functions.tokenize import duck_tokens_list, tokens_col
 from . import QuerySpec
@@ -71,7 +72,7 @@ _DUCK_SHINGLES = (
 # shingle sets are the expensive intermediate (tokenize + 3-gram explode
 # + distinct): cache per (session, sf_dir) so signatures / candidate
 # verification / size lookups share one computation
-_shingle_cache: dict = {}
+_shingle_cache: dict = register_cache({})
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +128,7 @@ def _duck_bands() -> str:
 
 # verified near-dup pairs are consumed by several downstream operators
 # (grouping, reporting) — cache the small result per (session, sf_dir)
-_pairs_cache: dict = {}
+_pairs_cache: dict = register_cache({})
 
 
 def _signatures_of(sh: DataFrame) -> DataFrame:

@@ -86,6 +86,30 @@ def postings_flat(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
     )
 
 
+def postings_flat_acronym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """postings_flat with the reference's acronym/period rules (F4,
+    TagTokenizer.java:479-527) on the expression-tokenizer hot path:
+    'i.b.m' indexes as 'ibm', 'umass.edu' as 'umass','edu' — still pure
+    built-in expressions, one WholeStageCodegen span, no Python."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").alias("docno"),
+            tokens_col(F.col("text"), acronyms=True).alias("toks"),
+        )
+        .select("docno", F.explode("toks").alias("term"))
+        .groupBy("term", "docno")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+DUCK_POSTINGS_ACRONYM = (
+    "SELECT term, docno, count(*) AS tf FROM (SELECT doc_id AS docno, "
+    f"unnest({duck_tokens_list('text', acronyms=True)}) AS term "
+    "FROM documents) GROUP BY term, docno"
+)
+
+
 def duck_postings_flat(k: int = 1) -> str:
     return (
         f"SELECT term, docno, count(*) AS tf FROM ({duck_doc_terms(k)}) "
@@ -377,6 +401,14 @@ QUERIES: dict[str, QuerySpec] = {
         fn=lambda s, d: term_stats(s, d, 1),
         oracle=duck_term_stats(1),
         note="A8 df computed correctly (reference df bug documented)",
+    ),
+    "inv_postings_k1_acronym": QuerySpec(
+        fn=lambda s, d: postings_flat_acronym(s, d),
+        oracle=DUCK_POSTINGS_ACRONYM,
+        note="F4 acronym/period rules on the expression-tokenizer hot "
+        "path (TagTokenizer.java:479-527): i.b.m→ibm, umass.edu→umass,edu; "
+        "equivalence with the fidelity UDF asserted corpus-wide in "
+        "tests/test_tokenizer_fidelity.py",
     ),
     "chargram_k2": QuerySpec(
         fn=lambda s, d: chargram_flat(s, d, 2),

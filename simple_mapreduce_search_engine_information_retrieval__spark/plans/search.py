@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..functions.stopwords import STOPWORD_SET
 from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES, duck_tokens_list
 from ..sources.tables import table
@@ -53,7 +54,7 @@ def tokenize_query(text: str) -> list[str]:
 # cache() keeps the flat postings hot across the query workload (the
 # in-memory analogue of the materialized bucketed index in
 # plans/index_store.py — which is the on-disk path at 100 TB).
-_warm: dict = {}
+_warm: dict = register_cache({})
 
 
 def _warm_index(spark: SparkSession, sf_dir: str, k: int):
@@ -109,7 +110,7 @@ def search(
 # never re-tokenizes the corpus per query, and neither do we. The
 # pandas-UDF tokenize+stem runs once per (session, sf_dir); every query
 # after that is a broadcast lookup against the cached postings.
-_warm_fid: dict = {}
+_warm_fid: dict = register_cache({})
 
 
 def _warm_fidelity_index(spark: SparkSession, sf_dir: str):
@@ -492,6 +493,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search_phrase("spark join"),
         note="exact-phrase search over the word-2-gram index (the point "
         "of the reference's k>1 TermKGram indexes)",
+    ),
+    "search_phrase_warm": QuerySpec(
+        fn=lambda s, d: search_phrase(s, d, "customer orders"),
+        oracle=duck_search_phrase("customer orders"),
+        note="second phrase against the warm memoized k=2 index — the "
+        "serving-latency twin of search_phrase_2gram (the store-served "
+        "variant is benched as search_phrase_indexed_warm)",
     ),
     "wildcard_prefix": QuerySpec(
         fn=lambda s, d: wildcard_terms(s, d, "sp*", k=2),

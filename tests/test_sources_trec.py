@@ -46,6 +46,27 @@ def test_trec_multiline_and_missing_docno(spark):
         assert rows["B2"] == "body"
 
 
+def test_trec_gzip_multidoc(spark, sf_dir):
+    """S1's non-seekable path (XMLInputFormat.java:82-90 analogue):
+    a gzipped multi-doc TREC file must parse record-for-record
+    identically to its plain-text twin — Spark's text source treats the
+    .gz as one unsplittable stream, which is exactly the reference's
+    gzip fallback."""
+    import gzip
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        plain = write_trec_fixture(spark, sf_dir, f"{tmp}/corpus.trec")
+        gz = os.path.join(tmp, "corpus.trec.gz")
+        with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+            dst.write(src.read())
+        got = {r.doc_id: r.text for r in read_trec(spark, gz).collect()}
+        want = {r.doc_id: r.text for r in read_trec(spark, plain).collect()}
+        assert got == want
+        assert len(got) == table(spark, sf_dir, "documents").count()
+
+
 def test_jsonl_source_quarantines_corrupt_records(spark, tmp_path):
     """PERMISSIVE mode: malformed JSONL lines land in _corrupt_record
     instead of failing the 100 TB job; clean rows parse normally."""

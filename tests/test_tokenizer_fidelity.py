@@ -72,3 +72,106 @@ def test_udf_matches_local(spark):
     got = {r.doc_id: r.toks for r in df.select("doc_id", tokenize_udf(F.col("text")).alias("toks")).collect()}
     assert got["a"] == tokenize_text(rows[0][1])
     assert got["b"] == tokenize_text(rows[1][1])
+
+
+# --- expression-tokenizer acronym mode (F4 on the hot path) ------------
+
+
+def _expr_tokens(spark, text, **kw):
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        tokens_col,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(tokens_col(F.col("text"), **kw).alias("t")).head().t
+
+
+def test_expression_acronym_goldens(spark):
+    cases = {
+        "I.B.M.": ["ibm"],
+        "umass.edu": ["umass", "edu"],
+        "ph.d.": ["ph"],
+        "a...b": ["ab"],  # odd positions all '.', even unchecked (:495-501)
+        "...x...": ["x"],
+        "don't stop.": ["dont", "stop"],
+        "u.s.a. c.i.a": ["usa", "cia"],
+        "plain words": ["plain", "words"],
+    }
+    for text, want in cases.items():
+        got = _expr_tokens(spark, text, stopworded=False, acronyms=True)
+        assert got == want, (text, got, want)
+        # the fidelity UDF agrees on every golden
+        assert tokenize_text(text, stopword=False, do_stem=False) == want, text
+
+
+def test_duck_acronym_matches_spark(spark):
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        duck_tokens_list,
+    )
+
+    texts = ["I.B.M. runs umass.edu", "ph.d. a...b ...x...", "x.y.z w.w",
+             "no periods here", "dots... everywhere ..a.. b"]
+    sql = duck_tokens_list("t", stopworded=False, acronyms=True)
+    con = duckdb.connect()
+    for text in texts:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS t)", [text]
+        ).fetchone()[0]
+        want = _expr_tokens(spark, text, stopworded=False, acronyms=True)
+        assert got == want, (text, got, want)
+
+
+def test_expression_acronym_matches_fidelity_corpus_wide(spark):
+    """Corpus-wide equivalence: the expression acronym tokenizer produces
+    EXACTLY the fidelity UDF's pre-stem token stream on the fixture
+    corpus (VERDICT r2 item 2's done-criterion)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.fidelity import (
+        tokenize_nostem_udf,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        tokens_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mismatch = (
+        docs.select(
+            "doc_id",
+            tokens_col(F.col("text"), acronyms=True).alias("expr"),
+            tokenize_nostem_udf(F.col("text")).alias("udf"),
+        )
+        .where(F.col("expr") != F.col("udf"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_ascii_lower_compat(spark):
+    # TagTokenizer.java:536-559 lowercases ASCII A-Z only; the compat
+    # flag reproduces that, the default lowercases everything.
+    text = "Straße ÉCOLE Mixed"
+    assert _expr_tokens(spark, text, stopworded=False, compat_ascii_lower=True) == [
+        "straße", "École", "mixed",
+    ]
+    assert _expr_tokens(spark, text, stopworded=False) == [
+        "straße", "école", "mixed",
+    ]
+
+
+def test_duck_ascii_lower_matches_spark(spark):
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        duck_tokens_list,
+    )
+
+    text = "Straße ÉCOLE I.B.M. Mixed"
+    sql = duck_tokens_list("t", stopworded=False, acronyms=True,
+                           compat_ascii_lower=True)
+    got = duckdb.connect().execute(
+        f"SELECT {sql} FROM (SELECT ? AS t)", [text]
+    ).fetchone()[0]
+    want = _expr_tokens(spark, text, stopworded=False, acronyms=True,
+                        compat_ascii_lower=True)
+    assert got == want
