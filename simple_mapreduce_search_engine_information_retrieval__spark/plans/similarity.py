@@ -82,8 +82,9 @@ LIMIT {TOP_K}
 
 
 def _cell(e: Column) -> Column:
-    """IVF coarse cell: sign bits of the first 3 components (8 cells).
-    Deterministic, partition-prunable."""
+    """Sign-bit bucket (8 cells) — used only to BOUND the near-dup pair
+    join (embedding_near_dups); the ANN serving path uses the
+    data-dependent IVF codebook below."""
     bit = lambda i: F.when(F.element_at(e, i) > 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
     return (bit(1) * 4 + bit(2) * 2 + bit(3)).cast("long")
 
@@ -93,19 +94,78 @@ def _duck_cell(e: str) -> str:
     return f"CAST({bit(1)} * 4 + {bit(2)} * 2 + {bit(3)} AS BIGINT)"
 
 
+# --- IVF coarse quantizer -----------------------------------------------
+# Codebook = deterministic stride-sample of the corpus (the standard
+# random-sample initialization of an IVF codebook — data-dependent, unlike
+# fixed sign bits, so cells track the data distribution). Assignment =
+# argmax cosine over the broadcast codebook: one narrow scan, partial-agg
+# combine, N-row shuffle. Serving probes the query's NPROBE nearest cells
+# (multi-probe). Sizing at scale: K ~ sqrt(N) cells, NPROBE tunes the
+# recall/scan-fraction trade; defaults sized for the fixture corpora
+# (recall@10 = 1.0 vs brute force at ~20% scan, tests/test_ann_recall.py).
+K_TARGET = 16
+NPROBE = 4
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """(cent_id, cvec): every stride-th vector, stride = max(N/K, 1)."""
+    stride = emb.agg(
+        F.greatest(F.floor(F.count("*") / K_TARGET), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    return (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+
+
+def _ivf_pairs(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, sim): cosine of every vector against the
+    broadcast codebook — the standard N x K IVF assignment pass."""
+    return emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", _cos(F.col("embedding"), F.col("cvec")).alias("sim")
+    )
+
+
+def _ivf_cells(pairs: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmax-sim centroid, ties to the smallest cent_id
+    (max over struct(sim, -cent_id) — identical lexicographic struct
+    comparison in Spark and DuckDB, so assignments match the oracle)."""
+    return (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("nc"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
+    )
+
+
 def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: search only the query's coarse cell. May differ from brute
-    force (that is the approximation); deterministic given the data."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "cell", _cell(F.col("embedding"))
+    """ANN: multi-probe IVF — score only vectors assigned to the query's
+    NPROBE nearest cells. May differ from brute force (that is the
+    approximation); deterministic given the data."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    pairs = _ivf_pairs(emb, cents)
+    cells = _ivf_cells(pairs)
+    probes = (
+        pairs.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(NPROBE)
+        .select(F.col("cent_id").alias("cell"))
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec"), F.col("cell").alias("qcell")
+        F.col("embedding").alias("qvec")
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
         .crossJoin(F.broadcast(q))
-        .filter(F.col("cell") == F.col("qcell"))
         .select(
             "vec_id",
             "cell",
@@ -117,36 +177,72 @@ def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUCK_KNN_IVF = f"""
-WITH e AS (SELECT vec_id, embedding, {_duck_cell('embedding')} AS cell FROM embeddings),
-     q AS (SELECT embedding AS qvec, cell AS qcell FROM e WHERE vec_id = {QUERY_VEC_ID})
-SELECT e.vec_id, e.cell, round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
-FROM e CROSS JOIN q
-WHERE e.vec_id != {QUERY_VEC_ID} AND e.cell = q.qcell
+WITH n AS (SELECT greatest(count(*) // {K_TARGET}, 1) AS stride FROM embeddings),
+     cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+               FROM embeddings, n WHERE vec_id % n.stride = 0),
+     pairs AS (SELECT e.vec_id, c.cent_id,
+                      {_duck_cos('e.embedding', 'c.cvec')} AS sim
+               FROM embeddings e CROSS JOIN cents c),
+     cells AS (SELECT vec_id,
+                      CAST(-(max({{'s': sim, 'nc': -cent_id}})['nc']) AS BIGINT) AS cell
+               FROM pairs GROUP BY vec_id),
+     probes AS (SELECT cent_id AS cell FROM pairs
+                WHERE vec_id = {QUERY_VEC_ID}
+                ORDER BY sim DESC, cent_id LIMIT {NPROBE}),
+     q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, cells.cell, round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+FROM embeddings e
+JOIN cells USING (vec_id)
+JOIN probes ON cells.cell = probes.cell
+CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id
 LIMIT {TOP_K}
 """
 
 
 def write_ivf_store(spark: SparkSession, sf_dir: str, out_path: str) -> None:
-    """Persist embeddings partitioned by IVF cell: a query touches ONE
-    directory — partition pruning, not even a row filter (SCALE.md)."""
+    """Persist the IVF layout: vectors/ partitioned by assigned cell (a
+    probe touches NPROBE directories — partition pruning, not even a row
+    filter) + centroids/ (the codebook, read at query-planning time)."""
     emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    cells = _ivf_cells(_ivf_pairs(emb, cents))
     (
-        emb.withColumn("cell", _cell(F.col("embedding")))
+        emb.join(cells, "vec_id")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(out_path)
+        .parquet(f"{out_path}/vectors")
     )
 
 
 def query_ivf_store(
-    spark: SparkSession, path: str, qvec: list[float], qcell: int, *, top_k: int = TOP_K
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    *,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
 ) -> DataFrame:
-    """Top-k within the query's cell over the partitioned store."""
+    """Top-k over the partitioned store, probing the query's nprobe
+    nearest cells. Probe planning reads only the tiny codebook (K rows)
+    driver-side — the static IN-list is what makes the scan partition
+    pruning rather than a runtime filter."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = [
+        r.cent_id
+        for r in cents.select(
+            "cent_id", _cos(F.col("cvec"), q).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(nprobe)
+        .collect()
+    ]
     return (
-        spark.read.parquet(path)
-        .filter(F.col("cell") == qcell)
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probes))
         .select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(top_k)

@@ -34,17 +34,12 @@ def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
     emb = table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     qvec = list(qrow.embedding)
-    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import _cell
-
-    qcell = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        _cell(F.col("embedding")).alias("c")
-    ).collect()[0].c
-    df = query_ivf_store(spark, path, qvec, qcell)
+    df = query_ivf_store(spark, path, qvec)
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[.{0,200}", plan)
     assert m and "cell" in m.group(0), plan[:2000]
-    # pruned path must agree with the in-memory IVF query (same cell, same
-    # ranking) modulo the self-vector which the in-memory variant excludes
+    # pruned path must agree with the in-memory multi-probe IVF query
+    # modulo the self-vector which the in-memory variant excludes
     got = {r.vec_id: r.cos for r in df.collect() if r.vec_id != QUERY_VEC_ID}
     want = {r.vec_id: r.cos for r in knn_ivf_bucketed(spark, sf_dir).collect()}
     for vid, cos in want.items():
