@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.stopwords import sql_not_in_stopwords
-from ..functions.tokenize import duck_tokens_list, tokens_col
+from ..functions.tokenize import (
+    duck_kgrams,
+    duck_tokens_list,
+    kgrams_col,
+    tokens_col,
+)
 from ..sources.tables import table
 from . import QuerySpec
 
@@ -204,8 +209,97 @@ GROUP BY piece
 """
 
 
+def _top_frac(grams: DataFrame, out_col: str) -> DataFrame:
+    """(doc_id, out_col): most-frequent-gram occurrence share per doc —
+    explode → (doc, gram) partial-aggregated count → per-doc max/sum.
+    Both shuffles are narrow (post-combine cardinality), the
+    repetition-analysis shape that survives 100 TB."""
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(out_col)
+    )
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    top_word_frac (share of occurrences held by the most frequent
+    token), top_bigram_frac, dup_5gram_frac (share of 5-gram
+    occurrences whose gram appears more than once). High values flag
+    boilerplate/spam for corpus filtering; docs too short for an n-gram
+    order report 0.0."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    words = docs.select("doc_id", F.explode("toks").alias("g"))
+    bigrams = docs.select(
+        "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+    )
+    fivegrams = docs.select(
+        "doc_id", F.explode(kgrams_col(F.col("toks"), 5)).alias("g")
+    )
+    dup5 = (
+        fivegrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("dup_5gram_frac")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(_top_frac(words, "top_word_frac"), "doc_id", "left")
+        .join(_top_frac(bigrams, "top_bigram_frac"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+        )
+    )
+
+
+def _duck_repetition() -> str:
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS g FROM d),
+wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY doc_id, g),
+ws AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_frac
+       FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id, unnest({duck_kgrams('toks', 2)}) AS g FROM d),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+bs AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+       FROM bc GROUP BY doc_id),
+f AS (SELECT doc_id, unnest({duck_kgrams('toks', 5)}) AS g FROM d),
+fc AS (SELECT doc_id, g, count(*) AS c FROM f GROUP BY doc_id, g),
+fs AS (SELECT doc_id,
+              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 4)
+                AS dup_5gram_frac
+       FROM fc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(ws.top_word_frac, 0.0)   AS top_word_frac,
+       coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(fs.dup_5gram_frac, 0.0)  AS dup_5gram_frac
+FROM d
+LEFT JOIN ws USING (doc_id)
+LEFT JOIN bs USING (doc_id)
+LEFT JOIN fs USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_counts": QuerySpec(fn=token_counts, oracle=DUCK_TOKEN_COUNTS),
+    "text_repetition_signals": QuerySpec(
+        fn=repetition_signals,
+        oracle=_duck_repetition(),
+        note="Gopher/C4-style repetition quality signals (top-word / "
+        "top-bigram / duplicate-5-gram occurrence shares)",
+    ),
     "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
     "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
     "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
