@@ -216,6 +216,69 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+_MAGIC_AUDIO = b"FAKA"
+
+
+def encode_fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic fake audio codec: FAKA | rate | n | signed-byte
+    waveform, sample ``i`` = (media_id*13 + i) % 256 - 128 — every engine
+    can recompute waveform stats from the ids alone."""
+    wave = bytes(((media_id * 13 + i) % 256) for i in range(n_samples))
+    return _MAGIC_AUDIO + struct.pack("<II", sample_rate, n_samples) + wave
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:4] == _MAGIC_AUDIO:
+        rate, n = struct.unpack("<II", payload[4:12])
+        return rate, n, payload[12 : 12 + n]
+    raise NotImplementedError(
+        "real audio decoding (wav/mp3/flac) requires soundfile/ffmpeg — "
+        "not available in this container; plug the codec in here"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),  # exact integer micros — no float rounding at engine boundaries
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel: audio payload → waveform features (duration,
+    RMS, peak) — the feature-extraction stage an audio training pipeline
+    runs before filtering/bucketing; payload bytes never leave the
+    kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, wave = _decode_audio(bytes(payload))
+                samples = [b - 128 for b in wave]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_us": n * 1_000_000 // rate,
+                        "rms": round((sum(s * s for s in samples) / n) ** 0.5, 6),
+                        "peak": max(abs(s) for s in samples),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only scan: must never touch payload bytes (column
     pruning) — the 100 TB 'count by format' query."""

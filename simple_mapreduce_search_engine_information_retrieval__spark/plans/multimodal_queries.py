@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
+    audio_features,
+    encode_fake_audio,
     encode_fake_image,
     encode_fake_video,
     extract_features,
@@ -152,7 +154,68 @@ FROM f
 """
 
 
+# audio geometry from the id: rate in {8k, 12k, 16k}, 1000-1499 samples
+_RATE = "(8000 + (doc_id % 3) * 4000)"
+_NSAMP = "(1000 + doc_id % 500)"
+
+
+def audio_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fake audio clip per fixture doc."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate, n = 8000 + (d % 3) * 4000, 1000 + d % 500
+                rows.append(
+                    {
+                        "media_id": d,
+                        "kind": "audio",
+                        "format": "fake",
+                        "payload": encode_fake_audio(d, rate, n),
+                        "width": 0,
+                        "height": 0,
+                        "n_frames": n,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features(audio_from_docs(spark, sf_dir))
+
+
+# sample i = (media_id*13 + i) % 256 - 128 — recomputed in SQL
+DUCK_MULTIMODAL_AUDIO = f"""
+WITH m AS (SELECT doc_id AS media_id, {_RATE} AS rate, {_NSAMP} AS n
+           FROM documents)
+SELECT media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT)    AS n_samples,
+       CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+       round(sqrt(list_aggregate(
+           list_transform(range(0, n),
+                          i -> pow(CAST((media_id * 13 + i) % 256 - 128 AS DOUBLE), 2)),
+           'sum') / n), 6) AS rms,
+       CAST(list_aggregate(
+           list_transform(range(0, n), i -> abs((media_id * 13 + i) % 256 - 128)),
+           'max') AS BIGINT) AS peak
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_audio_features": QuerySpec(
+        fn=multimodal_audio_features,
+        oracle=DUCK_MULTIMODAL_AUDIO,
+        note="audio waveform-feature kernel (decode → duration/RMS/peak); "
+        "oracle recomputes from id arithmetic",
+    ),
     "multimodal_features": QuerySpec(
         fn=multimodal_features,
         oracle=DUCK_MULTIMODAL_FEATURES,

@@ -94,6 +94,39 @@ def _duck_cell(e: str) -> str:
     return f"CAST({bit(1)} * 4 + {bit(2)} * 2 + {bit(3)} AS BIGINT)"
 
 
+def knn_brute_force_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas/numpy twin of knn_brute_force — the documented
+    >512-dim swap-in (module docstring): per-Arrow-batch matrix-vector
+    product (BLAS) instead of per-element codegen. Same contract, same
+    oracle; the query vector ships as a closure constant (one head() at
+    plan time), so the scan stays a single narrow pass."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cos = (mat @ qv) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cos": cos})
+
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding")
+        .mapInPandas(kernel, "vec_id long, cos double")
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 # --- IVF coarse quantizer -----------------------------------------------
 # Codebook = deterministic stride-sample of the corpus (the standard
 # random-sample initialization of an IVF codebook — data-dependent, unlike
@@ -413,6 +446,12 @@ QUERIES: dict[str, QuerySpec] = {
         "vectors, per-query top-k via ranking window)",
     ),
     "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
+    "knn_brute_force_arrow": QuerySpec(
+        fn=knn_brute_force_arrow,
+        oracle=DUCK_KNN_BRUTE,
+        note="numpy/Arrow twin of knn_cosine_brute_force (the >512-dim "
+        "BLAS kernel path); identical results required",
+    ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
     ),

@@ -114,6 +114,28 @@ DUCK_JSONL_DOCS = (
 )
 
 
+def orc_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → ORC source (Spark's second native columnar
+    format — the migration path for Hive-era warehouses). Content
+    integrity via md5 over the round-tripped text so any encoding drift
+    in the ORC writer/reader fails the value hash, not just counts."""
+    path = _out_path("orc_docs", sf_dir)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).select(
+        "doc_id", "lang", "source", F.md5("text").alias("text_md5")
+    )
+
+
+DUCK_ORC_DOCS = (
+    "SELECT doc_id, lang, source, md5(text) AS text_md5 FROM documents"
+)
+
+
 def partitioned_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned sink + partition-PRUNED source: documents
     written `partitionBy(lang)`, then one language read back with a
@@ -157,6 +179,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_JSONL_DOCS,
         note="JSONL sink + schema-first source round-trip, text-length "
         "integrity vs parquet-side oracle",
+    ),
+    "orc_documents_roundtrip": QuerySpec(
+        fn=orc_documents_roundtrip,
+        oracle=DUCK_ORC_DOCS,
+        note="ORC sink + source round-trip, md5 content integrity vs "
+        "parquet-side oracle",
     ),
     "partitioned_lang_source": QuerySpec(
         fn=partitioned_lang_source,
