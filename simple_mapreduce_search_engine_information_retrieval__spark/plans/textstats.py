@@ -209,51 +209,57 @@ GROUP BY piece
 """
 
 
-def _top_frac(grams: DataFrame, out_col: str) -> DataFrame:
-    """(doc_id, out_col): most-frequent-gram occurrence share per doc —
-    explode → (doc, gram) partial-aggregated count → per-doc max/sum.
-    Both shuffles are narrow (post-combine cardinality), the
-    repetition-analysis shape that survives 100 TB."""
-    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    return counts.groupBy("doc_id").agg(
-        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(out_col)
-    )
-
-
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals per document:
     top_word_frac (share of occurrences held by the most frequent
     token), top_bigram_frac, dup_5gram_frac (share of 5-gram
     occurrences whose gram appears more than once). High values flag
     boilerplate/spam for corpus filtering; docs too short for an n-gram
-    order report 0.0."""
+    order report 0.0.
+
+    Single-pass shape: ONE scan + ONE explode of (n, gram)-tagged rows →
+    (doc, n, gram) partial-aggregated counts → (doc, n) stats →
+    conditional-agg pivot to one row per doc. Three narrowing shuffles
+    total (vs six for per-n subplans) — the shape that survives 100 TB."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
     )
-    words = docs.select("doc_id", F.explode("toks").alias("g"))
-    bigrams = docs.select(
-        "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
     )
-    fivegrams = docs.select(
-        "doc_id", F.explode(kgrams_col(F.col("toks"), 5)).alias("g")
-    )
-    dup5 = (
-        fivegrams.groupBy("doc_id", "g")
+    tagged = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tag(F.col("toks"), 1),
+                tag(kgrams_col(F.col("toks"), 2), 2),
+                tag(kgrams_col(F.col("toks"), 5), 5),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    per_n = (
+        tagged.groupBy("doc_id", "n", "g")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "n")
         .agg(
-            F.round(
+            (F.max("c") / F.sum("c").cast("double")).alias("topf"),
+            (
                 F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-                / F.sum("c").cast("double"),
-                4,
-            ).alias("dup_5gram_frac")
+                / F.sum("c").cast("double")
+            ).alias("dupf"),
         )
+    )
+    pick = lambda n, col: F.round(  # noqa: E731
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0.0)), 4
+    )
+    sig = per_n.groupBy("doc_id").agg(
+        pick(1, "topf").alias("top_word_frac"),
+        pick(2, "topf").alias("top_bigram_frac"),
+        pick(5, "dupf").alias("dup_5gram_frac"),
     )
     return (
         docs.select("doc_id")
-        .join(_top_frac(words, "top_word_frac"), "doc_id", "left")
-        .join(_top_frac(bigrams, "top_bigram_frac"), "doc_id", "left")
-        .join(dup5, "doc_id", "left")
+        .join(sig, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
