@@ -10,7 +10,7 @@ Differences from the reference, on purpose:
 
 Usage:
     python -m simple_mapreduce_search_engine_information_retrieval__spark.repl \
-        [sf_dir] [--compat-df1] [--stemmed]
+        [sf_dir] [--compat-df1] [--stemmed] [--no-docids]
 Reads queries from stdin (one per line, blank line or EOF quits), so it
 is scriptable: `echo "spark join" | python -m ...repl`.
 """
@@ -20,42 +20,55 @@ from __future__ import annotations
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    out = out or sys.stdout
     compat = "--compat-df1" in argv
     stemmed = "--stemmed" in argv
+    docids = "--no-docids" not in argv
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
-    from .plans.search import search, search_fidelity
+    from .plans.search import search, search_fidelity, search_with_docids
     from .session import get_spark
 
     spark = get_spark("smse-repl")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"index: {sf_dir}  mode: "
-          f"{'compat_df1' if compat else 'correct'}{' stemmed' if stemmed else ''}")
-    print("query (1-2 words, blank to quit): ", end="", flush=True)
+          f"{'compat_df1' if compat else 'correct'}{' stemmed' if stemmed else ''}",
+          file=out)
+    prompt = "query (1-2 words, blank to quit): "
+    print(prompt, end="", flush=True, file=out)
     for line in sys.stdin:
         q = line.strip()
         if not q:
             break
         if len(q.split()) > 2:
-            print("! queries are 1-2 words (reference REPL constraint)")
+            print("! queries are 1-2 words (reference REPL constraint)", file=out)
         elif stemmed:
-            _show(search_fidelity(spark, sf_dir, q))
+            _show(search_fidelity(spark, sf_dir, q), out)
+        elif docids:
+            # the reference's display shape: docid via the J3 broadcast
+            # mapping join (IntDocVectorsForwardIndex.java:310-312)
+            _show(search_with_docids(
+                spark, sf_dir, q, df_mode="compat_df1" if compat else "correct"
+            ), out)
         else:
             _show(search(spark, sf_dir, q,
-                         df_mode="compat_df1" if compat else "correct"))
-        print("query (1-2 words, blank to quit): ", end="", flush=True)
+                         df_mode="compat_df1" if compat else "correct"), out)
+        print(prompt, end="", flush=True, file=out)
     return 0
 
 
-def _show(df) -> None:
+def _show(df, out) -> None:
     rows = df.collect()
     if not rows:
-        print("  (no hits)")
+        print("  (no hits)", file=out)
+    rows = sorted(rows, key=lambda r: r.rank)
     for r in rows:
-        print(f"  {r.rank:>2}. doc {r.docno:<8} score {r.score:.6f}")
+        docid = f" [{r.docid}]" if "docid" in df.columns else ""
+        print(f"  {r.rank:>2}. doc {r.docno:<8}{docid} score {r.score:.6f}",
+              file=out)
 
 
 if __name__ == "__main__":
