@@ -102,6 +102,7 @@ def _drain(
     stream: DataFrame,
     prefix: str,
     state_partitions: int = 8,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Run a finite stream to completion (availableNow) into a memory sink
     and return the sink table.
@@ -120,7 +121,7 @@ def _drain(
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -248,7 +249,39 @@ GROUP BY user_id
 """
 
 
+def enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stream-static broadcast enrichment
+    (streaming/jobs.py::enrich_with_customers) to completion in complete
+    mode: the events stream joins the static customer dim per micro-batch
+    (stateless), final aggregate vs the plain batch join oracle."""
+    from ..streaming.jobs import enrich_with_customers, read_events_stream
+
+    return _drain(
+        spark,
+        enrich_with_customers(
+            read_events_stream(spark, sf_dir), table(spark, sf_dir, "customer")
+        ),
+        "smse_enriched_segments",
+        output_mode="complete",
+    )
+
+
+DUCK_ENRICHED_SEGMENTS = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_enriched_segments": QuerySpec(
+        fn=enriched_segments,
+        oracle=DUCK_ENRICHED_SEGMENTS,
+        note="stream-static broadcast enrichment join actually RUN as a "
+        "stream (stateless per-batch dim join) vs batch join oracle",
+    ),
     "streaming_stateful_user_stats": QuerySpec(
         fn=stateful_user_stats,
         oracle=DUCK_STATEFUL_USER_STATS,

@@ -199,6 +199,25 @@ def click_purchase_joins(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment — the standard streaming
+    pattern Spark gets for free: each micro-batch joins against the
+    static dim with NO streaming state (the dim is broadcast per batch;
+    at scale, a slowly-changing dim is re-read per trigger). Output:
+    per-(segment, event_type) running aggregate."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 USER_STATS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
