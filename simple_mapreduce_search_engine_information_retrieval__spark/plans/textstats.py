@@ -298,8 +298,75 @@ LEFT JOIN fs USING (doc_id)
 """
 
 
+# --- reproducible corpus splitting --------------------------------------
+# Deterministic train/val/test assignment: first hex digit of
+# md5(doc_id-as-string). Lowercase hex is lexicographically ordered, so
+# string range comparisons give exact 12/2/2-sixteenths buckets with NO
+# engine-specific hashing — md5 of the same string is identical
+# everywhere, which is what makes the split reproducible across engines,
+# re-runs and cluster sizes (the property a training pipeline needs so a
+# doc never migrates between train and eval).
+
+
+def _split_expr_spark():
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(h < "c", F.lit("train"))
+        .when(h < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_SQL = (
+    "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train' "
+    "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split): the per-document split label (75/12.5/12.5)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _split_expr_spark().alias("split"))
+
+
+DUCK_SPLIT_ASSIGNMENT = f"SELECT doc_id, {_SPLIT_SQL} AS split FROM documents"
+
+
+def split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split doc/char totals — the sanity profile run after any
+    split change (ratios drift ⇒ the hash input changed)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(_split_expr_spark().alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+DUCK_SPLIT_SUMMARY = f"""
+SELECT {_SPLIT_SQL} AS split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_counts": QuerySpec(fn=token_counts, oracle=DUCK_TOKEN_COUNTS),
+    "corpus_split_assignment": QuerySpec(
+        fn=split_assignment,
+        oracle=DUCK_SPLIT_ASSIGNMENT,
+        note="reproducible train/val/test assignment via portable "
+        "md5-hex range bucketing",
+    ),
+    "corpus_split_summary": QuerySpec(
+        fn=split_summary,
+        oracle=DUCK_SPLIT_SUMMARY,
+        note="per-split doc/char profile of the reproducible split",
+    ),
     "text_repetition_signals": QuerySpec(
         fn=repetition_signals,
         oracle=_duck_repetition(),
