@@ -387,6 +387,120 @@ WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
 """
 
 
+# --- k-means (fixed-iteration Lloyd's) ----------------------------------
+# Iterative algorithm with a REAL value oracle, not a rows-only check:
+# determinism comes from (a) stride-sampled seeds, (b) argmin tiebreak to
+# the smallest centroid id via struct-min, and (c) EXACT centroid math —
+# per-dim sums accumulate in DECIMAL(27,12) (associative, so partition
+# order cannot change the result) and only then cast to DOUBLE for the
+# division; both engines produce the identical double, so assignments
+# match bit-for-bit. The unrolled 2-round plan (assign → update →
+# assign) is the Lloyd's step a real codebook build runs K times; each
+# round is one broadcast pass over the vectors + a dims-level shuffle of
+# |cells| x 64 rows.
+K_CLUSTERS = 8
+DIM = 64
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_sq_dist(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"i -> pow(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)), 'sum')"
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmin squared-L2 centroid, ties to smallest id."""
+    pairs = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))).alias("m"))
+        .select("vec_id", F.col("m.c").cast("long").alias("cell"))
+    )
+
+
+def _update(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cent_id, cvec): exact per-dim means of each cell's members."""
+    dims = emb.join(assign, "vec_id").select(
+        "cell", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = dims.groupBy("cell", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,12)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim").alias("dim"), F.col("c").alias("c")))
+            ),
+            lambda s: s["c"],
+        ).alias("cvec")
+    ).select(F.col("cell").alias("cent_id"), "cvec")
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after seeds → assign → exact update → assign."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = emb.agg(
+        F.greatest(F.floor(F.count("*") / K_CLUSTERS), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    a1 = _assign(emb, seeds)
+    c1 = _update(emb, a1)
+    a2 = _assign(emb, c1)
+    return a2.select("vec_id", F.col("cell").alias("cluster"))
+
+
+DUCK_KMEANS = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+n0 AS (SELECT greatest(count(*) // {K_CLUSTERS}, 1) AS stride FROM v),
+seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
+          FROM v, n0 WHERE vec_id % n0.stride = 0),
+p1 AS (SELECT v.vec_id, c.cent_id,
+              {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
+       FROM v CROSS JOIN seeds c),
+a1 AS (SELECT vec_id, CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cell
+       FROM p1 GROUP BY vec_id),
+dims AS (SELECT a1.cell, j.dim,
+                CAST(v.embedding[j.dim] AS DECIMAL(27,12)) AS dv
+         FROM v JOIN a1 USING (vec_id),
+              (SELECT unnest(generate_series(1, {DIM})) AS dim) j),
+m1 AS (SELECT cell, dim, CAST(SUM(dv) AS DOUBLE) / count(*) AS c
+       FROM dims GROUP BY cell, dim),
+c1 AS (SELECT cell AS cent_id, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+p2 AS (SELECT v.vec_id, c.cent_id,
+              {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
+       FROM v CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cell
+       FROM p2 GROUP BY vec_id)
+SELECT vec_id, cell AS cluster FROM a2
+"""
+
+
 BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
 
 
@@ -451,6 +565,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_KNN_BRUTE,
         note="numpy/Arrow twin of knn_cosine_brute_force (the >512-dim "
         "BLAS kernel path); identical results required",
+    ),
+    "embedding_kmeans_clusters": QuerySpec(
+        fn=kmeans_clusters,
+        oracle=DUCK_KMEANS,
+        note="fixed-iteration Lloyd's k-means with exact decimal "
+        "centroid accumulation — an iterative algorithm with a full "
+        "value oracle (assignments match bit-for-bit)",
     ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
