@@ -249,14 +249,19 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
   ON t.l_orderkey = o.o_orderkey
 """
 
+# The positive-balance average via a conditional window aggregate over
+# the SAME customer scan (avg ignores the CASE's NULLs) instead of a
+# scalar subquery — Spark would otherwise scan customer twice; the
+# NOT EXISTS anti-join against orders is unchanged.
 Q22_IDLE_CUSTOMERS = """
 SELECT seg, count(*) AS n_custs, round(sum(acctbal), 2) AS total_bal
 FROM (
-  SELECT substring(c_name, 1, 9) AS seg, c_acctbal AS acctbal
-  FROM customer c
-  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-) t
+  SELECT substring(c_name, 1, 9) AS seg, c_acctbal AS acctbal, c_custkey,
+         avg(CASE WHEN c_acctbal > 0 THEN c_acctbal END) OVER () AS avg_pos
+  FROM customer
+) c
+WHERE acctbal > avg_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY seg
 """
 
@@ -275,27 +280,31 @@ GROUP BY seg
 # sum()-threshold comparisons (q11/q15/q20) tolerate fp reorder because
 # group sums sit far from the thresholds at both checked SFs.
 
+# Correlated per-part minimum via min() OVER (PARTITION BY p_partkey) on
+# the joined relation instead of the textbook correlated subquery (Spark
+# inlines the supply CTE → a second lineitem aggregation + 3 dim scans).
+# The part-side filters don't affect the partition's supplier set (the
+# partition IS one part), so the window equals the correlated min.
 Q2_MIN_COST_SUPPLIER = """
 WITH supply AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
          min(l_extendedprice / l_quantity) AS unit_cost
   FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s.s_name, n.n_name, p.p_partkey, su.unit_cost,
+         min(su.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM part p
+  JOIN supply su  ON su.partkey    = p.p_partkey
+  JOIN supplier s ON s.s_suppkey   = su.suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
 )
-SELECT s.s_name, n.n_name, p.p_partkey, round(su.unit_cost, 4) AS unit_cost
-FROM part p
-JOIN supply su  ON su.partkey    = p.p_partkey
-JOIN supplier s ON s.s_suppkey   = su.suppkey
-JOIN nation n   ON n.n_nationkey = s.s_nationkey
-JOIN region r   ON r.r_regionkey = n.n_regionkey
-WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
-  AND su.unit_cost = (
-    SELECT min(su2.unit_cost)
-    FROM supply su2
-    JOIN supplier s2 ON s2.s_suppkey   = su2.suppkey
-    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
-    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
-    WHERE su2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
-ORDER BY s.s_name, p.p_partkey
+SELECT s_name, n_name, p_partkey, round(unit_cost, 4) AS unit_cost
+FROM eu
+WHERE unit_cost = min_cost
+ORDER BY s_name, p_partkey
 LIMIT 100
 """
 
@@ -356,20 +365,23 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+# Threshold via sum() OVER () on the aggregated relation instead of the
+# textbook scalar subquery (which Spark inlines into a SECOND
+# lineitem+supplier+nation scan): the grand total is the sum of the
+# per-partkey sums, so one scan feeds both sides of the comparison.
 Q11_IMPORTANT_STOCK = """
-SELECT l.l_partkey AS partkey,
-       round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
-FROM lineitem l
-JOIN supplier s ON s.s_suppkey   = l.l_suppkey
-JOIN nation n   ON n.n_nationkey = s.s_nationkey
-WHERE n.n_name = 'NATION_7'
-GROUP BY l.l_partkey
-HAVING sum(l.l_extendedprice * l.l_quantity) > (
-  SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.001
-  FROM lineitem l2
-  JOIN supplier s2 ON s2.s_suppkey   = l2.l_suppkey
-  JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
-  WHERE n2.n_name = 'NATION_7')
+WITH agg AS (
+  SELECT l.l_partkey AS partkey,
+         sum(l.l_extendedprice * l.l_quantity) AS raw_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, round(raw_value, 2) AS value
+FROM (SELECT partkey, raw_value, sum(raw_value) OVER () AS total FROM agg)
+WHERE raw_value > total * 0.001
 """
 
 Q13_ORDER_COUNT_DIST = """
@@ -423,15 +435,21 @@ WHERE p.p_brand <> 'Brand#5'
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
 
+# Per-part threshold via avg() OVER (PARTITION BY l_partkey) instead of
+# the correlated subquery (Spark decorrelates it into a second full
+# lineitem scan + join). Brand is a property of the part, so windowing
+# over the brand-filtered join sees exactly each part's lineitems.
 Q17_SMALL_QTY_REVENUE = """
-SELECT round(COALESCE(sum(l.l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly,
+SELECT round(COALESCE(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly,
        count(*) AS n_lines
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#23'
-  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                      FROM lineitem l2
-                      WHERE l2.l_partkey = p.p_partkey)
+FROM (
+  SELECT l.l_extendedprice, l.l_quantity,
+         avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+) t
+WHERE l_quantity < 0.2 * avg_qty
 """
 
 Q19_DISJUNCTIVE_PREDICATES = """
@@ -448,41 +466,54 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 20
        AND l.l_quantity BETWEEN 20 AND 50)
 """
 
+# Per-part total via sum() OVER (PARTITION BY l_partkey) on the red-part
+# rows instead of a separate part_totals CTE (Spark inlines the CTE into
+# a second full lineitem scan). The date filter moves into a CASE inside
+# the grouped sum so the window total still covers ALL of a part's rows.
 Q20_EXCESS_SUPPLY = """
-WITH part_totals AS (
-  SELECT l_partkey, sum(l_quantity) AS total_qty
-  FROM lineitem GROUP BY l_partkey
+WITH x AS (
+  SELECT l_partkey, l_suppkey, l_quantity,
+         (l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01')
+           AS in_win,
+         sum(l_quantity) OVER (PARTITION BY l_partkey) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
 )
 SELECT s.s_suppkey, s.s_name
 FROM supplier s
 WHERE s.s_suppkey IN (
-  SELECT l.l_suppkey
-  FROM lineitem l
-  JOIN part_totals t ON t.l_partkey = l.l_partkey
-  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
-    AND l.l_shipdate >= DATE '1996-01-01'
-    AND l.l_shipdate <  DATE '1997-01-01'
-  GROUP BY l.l_suppkey, l.l_partkey, t.total_qty
-  HAVING sum(l.l_quantity) > 0.1 * t.total_qty)
+  SELECT l_suppkey FROM x
+  GROUP BY l_suppkey, l_partkey, total_qty
+  HAVING sum(CASE WHEN in_win THEN l_quantity ELSE 0 END) > 0.1 * total_qty)
 ORDER BY s_suppkey
 """
 
+# EXISTS / NOT EXISTS collapsed into ONE per-order aggregate (distinct
+# suppliers, distinct LATE suppliers): 'another supplier exists' ⇔
+# n_supp >= 2, 'no OTHER supplier late' ⇔ n_late_supp = 1 (the outer row
+# is itself late). Three lineitem scans become two.
 Q21_WAITING_SUPPLIERS = """
+WITH o_agg AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                             THEN l.l_suppkey END) AS n_late_supp
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
 SELECT s.s_name, count(*) AS numwait
 FROM supplier s
 JOIN lineitem l1 ON l1.l_suppkey   = s.s_suppkey
 JOIN orders o    ON o.o_orderkey   = l1.l_orderkey
 JOIN nation n    ON n.n_nationkey  = s.s_nationkey
+JOIN o_agg a     ON a.l_orderkey   = l1.l_orderkey
 WHERE o.o_orderstatus = 'F'
   AND n.n_name = 'NATION_2'
   AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+  AND a.n_supp >= 2
+  AND a.n_late_supp = 1
 GROUP BY s.s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
