@@ -87,3 +87,48 @@ def test_partitioned_lang_scan_prunes_directories(spark, sf_dir):
     plan = _physical(df)
     m = re.search(r"PartitionFilters: \[.{0,300}", plan)
     assert m and "lang" in m.group(0), plan[:2000]
+
+
+def _file_scans(plan: str, table: str) -> int:
+    """Count real file scans of a fixture table in an executed plan,
+    EXCLUDING file paths quoted inside InMemoryRelation descriptions
+    (a cached subtree repeats its child plan text per reference)."""
+    n = 0
+    for line in plan.splitlines():
+        if f"{table}.parquet" in line and "InMemoryRelation" not in line:
+            if re.search(r"Scan parquet|FileScan", line):
+                n += 1
+    return n
+
+
+def test_tpch_window_rewrites_scan_facts_once(spark, sf_dir):
+    """Q2/Q11/Q15/Q17/Q20/Q22 replaced scalar/correlated subqueries with
+    window formulations so Spark scans the fact table ONCE (Spark inlines
+    CTEs — the textbook forms scan lineitem/customer twice)."""
+    register_views(spark, sf_dir)
+    cases = {
+        relational.Q2_MIN_COST_SUPPLIER: ("lineitem", 1),
+        relational.Q11_IMPORTANT_STOCK: ("lineitem", 1),
+        relational.Q15_TOP_SUPPLIER: ("lineitem", 1),
+        relational.Q17_SMALL_QTY_REVENUE: ("lineitem", 1),
+        relational.Q20_EXCESS_SUPPLY: ("lineitem", 1),
+        relational.Q22_IDLE_CUSTOMERS: ("customer", 1),
+        relational.Q21_WAITING_SUPPLIERS: ("lineitem", 2),  # 3 -> 2
+    }
+    for sql, (tbl, want) in cases.items():
+        plan = _physical(spark.sql(sql))
+        got = _file_scans(plan, tbl)
+        assert got <= want, (sql[:60], tbl, got, want)
+
+
+def test_acronym_postings_stay_jvm_side(spark, sf_dir):
+    """The F4 acronym hot path must stay pure expressions: no Python
+    evaluation nodes, and the scan prunes to (doc_id, text)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.indexing import (
+        postings_flat_acronym,
+    )
+
+    plan = _physical(postings_flat_acronym(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "text" in m.group(0), plan[:2000]
