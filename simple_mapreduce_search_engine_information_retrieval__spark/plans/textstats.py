@@ -151,6 +151,50 @@ FROM documents
 """
 
 
+# --- rolling-hash fingerprint -------------------------------------------
+# Polynomial rolling hash over the normalized token stream (the classic
+# Rabin-Karp shape): per-token code from the first three codepoints +
+# length, folded left-to-right as h = (h*B + code) mod M. Order-
+# SENSITIVE (unlike the md5 fingerprint, token swaps change it) and
+# incrementally maintainable — the property a chunk-level dedup pipeline
+# wants. Exact integer arithmetic, identical in both engines; the fold
+# stays within BIGINT (h < M = 2^31-1, so h*B + code < 2^52).
+_RH_B = 1_000_003
+_RH_M = 2_147_483_647
+
+
+def _rh_code_spark(t):
+    a = lambda i: F.ascii(F.substring(t, i, 1))  # noqa: E731  (0 for past-end)
+    return ((a(1) * 31 + a(2)) * 31 + a(3)) * 31 + F.length(t)
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"), stopworded=False)
+    codes = F.transform(toks, lambda t: _rh_code_spark(t).cast("long"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _RH_B + c) % _RH_M,
+    )
+    return docs.select("doc_id", h.alias("rhash"))
+
+
+_RH_CODE_SQL = (
+    "((ascii(t[1:1]) * 31 + ascii(t[2:2])) * 31 + ascii(t[3:3])) * 31 + length(t)"
+)
+
+DUCK_ROLLING_FPS = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({duck_tokens_list('text', stopworded=False)},
+                          t -> CAST({_RH_CODE_SQL} AS BIGINT))),
+         (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}) AS rhash
+FROM documents
+"""
+
+
 def term_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram over the kept-token stream — a cheap
     corpus-health profile (tokenizer drift shows up here first)."""
@@ -376,6 +420,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
     "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
     "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
+    "text_rolling_fingerprints": QuerySpec(
+        fn=rolling_fingerprints,
+        oracle=DUCK_ROLLING_FPS,
+        note="Rabin-Karp-style polynomial rolling hash over the token "
+        "stream (order-sensitive, incrementally maintainable)",
+    ),
     "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
     "text_bpe_vocab": QuerySpec(
         fn=bpe_vocab,
