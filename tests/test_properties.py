@@ -49,9 +49,10 @@ def test_expression_tokenizer_matches_python_rendering(text):
     )
 
     con = duckdb.connect()
-    got = con.execute(
-        f"SELECT {duck_tokens_list('?::VARCHAR')} AS t", [text]
-    ).fetchone()[0]
+    # the rendering may reference its text argument several times (e.g.
+    # the markup-guard CASE) — bind the value once per placeholder
+    sql = f"SELECT {duck_tokens_list('?::VARCHAR')} AS t"
+    got = con.execute(sql, [text] * sql.count("?::VARCHAR")).fetchone()[0]
     assert got == expect
 
 
