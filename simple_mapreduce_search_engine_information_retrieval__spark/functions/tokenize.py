@@ -172,6 +172,13 @@ def duck_tokens_list(
     return f"list_filter({lst}, t -> {cond})"
 
 
+def filter_stopwords(tokens: Column) -> Column:
+    """Drop stopwords from an ALREADY-tokenized array — lets callers that
+    need both token streams tokenize once and derive the kept stream
+    (same INSET-compiled probe tokens_col uses)."""
+    return F.filter(tokens, lambda t: ~t.isin(*STOPWORDS))
+
+
 def kgrams_col(tokens: Column, k: int) -> Column:
     """Word k-grams: one space-joined gram per window position, preserving
     order; docs with < k tokens yield an empty array (reference short-doc

@@ -13,6 +13,7 @@ from ..functions.stopwords import sql_not_in_stopwords
 from ..functions.tokenize import (
     duck_kgrams,
     duck_tokens_list,
+    filter_stopwords,
     kgrams_col,
     tokens_col,
 )
@@ -27,12 +28,13 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # project tokens once, then derive (see indexing.doc_terms: repeated
     # references re-evaluate the tokenizer otherwise)
+    # tokenize ONCE; the kept stream is a cheap array filter over it
+    # (tokens_col twice would re-run the full regex tokenizer per stream)
     staged = docs.select(
         "doc_id",
         "text",
         tokens_col(F.col("text"), stopworded=False).alias("all_toks"),
-        tokens_col(F.col("text"), stopworded=True).alias("kept"),
-    )
+    ).withColumn("kept", filter_stopwords(F.col("all_toks")))
     return staged.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
@@ -63,8 +65,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         tokens_col(F.col("text"), stopworded=False).alias("toks"),
-        tokens_col(F.col("text"), stopworded=True).alias("kept"),
-    )
+    ).withColumn("kept", filter_stopwords(F.col("toks")))
     toks = F.col("toks")
     n_tok = F.size(toks)
     n_stop = n_tok - F.size(F.col("kept"))
@@ -106,8 +107,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         tokens_col(F.col("text"), stopworded=False).alias("toks"),
-        tokens_col(F.col("text"), stopworded=True).alias("kept"),
-    )
+    ).withColumn("kept", filter_stopwords(F.col("toks")))
     n = F.size(F.col("toks"))
     n_en = n - F.size(F.col("kept"))
     ratio = F.round(n_en / F.greatest(n, F.lit(1)).cast("double"), 4)
