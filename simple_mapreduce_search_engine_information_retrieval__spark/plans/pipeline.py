@@ -3,6 +3,7 @@ of the north-star operators, as ONE declarative materializer:
 
     quality gate (length / stopword-ratio heuristics)
     -> language gate (en-ratio heuristic)
+    -> repetition gate (Gopher/C4-style top-bigram / dup-5-gram shares)
     -> exact dedup, keep lowest doc_id per normalized fingerprint
     -> near-dup removal (MinHash-LSH verified pairs: drop the higher id
        of every pair)
@@ -28,11 +29,24 @@ from .dedup import (
     DUCK_DEDUP_KEEP_FIRST,
     minhash_near_dups,
 )
-from .textstats import _duck_lang_id, _duck_quality, lang_id, quality_scores
+from .textstats import (
+    _duck_lang_id,
+    _duck_quality,
+    _duck_repetition,
+    lang_id,
+    quality_scores,
+    repetition_signals,
+)
 
 MIN_TOKENS = 25
 MAX_STOPWORD_RATIO = 0.15
 MIN_EN_RATIO = 0.02
+# p95 of the fixture's top-bigram share ≈ 0.087 — the gate trims the
+# repetitive tail without gutting the corpus; dup-5-gram threshold is the
+# standard boilerplate gate (vacuous on this synthetic corpus, real on
+# scraped text)
+MAX_TOP_BIGRAM_FRAC = 0.09
+MAX_DUP_5GRAM_FRAC = 0.30
 
 
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,6 +56,10 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
     )
     lang_ok = lang_id(spark, sf_dir).filter(F.col("en_ratio") >= MIN_EN_RATIO)
+    repetition_ok = repetition_signals(spark, sf_dir).filter(
+        (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        & (F.col("dup_5gram_frac") <= MAX_DUP_5GRAM_FRAC)
+    )
     exact_keepers = dedup_keep_first(spark, sf_dir)
     near_dup_losers = (
         minhash_near_dups(spark, sf_dir)
@@ -52,6 +70,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quality_ok.select("doc_id")
         .join(lang_ok.select("doc_id"), "doc_id")
+        .join(repetition_ok.select("doc_id"), "doc_id")
         .join(exact_keepers.select("doc_id"), "doc_id")
         .join(near_dup_losers, "doc_id", "left_anti")
     )
@@ -61,6 +80,7 @@ def _duck_clean_corpus() -> str:
     return f"""
 WITH quality AS MATERIALIZED ({_duck_quality()}),
      lang AS MATERIALIZED ({_duck_lang_id()}),
+     rep AS MATERIALIZED ({_duck_repetition()}),
      exact_keepers AS MATERIALIZED ({DUCK_DEDUP_KEEP_FIRST}),
      near_pairs AS MATERIALIZED ({_duck_near_dups()}),
      losers AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs
@@ -68,10 +88,13 @@ WITH quality AS MATERIALIZED ({_duck_quality()}),
 SELECT q.doc_id
 FROM quality q
 JOIN lang l USING (doc_id)
+JOIN rep r USING (doc_id)
 JOIN exact_keepers k USING (doc_id)
 WHERE q.n_tokens >= {MIN_TOKENS}
   AND q.stopword_ratio <= {MAX_STOPWORD_RATIO}
   AND l.en_ratio >= {MIN_EN_RATIO}
+  AND r.top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}
+  AND r.dup_5gram_frac <= {MAX_DUP_5GRAM_FRAC}
   AND q.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
@@ -80,8 +103,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_clean_corpus": QuerySpec(
         fn=clean_corpus,
         oracle=_duck_clean_corpus(),
-        note="end-to-end corpus cleaning: quality + language gates, "
-        "exact keep-first dedup, MinHash-LSH near-dup removal — one "
-        "declarative materializer composing the oracled building blocks",
+        note="end-to-end corpus cleaning: quality + language + "
+        "repetition gates, exact keep-first dedup, MinHash-LSH near-dup "
+        "removal — one declarative materializer composing the oracled "
+        "building blocks",
     ),
 }
