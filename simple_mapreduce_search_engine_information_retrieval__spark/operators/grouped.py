@@ -84,6 +84,41 @@ def user_value_zscores_window(events: DataFrame) -> DataFrame:
     )
 
 
+def value_gmean_by_type(events: DataFrame) -> DataFrame:
+    """Grouped-agg pandas UDF — the UDAF surface (SURVEY.md §2.10): one
+    scalar per group from an arbitrary Python body. Geometric mean of
+    positive event values per event_type; the kernel SORTS its input so
+    the float reduction is a pure function of the group's multiset (the
+    shuffle's arrival order can't change the answer)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def gmean(v: pd.Series) -> float:  # Series→scalar hint = GROUPED_AGG
+        arr = np.sort(v[v > 0].to_numpy(dtype=np.float64))
+        if arr.size == 0:
+            return 0.0
+        return float(round(np.exp(np.log(arr).mean()), 4))
+
+    # pre-filter so a group with no positive values vanishes in BOTH
+    # renderings (the oracle's WHERE runs before GROUP BY)
+    return (
+        events.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(gmean(F.col("value")).alias("gmean_value"))
+    )
+
+
+# avg(ln) in DuckDB reduces in scan order, numpy's mean pairwise over the
+# sorted array — agreement at 4 decimals holds with ~1e-12 headroom on
+# these magnitudes (same tolerance argument as the percentile queries)
+DUCK_VALUE_GMEAN = """
+SELECT event_type, round(exp(avg(ln(value))), 4) AS gmean_value
+FROM events WHERE value > 0
+GROUP BY event_type
+"""
+
+
 DUCK_USER_ZSCORES = """
 SELECT user_id, event_id, round((value - m) / s, 6) AS z
 FROM (

@@ -110,6 +110,36 @@ DUCK_POSTINGS_ACRONYM = (
 )
 
 
+def positional_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docno, pos, term): the positional token stream — what a
+    positional/phrase-proximity index ingests (the reference's
+    TagTokenizer records the same positions, TagTokenizer.java:449-451).
+    Default plan is posexplode (pure JVM); the Python-UDTF twin lives in
+    operators/udtf.py as the table-function extension-point exerciser."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").alias("docno"),
+            tokens_col(F.col("text")).alias("toks"),
+        )
+        .select(
+            "docno",
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .select("docno", F.col("pos").cast("long").alias("pos"), "term")
+    )
+
+
+DUCK_POSITIONAL_TERMS = f"""
+SELECT docno, CAST(s.pos AS BIGINT) AS pos, s.term AS term
+FROM (SELECT docno,
+             unnest(list_transform(range(1, len(toks)+1),
+                    i -> {{'pos': i - 1, 'term': toks[i]}})) AS s
+      FROM (SELECT doc_id AS docno, {duck_tokens_list('text')} AS toks
+            FROM documents))
+"""
+
+
 def duck_postings_flat(k: int = 1) -> str:
     return (
         f"SELECT term, docno, count(*) AS tf FROM ({duck_doc_terms(k)}) "
@@ -401,6 +431,22 @@ QUERIES: dict[str, QuerySpec] = {
         fn=lambda s, d: term_stats(s, d, 1),
         oracle=duck_term_stats(1),
         note="A8 df computed correctly (reference df bug documented)",
+    ),
+    "positional_terms": QuerySpec(
+        fn=positional_terms,
+        oracle=DUCK_POSITIONAL_TERMS,
+        note="positional token stream via posexplode (the positional-"
+        "index ingest; TagTokenizer.java:449-451 records the same)",
+    ),
+    "positional_terms_udtf": QuerySpec(
+        fn=lambda s, d: __import__(
+            "simple_mapreduce_search_engine_information_retrieval__spark."
+            "operators.udtf",
+            fromlist=["udtf"],
+        ).positional_terms_udtf(s, d),
+        oracle=DUCK_POSITIONAL_TERMS,
+        note="Python UDTF twin (LATERAL table function) — §2.10 "
+        "extension-point exerciser held to the same oracle",
     ),
     "inv_postings_k1_acronym": QuerySpec(
         fn=lambda s, d: postings_flat_acronym(s, d),

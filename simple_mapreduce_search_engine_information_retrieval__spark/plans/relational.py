@@ -697,6 +697,19 @@ def _duck_user_zscores() -> str:
     return DUCK_USER_ZSCORES
 
 
+def _value_gmean(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    from ..operators.grouped import value_gmean_by_type
+    from ..sources.tables import table
+
+    return value_gmean_by_type(table(spark, sf_dir, "events"))
+
+
+def _duck_value_gmean() -> str:
+    from ..operators.grouped import DUCK_VALUE_GMEAN
+
+    return DUCK_VALUE_GMEAN
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_user_zscores": QuerySpec(
         fn=_user_zscores,
@@ -707,6 +720,12 @@ QUERIES: dict[str, QuerySpec] = {
         fn=_user_zscores_grouped,
         oracle=_duck_user_zscores(),
         note="applyInPandas grouped-map twin (§2.10 API exerciser)",
+    ),
+    "events_value_gmean_udaf": QuerySpec(
+        fn=_value_gmean,
+        oracle=_duck_value_gmean(),
+        note="grouped-agg pandas UDF (the UDAF surface, §2.10): "
+        "sorted-kernel geometric mean vs exp(avg(ln)) oracle",
     ),
     "tpch_q1_pricing_summary": shared_sql(Q1_PRICING_SUMMARY, "A-class agg parity"),
     "tpch_q3_shipping_priority": shared_sql(Q3_SHIPPING_PRIORITY, "3-way join + top-k"),
