@@ -643,6 +643,37 @@ FROM events
 GROUP BY event_type
 """
 
+# Spark 4 VARIANT path for semi-structured props: parse the JSON ONCE
+# into the binary-encoded VARIANT, then every extraction is a cheap
+# typed variant_get — the engine-native replacement for repeated
+# get_json_object string re-parses. DuckDB oracle re-parses per
+# extraction (its JSON type); values are identical.
+_EVENTS_VARIANT_SPARK = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS min_k,
+       CAST(max(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS max_k,
+       CAST(sum(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS sum_k
+FROM (SELECT event_type, parse_json(props) AS v FROM events)
+GROUP BY event_type
+"""
+
+_EVENTS_VARIANT_DUCK = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def _events_variant(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    register_views(spark, sf_dir)
+    return spark.sql(_EVENTS_VARIANT_SPARK)
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -720,6 +751,12 @@ QUERIES: dict[str, QuerySpec] = {
         fn=_user_zscores_grouped,
         oracle=_duck_user_zscores(),
         note="applyInPandas grouped-map twin (§2.10 API exerciser)",
+    ),
+    "events_props_variant": QuerySpec(
+        fn=_events_variant,
+        oracle=_EVENTS_VARIANT_DUCK,
+        note="Spark 4 VARIANT semi-structured path: parse_json once, "
+        "typed variant_get extractions, vs DuckDB JSON oracle",
     ),
     "events_value_gmean_udaf": QuerySpec(
         fn=_value_gmean,
