@@ -56,6 +56,34 @@ def test_expression_tokenizer_matches_python_rendering(text):
     assert got == expect
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="ab.x' <>&;i", min_size=0, max_size=30))
+def test_acronym_renderings_agree(text):
+    """The acronym-mode DuckDB rendering must equal the fidelity
+    tokenizer's pre-stem stream on adversarial period/markup text — the
+    fixture corpus has no periods, so the corpus-wide equivalence test
+    never exercises TagTokenizer.java:479-527's edge cases; hypothesis
+    does."""
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.fidelity import (
+        tokenize_text,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        duck_tokens_list,
+    )
+
+    expect = tokenize_text(text, stopword=False, do_stem=False)
+    sql = (
+        "SELECT "
+        + duck_tokens_list("?::VARCHAR", stopworded=False, acronyms=True)
+        + " AS t"
+    )
+    con = duckdb.connect()
+    got = con.execute(sql, [text] * sql.count("?::VARCHAR")).fetchone()[0]
+    assert got == expect, (text, got, expect)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1, max_size=20))
 def test_stemmer_total_and_idempotent_shape(word):
