@@ -61,9 +61,11 @@ def _warm_index(spark: SparkSession, sf_dir: str, k: int):
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _warm:
         post = postings_flat(spark, sf_dir, k).cache()
+        # cache stats too: it is dictionary-sized, and uncached every
+        # query would re-aggregate the full postings cache to derive it
         stats = post.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
+        ).cache()
         n_docs = table(spark, sf_dir, "documents").count()
         _warm[key] = (post, stats, n_docs)
     return _warm[key]
@@ -119,7 +121,7 @@ def _warm_fidelity_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _warm_fid:
         post = postings_flat_fidelity(spark, sf_dir).cache()
-        stats = post.groupBy("term").agg(F.count("*").alias("df"))
+        stats = post.groupBy("term").agg(F.count("*").alias("df")).cache()
         n_docs = table(spark, sf_dir, "documents").count()
         _warm_fid[key] = (post, stats, n_docs)
     return _warm_fid[key]
