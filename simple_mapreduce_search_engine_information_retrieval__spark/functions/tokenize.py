@@ -179,6 +179,16 @@ def filter_stopwords(tokens: Column) -> Column:
     return F.filter(tokens, lambda t: ~t.isin(*STOPWORDS))
 
 
+def _bounded_sequence(n: Column) -> Column:
+    """[1..n], or an EMPTY array when n < 1. Spark's sequence(1, 0)
+    yields the DESCENDING [1, 0] (step defaults to -1 when start > stop),
+    which silently feeds bogus indexes downstream — slice(arr, 0, ...)
+    throws, slice(arr, negative, ...) reads from the END."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def kgrams_col(tokens: Column, k: int) -> Column:
     """Word k-grams: one space-joined gram per window position, preserving
     order; docs with < k tokens yield an empty array (reference short-doc
@@ -186,7 +196,7 @@ def kgrams_col(tokens: Column, k: int) -> Column:
     if k == 1:
         return tokens
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0))),
+        _bounded_sequence((F.size(tokens) - (k - 1)).cast("int")),
         lambda i: F.array_join(F.slice(tokens, i, k), " "),
     )
 
@@ -208,7 +218,7 @@ def chargrams_col(term: Column, k: int) -> Column:
     dedup)."""
     padded = F.concat(F.lit("$"), term, F.lit("$"))
     return F.transform(
-        F.sequence(F.lit(1), F.length(padded) - (k - 1)),
+        _bounded_sequence((F.length(padded) - (k - 1)).cast("int")),
         lambda i: F.substring(padded, i, k),
     )
 

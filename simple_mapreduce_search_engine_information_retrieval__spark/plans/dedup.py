@@ -558,10 +558,79 @@ def near_dup_groups(
     return labels.select("doc_id", F.col("label").alias("group_id"))
 
 
+# --- duplicate-passage detection ----------------------------------------
+# Chunk-level exact dedup: split each doc's token stream into fixed-size
+# chunks, hash each chunk, report chunks appearing in more than one doc —
+# the copy-paste-passage detector a cleaning pipeline runs BETWEEN
+# whole-doc exact dedup and fuzzy near-dup (catches boilerplate shared
+# across otherwise-distinct docs). One explode + one partial-aggregated
+# groupBy — the same shuffle shape as the inverted index.
+PASSAGE_TOKENS = 50
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chunk_hash, n_docs, n_occ) for non-final full chunks of
+    PASSAGE_TOKENS tokens appearing in >= 2 distinct docs."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    from ..functions.tokenize import _bounded_sequence
+
+    n_chunks = F.floor(F.size("toks") / PASSAGE_TOKENS)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _bounded_sequence(n_chunks.cast("int")),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            (i - 1) * PASSAGE_TOKENS + 1,
+                            PASSAGE_TOKENS,
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+DUCK_DUPLICATE_PASSAGES = f"""
+WITH d AS (SELECT doc_id, {duck_tokens_list('text', stopworded=False)} AS toks
+           FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, CAST(len(toks) // {PASSAGE_TOKENS} AS INT) + 1),
+           i -> md5(array_to_string(
+                  list_slice(toks, (i - 1) * {PASSAGE_TOKENS} + 1,
+                             i * {PASSAGE_TOKENS}), ' ')))) AS chunk_hash
+  FROM d)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_first": QuerySpec(
         fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
         note="materializing keep-lowest-id dedup",
+    ),
+    "dedup_duplicate_passages": QuerySpec(
+        fn=duplicate_passages,
+        oracle=DUCK_DUPLICATE_PASSAGES,
+        note="chunk-level exact dedup (copy-paste passage detector): "
+        "fixed-size token chunks hashed and grouped across docs",
     ),
     "dedup_near_dup_groups": QuerySpec(
         fn=lambda s, d: near_dup_groups(s, d),

@@ -147,6 +147,28 @@ def test_expression_acronym_matches_fidelity_corpus_wide(spark):
     assert mismatch == 0
 
 
+def test_kgrams_short_doc_guard(spark):
+    """Docs with < k tokens must yield an EMPTY gram array (reference
+    P3, TermKGramDocIndexer.java:142-143). Regression: sequence(1, 0)
+    in Spark is the DESCENDING [1, 0], which made slice() throw on a
+    1-token doc with k=2 (never triggered by the fixture corpus — every
+    fixture doc has >= k tokens — but fatal on a real corpus)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        chargrams_col,
+        kgrams_col,
+    )
+
+    df = spark.createDataFrame(
+        [(["a"],), ([],), (["a", "b", "c"],)], "toks array<string>"
+    )
+    got = [r.g for r in df.select(kgrams_col(F.col("toks"), 2).alias("g")).collect()]
+    assert got == [[], [], ["a b", "b c"]]
+    # char-grams: k larger than the padded term must yield empty, not throw
+    cdf = spark.createDataFrame([("a",), ("",)], "t string")
+    cg = [r.g for r in cdf.select(chargrams_col(F.col("t"), 4).alias("g")).collect()]
+    assert cg == [[], []]
+
+
 def test_ascii_lower_compat(spark):
     # TagTokenizer.java:536-559 lowercases ASCII A-Z only; the compat
     # flag reproduces that, the default lowercases everything.
