@@ -618,6 +618,39 @@ JOIN (SELECT * FROM VALUES (0.0, 50.0, 'low'), (50.0, 100.0, 'mid'),
 GROUP BY r.band
 """
 
+# Sequential funnel (view → click → purchase, strictly later stage
+# times) via three stacked windows over ONE user_id partitioning — the
+# stage thresholds chain (t2 needs t1), but every window shares the same
+# partition key, so Catalyst plans a single shuffle for all three.
+EVENTS_FUNNEL_STAGES = """
+WITH e1 AS (
+  SELECT user_id, event_type, ts_us,
+         min(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM (SELECT user_id, event_type, {TS} AS ts_us FROM events) base
+),
+e2 AS (
+  SELECT user_id, event_type, ts_us, t1,
+         min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM e1
+),
+e3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM e2
+),
+u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM e3 GROUP BY user_id)
+SELECT CASE WHEN t3 IS NOT NULL THEN 'purchase'
+            WHEN t2 IS NOT NULL THEN 'click'
+            WHEN t1 IS NOT NULL THEN 'view'
+            ELSE 'none' END AS deepest_stage,
+       count(*) AS n_users
+FROM u GROUP BY 1
+"""
+
 EVENTS_USER_ACTIVITY = """
 SELECT user_id,
        count(*) AS n_events,
@@ -827,4 +860,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_hourly": _events_pair(EVENTS_HOURLY),
     "events_json_props": _events_pair(EVENTS_JSON_PROPS),
     "events_user_activity": _events_pair(EVENTS_USER_ACTIVITY),
+    "events_funnel_stages": _events_pair(EVENTS_FUNNEL_STAGES),
 }

@@ -501,6 +501,39 @@ SELECT vec_id, cell AS cluster FROM a2
 """
 
 
+# --- int8 scalar quantization -------------------------------------------
+# The embedding-storage compressor a training pipeline runs before
+# writing vectors at scale: per-vector symmetric int8 (scale =
+# max|x|/127, q_i = half-up(x_i/scale)) — 4x smaller than float32 with
+# the scale kept for dequantize. Pure expressions; rounding is floor(v +
+# 0.5) in BOTH engines so the convention cannot drift.
+
+
+def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    staged = emb.select(
+        "vec_id", "embedding", (F.array_max(absd) / 127.0).alias("s")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") / F.col("s") + 0.5).cast("long"),
+    )
+    return staged.select(
+        "vec_id", F.round(F.col("s"), 6).alias("scale"), q.alias("qvec")
+    )
+
+
+DUCK_INT8_QUANTIZE = """
+SELECT vec_id, round(s, 6) AS scale,
+       list_transform(embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)) AS qvec
+FROM (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS s
+      FROM embeddings)
+"""
+
+
 BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
 
 
@@ -572,6 +605,12 @@ QUERIES: dict[str, QuerySpec] = {
         note="fixed-iteration Lloyd's k-means with exact decimal "
         "centroid accumulation — an iterative algorithm with a full "
         "value oracle (assignments match bit-for-bit)",
+    ),
+    "embedding_int8_quantize": QuerySpec(
+        fn=int8_quantize,
+        oracle=DUCK_INT8_QUANTIZE,
+        note="symmetric per-vector int8 scalar quantization (4x storage "
+        "compressor with kept dequantize scale)",
     ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
