@@ -22,3 +22,39 @@ def _recall_at_10(spark, sf_dir: str) -> float:
 )
 def test_ivf_recall(spark, sf_dir):
     assert _recall_at_10(spark, sf_dir) >= 0.9
+
+
+def test_int8_quantize_roundtrip_error(spark):
+    """Dequantized values must sit within half a quantization step of the
+    original (the symmetric-int8 contract), and codes within [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        int8_quantize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q = int8_quantize(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # dequantize with the RAW scale (the query emits it rounded to 6 dp
+    # for the hash gate; the bound holds for the scale actually used)
+    raw_scale = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    ) / F.lit(127.0)
+    joined = q.join(emb, "vec_id").select(
+        "vec_id",
+        raw_scale.alias("s"),
+        F.array_max(F.transform(F.col("qvec"), lambda c: F.abs(c))).alias("max_code"),
+        F.array_max(
+            F.zip_with(
+                F.col("qvec"),
+                F.col("embedding"),
+                lambda c, x: F.abs(c * raw_scale - x.cast("double")),
+            )
+        ).alias("max_err"),
+    )
+    bad = joined.filter(
+        (F.col("max_code") > 127)
+        | (F.col("max_err") > F.col("s") / 2 + 1e-12)
+    ).count()
+    assert bad == 0
