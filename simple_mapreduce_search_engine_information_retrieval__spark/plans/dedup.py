@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..caches import register_cache
 from ..sources.tables import table
-from ..functions.tokenize import duck_tokens_list, tokens_col
+from ..functions.tokenize import duck_kgrams, duck_tokens_list, tokens_col
 from . import QuerySpec
 from .indexing import doc_terms, duck_doc_terms
 
@@ -621,10 +621,69 @@ FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+# --- benchmark decontamination ------------------------------------------
+# The GPT-3-style contamination check: flag training documents sharing
+# any CONTAM_N-gram with a held-out eval set. The eval side is tiny by
+# construction, so its gram set BROADCASTS and the train side never
+# shuffles — the decontamination shape at 100 TB (eval grams ~MBs,
+# training corpus arbitrary). Here the stand-in eval set is the first
+# N_EVAL_DOCS fixture docs.
+N_EVAL_DOCS = 20
+CONTAM_N = 13
+
+
+def decontaminate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared_grams) for training docs (doc_id >= N_EVAL_DOCS)
+    sharing at least one CONTAM_N-gram with the eval docs."""
+    from ..functions.tokenize import kgrams_col
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                kgrams_col(F.col("toks"), CONTAM_N),
+                lambda g: F.md5(g),
+            )
+        ).alias("gh"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < N_EVAL_DOCS).select("gh").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+DUCK_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, {duck_tokens_list('text', stopworded=False)} AS toks
+           FROM documents),
+grams AS (SELECT doc_id, md5(g) AS gh
+          FROM (SELECT doc_id, unnest({duck_kgrams('toks', CONTAM_N)}) AS g
+                FROM d)),
+eval_grams AS (SELECT DISTINCT gh FROM grams WHERE doc_id < {N_EVAL_DOCS})
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM grams g JOIN eval_grams e USING (gh)
+WHERE g.doc_id >= {N_EVAL_DOCS}
+GROUP BY g.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_first": QuerySpec(
         fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
         note="materializing keep-lowest-id dedup",
+    ),
+    "pipeline_decontaminate": QuerySpec(
+        fn=decontaminate_overlaps,
+        oracle=DUCK_DECONTAMINATE,
+        note="benchmark decontamination: training docs sharing any "
+        "13-gram with the (stand-in) eval set, eval grams broadcast",
     ),
     "dedup_duplicate_passages": QuerySpec(
         fn=duplicate_passages,
