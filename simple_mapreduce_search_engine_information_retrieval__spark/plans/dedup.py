@@ -621,6 +621,50 @@ FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+# --- cluster representative selection -----------------------------------
+
+
+def group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_id, rep_doc_id, n_members): per near-dup component, the
+    member with the most characters (tiebreak: lowest doc_id) — the
+    keep-best policy (longest/highest-quality member) a cleaning pipeline
+    applies once components are known. One broadcast join of the tiny
+    group table against doc lengths + a struct-max argmax (no window
+    shuffle: max(struct) partial-aggregates)."""
+    groups = near_dup_groups(spark, sf_dir)
+    lengths = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        groups.join(lengths, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("len"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("m"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "group_id",
+            (-F.col("m.nid")).cast("long").alias("rep_doc_id"),
+            "n_members",
+        )
+    )
+
+
+def _duck_group_representatives() -> str:
+    return f"""
+WITH groups AS ({_duck_near_dup_groups()})
+SELECT g.group_id,
+       CAST(-(max({{'len': d.n_chars, 'nid': -d.doc_id}})['nid']) AS BIGINT)
+         AS rep_doc_id,
+       count(*) AS n_members
+FROM groups g JOIN documents d USING (doc_id)
+GROUP BY g.group_id
+"""
+
+
 # --- benchmark decontamination ------------------------------------------
 # The GPT-3-style contamination check: flag training documents sharing
 # any CONTAM_N-gram with a held-out eval set. The eval side is tiny by
@@ -678,6 +722,13 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_first": QuerySpec(
         fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
         note="materializing keep-lowest-id dedup",
+    ),
+    "dedup_group_representatives": QuerySpec(
+        fn=lambda s, d: group_representatives(s, d),
+        oracle=_duck_group_representatives(),
+        note="keep-BEST-of-cluster: per near-dup component, the longest "
+        "member (tiebreak lowest id) — the representative-selection "
+        "policy real cleaning pipelines use instead of keep-lowest-id",
     ),
     "pipeline_decontaminate": QuerySpec(
         fn=decontaminate_overlaps,
