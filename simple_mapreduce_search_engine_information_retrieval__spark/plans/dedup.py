@@ -621,6 +621,81 @@ FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+# --- containment (asymmetric Jaccard) -----------------------------------
+# containment(A→B) = |A∩B| / |A|: flags SUBSET duplication (a short doc
+# quoted whole inside a long one) that symmetric Jaccard scores low.
+# Candidates come from the same MinHash band join, so recall follows
+# Jaccard-LSH (a containment-targeted index would band on the smaller
+# set's minhashes); the verify emits max(containment) over both
+# directions.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, containment) for band-candidate pairs whose max
+    directional containment clears the threshold."""
+    sh = _shingles_cached(spark, sf_dir)
+    bands = _bands(_signatures_of(sh))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    c = F.round(
+        F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", c.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+def _duck_containment() -> str:
+    return f"""
+WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+     sig AS MATERIALIZED ({_duck_minhash('sh')}),
+     bands AS MATERIALIZED ({_duck_bands()}),
+     cand AS (
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM bands x JOIN bands y USING (band_key)
+       WHERE x.doc_id < y.doc_id
+     ),
+     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+     inter AS (
+       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       FROM cand c
+       JOIN sh a ON a.doc_id = c.doc_a
+       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       GROUP BY c.doc_a, c.doc_b
+     )
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+        >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- cluster representative selection -----------------------------------
 
 
@@ -722,6 +797,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_first": QuerySpec(
         fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
         note="materializing keep-lowest-id dedup",
+    ),
+    "dedup_containment_pairs": QuerySpec(
+        fn=containment_pairs,
+        oracle=_duck_containment(),
+        note="asymmetric-Jaccard containment over the LSH candidates: "
+        "catches subset-inclusion duplicates symmetric Jaccard misses",
     ),
     "dedup_group_representatives": QuerySpec(
         fn=lambda s, d: group_representatives(s, d),
