@@ -24,6 +24,45 @@ def test_ivf_recall(spark, sf_dir):
     assert _recall_at_10(spark, sf_dir) >= 0.9
 
 
+def test_int8_search_quality(spark):
+    """Top-10 cosine search over DEQUANTIZED int8 vectors must agree with
+    the float baseline on >= 9 of 10 neighbors — the check that the 4x
+    storage compression keeps retrieval usable."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+        _cos,
+        int8_quantize,
+        knn_brute_force,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    deq = int8_quantize(spark, sf).select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda c: (c * F.col("scale")).cast("double")
+        ).alias("embedding"),
+    )
+    q = deq.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    approx = {
+        r.vec_id
+        for r in deq.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", _cos(F.col("embedding"), F.col("qvec")).alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    }
+    exact = {r.vec_id for r in knn_brute_force(spark, sf).collect()}
+    assert len(exact & approx) >= 9
+
+
 def test_int8_quantize_roundtrip_error(spark):
     """Dequantized values must sit within half a quantization step of the
     original (the symmetric-int8 contract), and codes within [-127, 127]."""
