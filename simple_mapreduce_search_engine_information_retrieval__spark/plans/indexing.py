@@ -401,6 +401,20 @@ FROM ({duck_postings_flat(k)})
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "inv_postings_ranked_salted": QuerySpec(
+        fn=lambda s, d: postings_arrays_salted(s, d, 1)
+        .select("term", F.posexplode("postings").alias("pos", "p"))
+        .select(
+            "term",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.col("p.docno").alias("docno"),
+            F.col("p.tf").alias("tf"),
+        ),
+        oracle=duck_postings_ranked(1),
+        note="two-level salted heavy-hitter postings build held to the "
+        "SAME positional oracle as the plain array form — the skew path "
+        "driver-verified, not just locally equality-tested",
+    ),
     "inv_postings_ranked": QuerySpec(
         fn=postings_ranked,
         oracle=duck_postings_ranked(1),
