@@ -342,6 +342,78 @@ LEFT JOIN fs USING (doc_id)
 """
 
 
+# --- collocations (PMI) -------------------------------------------------
+# Pointwise mutual information over corpus bigrams: the collocation
+# detector (multi-word expressions) a tokenizer/vocab pipeline runs
+# before merge learning. Counts are exact; the log arithmetic is the
+# same double expression in both engines; ranking rounds first and
+# tie-breaks on the gram so the top-k cut is deterministic.
+PMI_MIN_COUNT = 20
+PMI_TOP_K = 50
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    words = docs.select(F.explode("toks").alias("w"))
+    bigrams = docs.select(
+        F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+    )
+    # totals derive from the aggregated tables (sum of counts), NOT from
+    # separate .count() jobs — one scan for words, one for bigrams
+    wc = words.groupBy("w").agg(F.count("*").alias("cw"))
+    bc_all = bigrams.groupBy("g").agg(F.count("*").alias("cg"))
+    n1df = wc.agg(F.sum("cw").cast("double").alias("n1"))
+    n2df = bc_all.agg(F.sum("cg").cast("double").alias("n2"))
+    bc = bc_all.filter(F.col("cg") >= PMI_MIN_COUNT)
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    w2 = F.split(F.col("g"), " ").getItem(1)
+    joined = (
+        bc.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(wc.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))), "w1")
+        .join(F.broadcast(wc.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n1df))
+        .crossJoin(F.broadcast(n2df))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cg") / F.col("n2"))
+            / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+        ),
+        6,
+    )
+    return (
+        joined.select("g", F.col("cg").alias("n_occ"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("g"))
+        .limit(PMI_TOP_K)
+    )
+
+
+def _duck_pmi() -> str:
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH d AS MATERIALIZED (SELECT {toks} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS w FROM d),
+b AS (SELECT unnest({duck_kgrams('toks', 2)}) AS g FROM d),
+wc AS (SELECT w, count(*) AS cw FROM w GROUP BY w),
+n1 AS (SELECT count(*) AS n FROM w),
+n2 AS (SELECT count(*) AS n FROM b),
+bc AS (SELECT g, count(*) AS cg FROM b GROUP BY g HAVING count(*) >= {PMI_MIN_COUNT})
+SELECT bc.g, bc.cg AS n_occ,
+       round(ln((bc.cg / CAST(n2.n AS DOUBLE))
+                / ((w1.cw / CAST(n1.n AS DOUBLE))
+                   * (w2.cw / CAST(n1.n AS DOUBLE)))), 6) AS pmi
+FROM bc
+JOIN wc w1 ON w1.w = string_split(bc.g, ' ')[1]
+JOIN wc w2 ON w2.w = string_split(bc.g, ' ')[2]
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, g
+LIMIT {PMI_TOP_K}
+"""
+
+
 # --- reproducible corpus splitting --------------------------------------
 # Deterministic train/val/test assignment: first hex digit of
 # md5(doc_id-as-string). Lowercase hex is lexicographically ordered, so
@@ -420,6 +492,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
     "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
     "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
+    "text_collocations_pmi": QuerySpec(
+        fn=collocations_pmi,
+        oracle=_duck_pmi(),
+        note="top-k PMI collocations (multi-word-expression detector; "
+        "deterministic rounded-then-tiebroken ranking)",
+    ),
     "text_rolling_fingerprints": QuerySpec(
         fn=rolling_fingerprints,
         oracle=DUCK_ROLLING_FPS,
