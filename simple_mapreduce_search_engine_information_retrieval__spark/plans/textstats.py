@@ -342,6 +342,37 @@ LEFT JOIN fs USING (doc_id)
 """
 
 
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health profile: the dashboard aggregate a
+    pipeline watches to catch one feed going bad (ratio drift = tokenizer
+    or scraper regression in that source)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_scores(spark, sf_dir)
+    return (
+        q.join(F.broadcast(docs), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
+        )
+    )
+
+
+def _duck_quality_by_source() -> str:
+    return f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(q.n_tokens), 4) AS avg_tokens,
+       round(avg(q.stopword_ratio), 4) AS avg_stopword_ratio,
+       round(avg(q.digit_ratio), 4) AS avg_digit_ratio
+FROM ({_duck_quality()}) q
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # --- collocations (PMI) -------------------------------------------------
 # Pointwise mutual information over corpus bigrams: the collocation
 # detector (multi-word expressions) a tokenizer/vocab pipeline runs
@@ -492,6 +523,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_scores": QuerySpec(fn=quality_scores, oracle=_duck_quality()),
     "text_lang_id": QuerySpec(fn=lang_id, oracle=_duck_lang_id()),
     "text_fingerprints": QuerySpec(fn=fingerprints, oracle=DUCK_FINGERPRINTS),
+    "text_quality_by_source": QuerySpec(
+        fn=quality_by_source,
+        oracle=_duck_quality_by_source(),
+        note="per-source corpus health profile (feed-regression monitor)",
+    ),
     "text_collocations_pmi": QuerySpec(
         fn=collocations_pmi,
         oracle=_duck_pmi(),
