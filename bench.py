@@ -139,6 +139,42 @@ def main() -> None:
         print(f"# bench search_phrase_indexed failed: {exc!r}", file=sys.stderr)
         timings["search_phrase_indexed_warm"] = -1.0
 
+    # ANN serving: multi-probe lookup against the PREBUILT partitioned
+    # IVF store (build untimed, warm-up, time the probe) — the
+    # vector-search twin of search_indexed_warm.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+            QUERY_VEC_ID,
+            query_ivf_store,
+            write_ivf_store,
+        )
+
+        ivf_dir = tempfile.mkdtemp(prefix="smse_bench_ivf_")
+        write_ivf_store(spark, sf_dir, ivf_dir)
+        qvec = list(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .head()
+            .embedding
+        )
+        query_ivf_store(spark, ivf_dir, qvec).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t0 = time.perf_counter()
+        query_ivf_store(spark, ivf_dir, qvec).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["knn_ivf_store_warm"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench knn_ivf_store failed: {exc!r}", file=sys.stderr)
+        timings["knn_ivf_store_warm"] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # steady-state index throughput vs BASELINE.md (reference: ~0.45 MiB/s
