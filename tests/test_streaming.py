@@ -80,3 +80,36 @@ def test_incremental_index_equals_batch(spark, sf_dir):
             got.exceptAll(want).count() == 0
             and want.exceptAll(got).count() == 0
         )
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, sf_dir):
+    """Durable-sink surface: a checkpointed parquet-sink stream drained
+    with availableNow, then RESTARTED from the same checkpoint, must not
+    re-emit rows (the file source+sink exactly-once contract a 100 TB
+    pipeline relies on across restarts)."""
+    import tempfile
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.streaming.jobs import (
+        read_events_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run_once():
+            q = (
+                read_events_stream(spark, sf_dir)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        n1 = spark.read.parquet(out).count()
+        run_once()  # restart: checkpoint marks the input processed
+        n2 = spark.read.parquet(out).count()
+        want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert n1 == n2 == want
