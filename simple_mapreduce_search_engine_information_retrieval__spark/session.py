@@ -31,10 +31,11 @@ def get_spark(app_name: str = "smse-spark", shuffle_partitions: int | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as epoch-nanos long and convert explicitly
-        # (timestamp_micros(ts div 1000)) where timestamp semantics are
-        # needed. DuckDB side uses epoch_ns() for the same integer value.
+        # older fixture generations carried events.ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects — read those as
+        # epoch-nanos long; sources/tables.py::ts_as_nanos normalizes the
+        # current timestamp[us] generation to the same canonical long.
+        # DuckDB side uses epoch_ns() for the same integer value.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
