@@ -26,11 +26,18 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the DRIVER's canon order of operations: sort the RAW
+    columns first, stringify after. The driver's sort factorizes raw
+    cells, so an unhashable cell (a plain list/ndarray output column,
+    e.g. an un-joined array<bigint>) hard-errors there; sorting raw here
+    reproduces that failure locally instead of masking it (round-3
+    embedding_int8_quantize lesson — stringify-before-sort hid it)."""
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 
 def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
@@ -57,7 +64,15 @@ def compare(spark_df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> li
             )
     if issues:
         return issues
-    sn, dn = _normalize(s), _normalize(d)
+    try:
+        sn, dn = _normalize(s), _normalize(d)
+    except TypeError as exc:
+        return [
+            "driver-canon sort failed — an output column holds raw "
+            f"lists/arrays (unhashable under the driver's factorize): {exc}. "
+            "Render arrays as strings (array_join / array_to_string) or "
+            "explode them to rows."
+        ]
     for c in sn.columns:
         sv, dv = sn[c], dn[c]
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":

@@ -524,10 +524,25 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def int8_quantize_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query rendering of int8_quantize: the quantized codes
+    emitted as a comma-joined string. A plain array<bigint> output column
+    is unsortable/unhashable under the grading canon (pandas factorize on
+    raw lists); the string rendering carries the identical information.
+    The array-returning int8_quantize stays the internal/dequantize API."""
+    return int8_quantize(spark, sf_dir).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+    )
+
+
 DUCK_INT8_QUANTIZE = """
 SELECT vec_id, round(s, 6) AS scale,
-       list_transform(embedding,
-                      v -> CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)) AS qvec
+       array_to_string(
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)),
+         ',') AS qvec_csv
 FROM (SELECT vec_id, embedding,
              list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS s
       FROM embeddings)
@@ -607,10 +622,11 @@ QUERIES: dict[str, QuerySpec] = {
         "value oracle (assignments match bit-for-bit)",
     ),
     "embedding_int8_quantize": QuerySpec(
-        fn=int8_quantize,
+        fn=int8_quantize_rendered,
         oracle=DUCK_INT8_QUANTIZE,
         note="symmetric per-vector int8 scalar quantization (4x storage "
-        "compressor with kept dequantize scale)",
+        "compressor with kept dequantize scale); codes rendered as a "
+        "csv string because raw list columns break the grading canon",
     ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS

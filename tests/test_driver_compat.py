@@ -11,6 +11,65 @@ import sys
 import textwrap
 
 
+def test_canon_rejects_raw_array_columns(spark):
+    """The round-3 regression class: the driver canon sorts RAW output
+    columns before hashing, so a plain array<bigint> column hard-errors
+    (factorize on unhashable lists). The local gate must reproduce that:
+    the raw-array int8 rendering FAILS compare(), the csv rendering
+    PASSES, and no registered query ships a top-level array/map column."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.oracle import (
+        compare,
+        duck_connect,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        DUCK_INT8_QUANTIZE,
+        int8_quantize,
+        int8_quantize_rendered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duck_connect(sf)
+    try:
+        raw_sql = """
+        SELECT vec_id, round(s, 6) AS scale,
+               list_transform(embedding,
+                              v -> CAST(floor(CAST(v AS DOUBLE) / s + 0.5) AS BIGINT)) AS qvec
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS s
+              FROM embeddings)
+        """
+        raw = int8_quantize(spark, sf)
+        issues = compare(raw, con, raw_sql)
+        assert issues and "driver-canon sort failed" in issues[0], issues
+        assert compare(int8_quantize_rendered(spark, sf), con, DUCK_INT8_QUANTIZE) == []
+    finally:
+        con.close()
+
+
+def test_no_registered_query_outputs_raw_arrays(spark):
+    """Schema-level guard over the whole registry: plan every query at
+    sf0.001 and assert no top-level ArrayType/MapType output column —
+    the driver canon cannot hash them (struct columns are fine: Rows are
+    tuples)."""
+    import io
+    from contextlib import redirect_stdout, redirect_stderr
+
+    from pyspark.sql.types import ArrayType, MapType
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in e.queries().items():
+        sink = io.StringIO()
+        with redirect_stdout(sink), redirect_stderr(sink):
+            schema = fn(spark, sf).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_vanilla_session_runs_contract():
     code = textwrap.dedent(
         """
