@@ -95,10 +95,16 @@ def value_gmean_by_type(events: DataFrame) -> DataFrame:
 
     @F.pandas_udf("double")
     def gmean(v: pd.Series) -> float:  # Series→scalar hint = GROUPED_AGG
+        import math
+
         arr = np.sort(v[v > 0].to_numpy(dtype=np.float64))
         if arr.size == 0:
             return 0.0
-        return float(round(np.exp(np.log(arr).mean()), 4))
+        # explicit half-up emit (floor(v*1e4+0.5)/1e4): Python round() is
+        # banker's, DuckDB's round() is half-up — same cross-engine
+        # rounding divergence class that bit the audio-duration kernel
+        g = float(np.exp(np.log(arr).mean()))
+        return math.floor(g * 1e4 + 0.5) / 1e4
 
     # pre-filter so a group with no positive values vanishes in BOTH
     # renderings (the oracle's WHERE runs before GROUP BY)

@@ -346,10 +346,13 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health profile: the dashboard aggregate a
     pipeline watches to catch one feed going bad (ratio drift = tokenizer
     or scraper regression in that source)."""
+    # NO broadcast hint: both sides are doc-cardinality (one row per
+    # corpus document), so a broadcast would OOM at scale — let AQE pick
+    # the join strategy on the doc_id shuffle.
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     q = quality_scores(spark, sf_dir)
     return (
-        q.join(F.broadcast(docs), "doc_id")
+        q.join(docs, "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -403,8 +406,11 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         bc.withColumn("w1", w1)
         .withColumn("w2", w2)
-        .join(F.broadcast(wc.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))), "w1")
-        .join(F.broadcast(wc.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))), "w2")
+        # unigram counts are vocabulary-cardinality (Heaps' law: huge at
+        # corpus scale) — no broadcast hint; the 1-row totals below are
+        # the only safe broadcasts here
+        .join(wc.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(wc.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
         .crossJoin(F.broadcast(n1df))
         .crossJoin(F.broadcast(n2df))
     )
