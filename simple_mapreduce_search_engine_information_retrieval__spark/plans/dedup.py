@@ -26,9 +26,14 @@ from pyspark.sql import functions as F
 
 from ..caches import register_cache
 from ..sources.tables import table
-from ..functions.tokenize import duck_kgrams, duck_tokens_list, tokens_col
+from ..functions.tokenize import (
+    duck_kgrams,
+    duck_tokens_list,
+    kgrams_col,
+)
 from . import QuerySpec
-from .indexing import doc_terms, duck_doc_terms
+from .corpus import tokenized_docs
+from .indexing import duck_doc_terms
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -39,10 +44,10 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups of byte-identical-after-normalization docs:
     (fingerprint, n_docs, keeper). Keeper = min doc_id (the row a
     pipeline would retain)."""
-    docs = table(spark, sf_dir, "documents")
-    fp = F.md5(F.array_join(tokens_col(F.col("text"), stopworded=False), " "))
+    staged = tokenized_docs(spark, sf_dir)
+    fp = F.md5(F.array_join(F.col("toks"), " "))
     return (
-        docs.select(fp.alias("fingerprint"), "doc_id")
+        staged.select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
@@ -59,8 +64,12 @@ GROUP BY fingerprint HAVING count(*) > 1
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_terms(spark, sf_dir, k=3).select(
-        F.col("docno").alias("doc_id"), F.col("term").alias("shingle")
+    # derived from the shared tokenized-corpus cache (kept ≡ the
+    # stopworded stream doc_terms uses), so shingle building shares its
+    # tokenize pass with the quality gates / fingerprints
+    staged = tokenized_docs(spark, sf_dir)
+    return staged.select(
+        "doc_id", F.explode(kgrams_col(F.col("kept"), 3)).alias("shingle")
     ).distinct()
 
 
@@ -359,13 +368,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here: explode tokens once, md5 once per token, then ONE partial+final
     # hash aggregate with 32 flat codegen'd sum(±1) columns, and the final
     # hash assembled in a flat projection.
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(tokens_col(F.col("text"), stopworded=False))
-        ).alias("term"),
-    ).select("doc_id", F.md5(F.col("term")).alias("h"))
+    toks = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(F.col("toks"))).alias("term"))
+        .select("doc_id", F.md5(F.col("term")).alias("h"))
+    )
 
     def bit(j: int):
         nibble = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
@@ -409,10 +416,8 @@ def adjacent_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for adjacent doc_id pairs — a dense,
     LSH-free n-gram-Jaccard reference line (and the oracle for what the
     LSH path may legitimately miss below threshold)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(tokens_col(F.col("text"), stopworded=False)).alias("ts"),
+    toks = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.col("toks")).alias("ts")
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     b = toks.select((F.col("doc_id") - 1).alias("doc_a"), F.col("ts").alias("ts_b"))
@@ -448,11 +453,11 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     group size. (doc_id, n_in_group)."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
-    fp = F.md5(F.array_join(tokens_col(F.col("text"), stopworded=False), " "))
+    staged = tokenized_docs(spark, sf_dir)
+    fp = F.md5(F.array_join(F.col("toks"), " "))
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        docs.select(fp.alias("fingerprint"), "doc_id")
+        staged.select(fp.alias("fingerprint"), "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
             "n_in_group", F.count("*").over(Window.partitionBy("fingerprint"))
@@ -571,9 +576,7 @@ PASSAGE_TOKENS = 50
 def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(chunk_hash, n_docs, n_occ) for non-final full chunks of
     PASSAGE_TOKENS tokens appearing in >= 2 distinct docs."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
-    )
+    docs = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
     from ..functions.tokenize import _bounded_sequence
 
     n_chunks = F.floor(F.size("toks") / PASSAGE_TOKENS)
@@ -754,11 +757,7 @@ CONTAM_N = 13
 def decontaminate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shared_grams) for training docs (doc_id >= N_EVAL_DOCS)
     sharing at least one CONTAM_N-gram with the eval docs."""
-    from ..functions.tokenize import kgrams_col
-
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
-    )
+    docs = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
     grams = docs.select(
         "doc_id",
         F.explode(

@@ -29,13 +29,12 @@ from .dedup import (
     DUCK_DEDUP_KEEP_FIRST,
     minhash_near_dups,
 )
+from .corpus import tokenized_docs
 from .textstats import (
     _duck_lang_id,
     _duck_quality,
     _duck_repetition,
-    lang_id,
-    quality_scores,
-    repetition_signals,
+    repetition_from_toks,
 )
 
 MIN_TOKENS = 25
@@ -50,13 +49,34 @@ MAX_DUP_5GRAM_FRAC = 0.30
 
 
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id) of documents surviving the full cleaning pipeline."""
-    quality_ok = quality_scores(spark, sf_dir).filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
+    """(doc_id) of documents surviving the full cleaning pipeline.
+
+    Tokenize-ONCE shape (round-3 verdict, Performance #1): every stage
+    derives from the shared cached (doc_id, toks, kept) scan
+    (plans/corpus.py) —
+
+    - the quality and language gates collapse into ONE expression filter:
+      both read the same rounded stopword share (quality bounds it above,
+      lang-ID below — this engine's en_ratio IS the stopword share by
+      construction), so no join and no second tokenize;
+    - repetition signals run over the shared toks (repetition_from_toks);
+    - the exact-dedup fingerprint and the MinHash shingles also read the
+      shared scan (plans/dedup.py).
+
+    Net: ONE corpus tokenize instead of five; the oracle SQL is unchanged
+    because every fused block is value-identical to its standalone twin.
+    """
+    staged = tokenized_docs(spark, sf_dir)
+    n = F.size("toks")
+    ratio = F.round(
+        (n - F.size("kept")) / F.greatest(n, F.lit(1)).cast("double"), 4
     )
-    lang_ok = lang_id(spark, sf_dir).filter(F.col("en_ratio") >= MIN_EN_RATIO)
-    repetition_ok = repetition_signals(spark, sf_dir).filter(
+    gates_ok = staged.select("doc_id", n.alias("n_tokens"), ratio.alias("r")).filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("r") <= MAX_STOPWORD_RATIO)
+        & (F.col("r") >= MIN_EN_RATIO)
+    )
+    repetition_ok = repetition_from_toks(staged.select("doc_id", "toks")).filter(
         (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
         & (F.col("dup_5gram_frac") <= MAX_DUP_5GRAM_FRAC)
     )
@@ -68,8 +88,7 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        quality_ok.select("doc_id")
-        .join(lang_ok.select("doc_id"), "doc_id")
+        gates_ok.select("doc_id")
         .join(repetition_ok.select("doc_id"), "doc_id")
         .join(exact_keepers.select("doc_id"), "doc_id")
         .join(near_dup_losers, "doc_id", "left_anti")

@@ -268,6 +268,13 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
     )
+    return repetition_from_toks(docs)
+
+
+def repetition_from_toks(docs: DataFrame) -> DataFrame:
+    """repetition_signals over a PRE-TOKENIZED (doc_id, toks) relation —
+    lets the cleaning pipeline derive the signals from its shared
+    tokenized scan instead of re-tokenizing the corpus."""
     tag = lambda arr, n: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
     )
