@@ -102,15 +102,43 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
     return latest
 
 
+# Queries whose IMPLEMENTATION changed this round: their latest green
+# verdict (if any) describes the OLD code, so bump them into the
+# never-checked bucket to force same-round re-verification (advisor r3 —
+# the stalest-first scheme alone cannot detect rewrites). Refresh this
+# list each round.
+CHANGED_THIS_ROUND = frozenset(
+    {
+        # r4: csv rendering (was the r3 FAIL — lands in bucket 0 anyway)
+        "embedding_int8_quantize",
+        # r4: tokenize-once shared scan rewired these plans
+        "pipeline_clean_corpus",
+        "dedup_exact_groups",
+        "dedup_keep_first",
+        "dedup_minhash_near_dups",
+        "dedup_simhash",
+        "dedup_adjacent_jaccard",
+        "dedup_duplicate_passages",
+        "pipeline_decontaminate",
+        "dedup_containment_pairs",
+        "dedup_group_representatives",
+        # r4: broadcast-hint / rounding changes
+        "text_quality_by_source",
+        "text_collocations_pmi",
+        "events_value_gmean_udaf",
+    }
+)
+
+
 def _check_priority(registry):
     latest = _latest_verdicts()
     insertion = {name: i for i, name in enumerate(registry)}
 
     def key(name):
-        if name not in latest:
-            bucket, rnd = 1, 0  # never driver-checked
-        elif not latest[name][1]:
+        if name in latest and not latest[name][1]:
             bucket, rnd = 0, latest[name][0]  # latest verdict is FAIL
+        elif name not in latest or name in CHANGED_THIS_ROUND:
+            bucket, rnd = 1, 0  # never checked OR implementation changed
         else:
             bucket, rnd = 2, latest[name][0]  # green; stalest first
         return (bucket, rnd, insertion[name])
