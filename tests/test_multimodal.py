@@ -37,6 +37,86 @@ def test_unknown_format_raises(spark):
         mm.extract_features(df).collect()
 
 
+def _encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit grayscale PNG via stdlib zlib — exercises the decoder
+    with a mix of filter types (none/sub/up on alternating scanlines)."""
+    import struct as st
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            st.pack(">I", len(data))
+            + ctype
+            + data
+            + st.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = st.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b""
+    prev = bytes(width)
+    for y in range(height):
+        line = pixels[y * width : (y + 1) * width]
+        ftype = y % 3
+        if ftype == 0:
+            raw += b"\x00" + line
+        elif ftype == 1:  # sub: delta vs left
+            raw += b"\x01" + bytes(
+                (line[x] - (line[x - 1] if x else 0)) & 0xFF for x in range(width)
+            )
+        else:  # up: delta vs previous scanline
+            raw += b"\x02" + bytes(
+                (line[x] - prev[x]) & 0xFF for x in range(width)
+            )
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decodes_through_kernel(spark):
+    """A REAL grayscale PNG (stdlib-encoded, mixed scanline filters) must
+    decode through the same mapInPandas kernel as the fake codec."""
+    w, h = 9, 7
+    pixels = bytes((3 * i + 1) % 251 for i in range(w * h))
+    png = _encode_png_gray(w, h, pixels)
+    df = spark.createDataFrame(
+        [(42, "image", "png", png, w, h, 1)], mm.MEDIA_SCHEMA
+    )
+    r = mm.extract_features(df).collect()[0]
+    assert (r.width, r.height, r.n_bytes) == (w, h, w * h)
+    assert r.max_px == max(pixels)
+    assert r.mean_px == round(sum(pixels) / len(pixels), 6)
+
+
+def test_real_wav_decodes_through_kernel(spark):
+    """A REAL mono 16-bit PCM WAV (stdlib wave-encoded) must flow through
+    the audio feature kernel."""
+    import io
+    import struct as st
+    import wave as wave_mod
+
+    rate, n = 16000, 480
+    s16 = [((i * 37) % 2048 - 1024) << 4 for i in range(n)]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(st.pack(f"<{n}h", *s16))
+    df = spark.createDataFrame(
+        [(7, "audio", "wav", buf.getvalue(), 0, 0, 1)], mm.MEDIA_SCHEMA
+    )
+    r = mm.audio_features(df).collect()[0]
+    assert (r.sample_rate, r.n_samples) == (rate, n)
+    assert r.duration_us == n * 1_000_000 // rate
+    expected = [(s >> 8) + 128 - 128 for s in s16]
+    assert r.peak == max(abs(s) for s in expected)
+    assert r.rms == round((sum(s * s for s in expected) / n) ** 0.5, 6)
+
+
 def test_media_stats_prunes_payload(spark, tmp_path):
     # pruning is only observable on a real columnar scan: write to
     # parquet, read back, and assert the scan's ReadSchema skips payload
