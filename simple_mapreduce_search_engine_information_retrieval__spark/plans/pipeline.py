@@ -118,7 +118,77 @@ WHERE q.n_tokens >= {MIN_TOKENS}
 """
 
 
+# Fixture-sized training context window (a real pipeline uses 2k-8k)
+CTX_TOKENS = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the token streams of all
+    documents in doc_id order and chunk into fixed CTX_TOKENS windows.
+    Emits (doc_id, n_tokens, start_tok, window_id, spans_boundary) — the
+    assignment a training-data writer materializes before shard-writing.
+
+    start_tok is an exclusive-prefix cumulative sum of token counts over
+    the shared tokenized scan. Scale note: the global ordered window is
+    a single-task stage at 100 TB; the range-partitioned two-pass
+    offsets formulation (docno_mapping_scalable) swaps in unchanged
+    because addition is associative — same contract, same oracle."""
+    staged = tokenized_docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    lens = staged.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    with_start = lens.select("doc_id", "n_tokens", start.alias("start_tok"))
+    first_w = F.floor(F.col("start_tok") / CTX_TOKENS).cast("long")
+    # empty docs occupy no tokens: treat them as length-1 for the
+    # boundary test so they never "span"
+    last_w = F.floor(
+        (F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / CTX_TOKENS
+    ).cast("long")
+    return with_start.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        first_w.alias("window_id"),
+        (first_w != last_w).alias("spans_boundary"),
+    )
+
+
+def _duck_pack_sequences() -> str:
+    from ..functions.tokenize import duck_tokens_list
+
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM lens
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {CTX_TOKENS} AS BIGINT) AS window_id,
+       (start_tok // {CTX_TOKENS})
+         != ((start_tok + greatest(n_tokens, 1) - 1) // {CTX_TOKENS})
+         AS spans_boundary
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_pack_sequences": QuerySpec(
+        fn=pack_sequences,
+        oracle=_duck_pack_sequences(),
+        note="GPT-style sequence packing: concat-in-order + fixed-window "
+        "chunk assignment via prefix-sum over the shared tokenized scan",
+    ),
     "pipeline_clean_corpus": QuerySpec(
         fn=clean_corpus,
         oracle=_duck_clean_corpus(),

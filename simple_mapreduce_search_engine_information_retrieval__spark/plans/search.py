@@ -456,7 +456,94 @@ WHERE term LIKE '{pre}%{suf}'
 """
 
 
+# Okapi BM25 constants (standard Robertson values)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def search_bm25(
+    spark: SparkSession, sf_dir: str, query: str, *, k: int = 1, top_k: int = TOP_K
+) -> DataFrame:
+    """Okapi BM25 top-k over the same warm index as the tf-idf search —
+    the modern ranking function next to the reference's REPL formula
+    (public Robertson/Lucene form with the positive idf variant):
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Doc length dl = sum(tf) over the doc's indexed terms — derived from
+    the cached postings, NO extra corpus scan; avgdl broadcast as a
+    one-row aggregate. The dl join keys on docno with the tiny hit side
+    broadcast (dl is doc-cardinality — never the broadcast side)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+    post, stats, n_docs = _warm_index(spark, sf_dir, k)
+    dl = post.groupBy("docno").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    hits = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats.join(F.broadcast(qdf), "term")), "term")
+        .join(dl, "docno")
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        hits.groupBy("docno")
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+        .select("docno", "score", F.row_number().over(w).cast("long").alias("rank"))
+    )
+
+
+def duck_search_bm25(query: str, *, k: int = 1, top_k: int = TOP_K) -> str:
+    terms = tokenize_query(query)
+    lits = ", ".join("'" + t + "'" for t in set(terms))
+    # e0-suffixed literals: a bare 1.2 parses as DECIMAL in DuckDB and
+    # decimal arithmetic would diverge from Spark's IEEE doubles
+    K1, B = f"{BM25_K1}e0", f"{BM25_B}e0"
+    return f"""
+WITH post AS ({duck_postings_flat(k)}),
+     stats AS ({duck_term_stats(k)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     dl AS (SELECT docno, sum(tf) AS dl FROM post GROUP BY docno),
+     ad AS (SELECT avg(dl) AS avgdl FROM dl),
+     scored AS (
+       SELECT post.docno,
+              round(sum(
+                ln(1e0 + (n.n_docs - stats.df + 0.5e0) / (stats.df + 0.5e0))
+                * (post.tf * ({K1} + 1)) /
+                  (post.tf + {K1} * (1 - {B} + {B} * dl.dl / ad.avgdl))
+              ), 6) AS score
+       FROM post JOIN stats USING (term) JOIN dl USING (docno)
+       CROSS JOIN n CROSS JOIN ad
+       WHERE post.term IN ({lits})
+       GROUP BY post.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "search_bm25": QuerySpec(
+        fn=lambda s, d: search_bm25(s, d, "spark join"),
+        oracle=duck_search_bm25("spark join"),
+        note="Okapi BM25 ranking over the warm index (positive-idf "
+        "Robertson form, dl/avgdl derived from the cached postings)",
+    ),
     "search_one_term": QuerySpec(
         fn=lambda s, d: search(s, d, "spark"),
         oracle=duck_search("spark"),
