@@ -182,7 +182,48 @@ FROM c
 """
 
 
+N_CURRICULUM_BUCKETS = 10
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum bucketing: ntile(N) over (n_tokens, doc_id) —
+    the short-to-long schedule assignment a curriculum-training pipeline
+    materializes. Deterministic via the doc_id tiebreak; same standard
+    ntile fill semantics in both engines. Scale note: the global ordered
+    window is single-task — at 100 TB swap in the two-pass
+    range-partitioned rank (docno_mapping_scalable pattern) and derive
+    bucket = floor(rank * N / count); same contract."""
+    from pyspark.sql import Window
+
+    staged = tokenized_docs(spark, sf_dir)
+    lens = staged.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    w = Window.orderBy("n_tokens", "doc_id")
+    return lens.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(N_CURRICULUM_BUCKETS).over(w).cast("long").alias("bucket"),
+    )
+
+
+def _duck_curriculum() -> str:
+    from ..functions.tokenize import duck_tokens_list
+
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+SELECT doc_id, n_tokens,
+       CAST(ntile({N_CURRICULUM_BUCKETS})
+            OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+FROM (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_curriculum_buckets": QuerySpec(
+        fn=curriculum_buckets,
+        oracle=_duck_curriculum(),
+        note="length-curriculum ntile bucketing over the shared "
+        "tokenized scan (short-to-long training schedule)",
+    ),
     "pipeline_pack_sequences": QuerySpec(
         fn=pack_sequences,
         oracle=_duck_pack_sequences(),

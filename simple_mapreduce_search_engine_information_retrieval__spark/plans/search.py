@@ -537,12 +537,71 @@ FROM topk
 """
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+def search_rrf(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Reciprocal-rank fusion of the tf-idf and BM25 rankers:
+    rrf(doc) = Σ_systems 1/(K + rank_system(doc)) over the systems that
+    returned the doc in their top-k. The standard zero-training ensemble
+    for combining rankers; exact rational arithmetic in doubles, so both
+    engines agree bit-for-bit. Output (docno, rrf, rank)."""
+    a = search(spark, sf_dir, query, top_k=top_k).select(
+        "docno", F.col("rank").alias("rank_tfidf")
+    )
+    b = search_bm25(spark, sf_dir, query, top_k=top_k).select(
+        "docno", F.col("rank").alias("rank_bm25")
+    )
+    fused = (
+        a.join(b, "docno", "full_outer")
+        .select(
+            "docno",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rank_tfidf")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rank_bm25")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("docno"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("docno"))
+    return fused.select(
+        "docno", "rrf", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def duck_search_rrf(query: str, *, top_k: int = TOP_K) -> str:
+    return f"""
+WITH a AS ({duck_search(query, top_k=top_k)}),
+     b AS ({duck_search_bm25(query, top_k=top_k)}),
+     fused AS (
+       SELECT coalesce(a.docno, b.docno) AS docno,
+              round(coalesce(1e0 / ({RRF_K} + a.rank), 0e0)
+                    + coalesce(1e0 / ({RRF_K} + b.rank), 0e0), 6) AS rrf
+       FROM a FULL OUTER JOIN b ON a.docno = b.docno
+     ),
+     topk AS (SELECT docno, rrf FROM fused ORDER BY rrf DESC, docno LIMIT {top_k})
+SELECT docno, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "search_bm25": QuerySpec(
         fn=lambda s, d: search_bm25(s, d, "spark join"),
         oracle=duck_search_bm25("spark join"),
         note="Okapi BM25 ranking over the warm index (positive-idf "
         "Robertson form, dl/avgdl derived from the cached postings)",
+    ),
+    "search_rrf_fusion": QuerySpec(
+        fn=lambda s, d: search_rrf(s, d, "spark join"),
+        oracle=duck_search_rrf("spark join"),
+        note="reciprocal-rank fusion of the tf-idf and BM25 top-10s — "
+        "the standard zero-training ranker ensemble",
     ),
     "search_one_term": QuerySpec(
         fn=lambda s, d: search(s, d, "spark"),
