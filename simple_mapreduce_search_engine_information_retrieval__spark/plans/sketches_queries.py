@@ -160,7 +160,62 @@ GROUP BY p.term
 """
 
 
+# K-minimum-values distinct estimator. Chosen over HLL for the oracle
+# path on purpose: Spark's approx_count_distinct is HLL++ whose sketch
+# layout is engine-private, but KMV is a pure function of the hashed
+# value set — est = (k-1)/u_(k) with u the k-th smallest normalized
+# hash — so the ESTIMATE itself is deterministic and cross-engine
+# checkable with the same portable md5 family as CMS/Bloom/MinHash.
+# Scale: one distinct + a k-row top-k (TakeOrdered) — combinable,
+# no driver loops. k=64 → ~13% stderr; gated loosely in tests.
+KMV_K = 64
+_KMV_GRAM = 3  # word-3-gram vocabulary (the 1-gram fixture pool is tiny)
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = doc_terms(spark, sf_dir, _KMV_GRAM).select("term").distinct()
+    hashed = vocab.select(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long").alias("h")
+    ).distinct()
+    kth = (
+        hashed.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("k"))
+    )
+    true_d = vocab.agg(F.count("*").alias("true_distinct"))
+    return kth.crossJoin(true_d).select(
+        "k",
+        F.round((F.col("k") - 1) * F.lit(4294967296.0) / F.col("hk"), 4).alias(
+            "est_distinct"
+        ),
+        "true_distinct",
+    )
+
+
+def _duck_kmv_distinct() -> str:
+    return f"""
+WITH vocab AS MATERIALIZED (
+       SELECT DISTINCT term FROM ({duck_doc_terms(_KMV_GRAM)})),
+     hashed AS (
+       SELECT DISTINCT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+       FROM vocab),
+     kth AS (
+       SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k
+       FROM (SELECT h FROM hashed ORDER BY h LIMIT {KMV_K})),
+     t AS (SELECT count(*) AS true_distinct FROM vocab)
+SELECT k, round((k - 1) * 4294967296e0 / hk, 4) AS est_distinct, true_distinct
+FROM kth, t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_kmv_distinct": QuerySpec(
+        fn=kmv_distinct,
+        oracle=_duck_kmv_distinct(),
+        note="KMV distinct-count estimator over the 3-gram vocabulary — "
+        "portable alternative to HLL whose estimate is itself "
+        "deterministic and oracle-checked",
+    ),
     "sketch_cms_estimates": QuerySpec(
         fn=cms_estimates,
         oracle=_duck_cms_estimates(),

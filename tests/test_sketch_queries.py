@@ -43,3 +43,17 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     for t in BLOOM_PROBES:
         if t in vocab:
             assert got[t] is True, t
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV with k=64 has ~13% stderr; gate loosely at 50% relative error
+    (the estimate itself is deterministic — exactness is the oracle's
+    job, this guards the estimator's statistical sanity)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.sketches_queries import (
+        kmv_distinct,
+    )
+
+    r = kmv_distinct(spark, sf_dir).collect()[0]
+    assert r.k >= 1 and r.true_distinct >= r.k
+    rel_err = abs(r.est_distinct - r.true_distinct) / r.true_distinct
+    assert rel_err < 0.5, (r.est_distinct, r.true_distinct)
