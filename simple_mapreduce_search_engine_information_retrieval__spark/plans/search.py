@@ -537,6 +537,49 @@ FROM topk
 """
 
 
+TOP_TERMS_PER_DOC = 3
+
+
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k tf-idf terms — the sparse keyword-extraction
+    pass (doc → representative terms) a corpus-analytics or retrieval
+    pipeline materializes. One ranking window over the warm postings
+    joined to dictionary-sized stats; output is docs×k rows, never the
+    full postings."""
+    post, stats, n_docs = _warm_index(spark, sf_dir, 1)
+    tfidf = F.round(
+        (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df")), 6
+    )
+    w = Window.partitionBy("docno").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        post.join(stats.select("term", "df"), "term")
+        .select("docno", "term", tfidf.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
+    )
+
+
+def duck_top_terms_per_doc() -> str:
+    return f"""
+WITH post AS ({duck_postings_flat(1)}),
+     stats AS ({duck_term_stats(1)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     scored AS (
+       SELECT post.docno, post.term,
+              round((1 + ln(post.tf)) * log10(n.n_docs / stats.df), 6) AS tfidf
+       FROM post JOIN stats USING (term) CROSS JOIN n
+     ),
+     ranked AS (
+       SELECT docno, term, tfidf,
+              row_number() OVER (PARTITION BY docno
+                                 ORDER BY tfidf DESC, term) AS rk
+       FROM scored
+     )
+SELECT docno, term, tfidf, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {TOP_TERMS_PER_DOC}
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 
 
@@ -602,6 +645,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search_rrf("spark join"),
         note="reciprocal-rank fusion of the tf-idf and BM25 top-10s — "
         "the standard zero-training ranker ensemble",
+    ),
+    "search_top_terms_per_doc": QuerySpec(
+        fn=top_terms_per_doc,
+        oracle=duck_top_terms_per_doc(),
+        note="per-doc top-3 tf-idf keyword extraction via one ranking "
+        "window over the warm postings",
     ),
     "search_one_term": QuerySpec(
         fn=lambda s, d: search(s, d, "spark"),

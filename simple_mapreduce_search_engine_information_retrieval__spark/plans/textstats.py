@@ -253,6 +253,54 @@ GROUP BY piece
 """
 
 
+# Heaps-law vocabulary growth: vocab size after the first N docs, in
+# STEP-doc increments. One first-occurrence aggregate (per term:
+# min docno) + a STEP-bucket histogram + a ~|corpus|/STEP-row running
+# sum — NO per-prefix distinct recomputation (the naive formulation is
+# quadratic in prefix count). Over the word-3-GRAM vocabulary: the
+# fixture's 31-word 1-gram pool saturates inside the first bucket,
+# while the 3-gram vocabulary keeps growing corpus-wide.
+VOCAB_GROWTH_STEP = 50
+_VOCAB_GRAM = 3
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .indexing import doc_terms
+
+    first = (
+        doc_terms(spark, sf_dir, _VOCAB_GRAM)
+        .groupBy("term")
+        .agg(F.min("docno").alias("fd"))
+    )
+    buckets = first.groupBy(
+        F.floor(F.col("fd") / VOCAB_GROWTH_STEP).cast("long").alias("b")
+    ).agg(F.count("*").alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        ((F.col("b") + 1) * VOCAB_GROWTH_STEP).cast("long").alias("prefix_docs"),
+        F.sum("c").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+def _duck_vocab_growth() -> str:
+    from .indexing import duck_doc_terms
+
+    return f"""
+WITH first AS (
+  SELECT term, min(docno) AS fd
+  FROM ({duck_doc_terms(_VOCAB_GRAM)}) GROUP BY term
+),
+b AS (SELECT fd // {VOCAB_GROWTH_STEP} AS b, count(*) AS c FROM first GROUP BY 1)
+SELECT CAST((b + 1) * {VOCAB_GROWTH_STEP} AS BIGINT) AS prefix_docs,
+       CAST(sum(c) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM b
+"""
+
+
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals per document:
     top_word_frac (share of occurrences held by the most frequent
@@ -554,6 +602,12 @@ QUERIES: dict[str, QuerySpec] = {
         "stream (order-sensitive, incrementally maintainable)",
     ),
     "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
+    "text_vocab_growth": QuerySpec(
+        fn=vocab_growth,
+        oracle=_duck_vocab_growth(),
+        note="Heaps-law vocabulary growth curve via first-occurrence "
+        "histogram + running sum (no per-prefix distinct recompute)",
+    ),
     "text_bpe_vocab": QuerySpec(
         fn=bpe_vocab,
         oracle=DUCK_BPE_VOCAB,
