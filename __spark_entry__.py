@@ -45,6 +45,7 @@ def _registry():
         "sketches_queries",
         "pipeline",
         "sinks_sources",
+        "graph",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,119 @@
+"""Graph analytics over the term co-occurrence graph.
+
+PageRank with FIXED-POINT integer arithmetic: every probability is a
+scaled BIGINT (units of 1e-12) and every operation is integer add /
+multiply / floor-divide — associative and identical in Spark and DuckDB,
+so an iterative float-free PageRank carries a full value oracle (the
+same trick class as the decimal-accumulated k-means: make the iterative
+math exact, then cross-engine determinism is free).
+
+Graph: nodes = the 1-gram vocabulary; edges = term co-occurrence within
+a document (both directions, deduplicated). The fixture vocabulary is
+dictionary-sized, but the plan is corpus-scale: the edge build is a
+docno self-join of the distinct (docno, term) stream (bounded by
+per-doc vocabulary, the classic co-occurrence shape), and each
+iteration is one join + one partial-aggregated sum over edges — the
+standard distributed PageRank step.
+
+Scale notes: node count n is read driver-side at plan time (one count
+of a dictionary-sized relation — same discipline as the ANN probe
+planning); rank updates shuffle on dst with map-side combine; the
+damping redistribution is a constant, not a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from .indexing import doc_terms, duck_doc_terms
+
+PR_SCALE = 10**12  # fixed-point unit: 1e-12 probability
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_ITERS = 2  # unrolled below; every round is the same one-join step
+
+
+def _edges_outdeg_nodes(spark: SparkSession, sf_dir: str):
+    dt = doc_terms(spark, sf_dir, 1).distinct()
+    a = dt.select(F.col("term").alias("src"), "docno")
+    b = dt.select(F.col("term").alias("dst"), "docno")
+    edges = (
+        a.join(b, "docno")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = dt.select(F.col("term").alias("node")).distinct()
+    return edges, outdeg, nodes
+
+
+def pagerank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, pr_scaled): two unrolled PageRank rounds in scaled-BIGINT
+    arithmetic — p'(v) = (15*SCALE)//(100*n) + (85 * Σ_u p(u)//deg(u))//100."""
+    edges, outdeg, nodes = _edges_outdeg_nodes(spark, sf_dir)
+    n = nodes.count()  # dictionary-sized; plan-time constant
+    base = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
+    p0 = PR_SCALE // n
+
+    def step(p_df: DataFrame | None) -> DataFrame:
+        if p_df is None:  # uniform p0: share is a per-src constant
+            shares = edges.join(outdeg, "src").select(
+                "dst", F.expr(f"{p0} div deg").alias("share")
+            )
+        else:
+            shares = (
+                edges.join(p_df.withColumnRenamed("node", "src"), "src")
+                .join(outdeg, "src")
+                .select("dst", F.expr("p div deg").alias("share"))
+            )
+        s = shares.groupBy("dst").agg(F.sum("share").alias("s"))
+        return nodes.join(
+            s, nodes["node"] == s["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{PR_D_NUM} * coalesce(s, 0) div {PR_D_DEN}")
+            ).cast("long").alias("p"),
+        )
+
+    p = step(step(None))
+    return p.select(F.col("node").alias("term"), F.col("p").alias("pr_scaled"))
+
+
+def _duck_pagerank() -> str:
+    base = f"({PR_D_DEN - PR_D_NUM} * {PR_SCALE}) // ({PR_D_DEN} * n.n)"
+    return f"""
+WITH dt AS MATERIALIZED (SELECT DISTINCT docno, term FROM ({duck_doc_terms(1)})),
+     edges AS MATERIALIZED (
+       SELECT DISTINCT a.term AS src, b.term AS dst
+       FROM dt a JOIN dt b USING (docno) WHERE a.term != b.term),
+     outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+     nodes AS (SELECT DISTINCT term AS node FROM dt),
+     n AS (SELECT count(*) AS n FROM nodes),
+     s1 AS (SELECT e.dst, sum(({PR_SCALE} // n.n) // o.deg) AS s
+            FROM edges e JOIN outdeg o ON o.src = e.src CROSS JOIN n
+            GROUP BY e.dst),
+     p1 AS (SELECT node, {base} + ({PR_D_NUM} * coalesce(s1.s, 0)) // {PR_D_DEN} AS p
+            FROM nodes CROSS JOIN n LEFT JOIN s1 ON s1.dst = node),
+     s2 AS (SELECT e.dst, sum(p1.p // o.deg) AS s
+            FROM edges e JOIN p1 ON p1.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst),
+     p2 AS (SELECT node, {base} + ({PR_D_NUM} * coalesce(s2.s, 0)) // {PR_D_DEN} AS p
+            FROM nodes CROSS JOIN n LEFT JOIN s2 ON s2.dst = node)
+SELECT node AS term, CAST(p AS BIGINT) AS pr_scaled FROM p2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_pagerank_terms": QuerySpec(
+        fn=pagerank_terms,
+        oracle=_duck_pagerank(),
+        note="fixed-point integer PageRank (2 unrolled rounds) over the "
+        "term co-occurrence graph — iterative algorithm with exact "
+        "cross-engine arithmetic, full value oracle",
+    ),
+}

@@ -275,7 +275,53 @@ GROUP BY 1, 2
 """
 
 
+NS_PER_WEEK = 7 * 86_400_000_000_000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = the epoch-week of a user's
+    FIRST event; week-k retention = distinct cohort users active k weeks
+    later. (cohort_week, week_offset, n_users). Exact integer week math
+    on the canonical epoch-nanos ts (float division would lose ulps at
+    1e18). Shape: one user-keyed aggregate for first-weeks + a distinct
+    over (user, week), joined on user_id — both sides user-cardinality,
+    deliberately NO broadcast hint (AQE decides; at 100 TB this is a
+    co-partitioned shuffle join). The post-distinct rows are unique per
+    (user, week), so the final count(*) IS the distinct-user count —
+    no count_distinct shuffle."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {NS_PER_WEEK}").cast("long").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+DUCK_RETENTION = f"""
+WITH ev AS (SELECT user_id, epoch_ns(ts) // {NS_PER_WEEK} AS week FROM events),
+     firsts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+     active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset, count(*) AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_retention_cohorts": QuerySpec(
+        fn=retention_cohorts,
+        oracle=DUCK_RETENTION,
+        note="weekly cohort retention grid via exact integer epoch-week "
+        "math; distinct-(user,week) makes the final count shuffle-free",
+    ),
     "streaming_enriched_segments": QuerySpec(
         fn=enriched_segments,
         oracle=DUCK_ENRICHED_SEGMENTS,
