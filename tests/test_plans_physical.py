@@ -132,3 +132,26 @@ def test_acronym_postings_stay_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     m = re.search(r"ReadSchema: [^\n]*", plan)
     assert m and "text" in m.group(0), plan[:2000]
+
+
+def test_bm25_lookup_is_all_broadcast(spark, sf_dir):
+    """The BM25 serving path must never shuffle-join: query side, stats,
+    dl lookup, and avgdl are all broadcast against the postings."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search_bm25,
+    )
+
+    plan = _physical(search_bm25(spark, sf_dir, "spark join"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_scan_pruned(spark, sf_dir):
+    """Sequence packing reads only (doc_id, text) — one pruned scan (or
+    the cached shared tokenized relation) and no Python nodes."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        pack_sequences,
+    )
+
+    plan = _physical(pack_sequences(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
