@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 
 from ..sources.tables import table
 from . import QuerySpec
+from .indexing import duck_postings_flat
 
 _WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehouse")
 
@@ -168,7 +169,43 @@ DUCK_PARTITIONED_LANG = (
 )
 
 
+def index_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-style BATCH compaction of the index store: a base postings
+    shard (even docnos) and a delta shard (odd docnos) are written as
+    separate parquet stores, then compacted — union → re-aggregate
+    (groupBy (term, docno) sum(tf): a no-op on disjoint append-only
+    shards, but it IS the general merge rule) → ONE rewritten store,
+    read back and value-compared against the full-corpus postings
+    oracle. Complements streaming_incremental_index (the streaming
+    append path) with the compaction job a real LSM index runs; at
+    100 TB each side is one shuffle-free parquet scan and the merge is
+    one combinable aggregate."""
+    from .indexing import postings_flat
+
+    post = postings_flat(spark, sf_dir, 1)
+    base_p = _out_path("idx_base", sf_dir)
+    delta_p = _out_path("idx_delta", sf_dir)
+    merged_p = _out_path("idx_merged", sf_dir)
+    post.filter(F.col("docno") % 2 == 0).write.mode("overwrite").parquet(base_p)
+    post.filter(F.col("docno") % 2 == 1).write.mode("overwrite").parquet(delta_p)
+    (
+        spark.read.parquet(base_p)
+        .unionByName(spark.read.parquet(delta_p))
+        .groupBy("term", "docno")
+        .agg(F.sum("tf").alias("tf"))
+        .write.mode("overwrite")
+        .parquet(merged_p)
+    )
+    return spark.read.parquet(merged_p).select("term", "docno", "tf")
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "index_compaction_roundtrip": QuerySpec(
+        fn=index_compaction_roundtrip,
+        oracle=duck_postings_flat(1),
+        note="LSM base+delta shard write -> compaction merge -> re-read, "
+        "value-equal to the full-corpus postings build",
+    ),
     "tsv_docno_roundtrip": QuerySpec(
         fn=tsv_docno_roundtrip,
         oracle=DUCK_TSV_DOCNO,
