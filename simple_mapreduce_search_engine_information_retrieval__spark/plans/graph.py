@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec
-from .indexing import doc_terms, duck_doc_terms
+from .indexing import duck_doc_terms
 
 PR_SCALE = 10**12  # fixed-point unit: 1e-12 probability
 PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
@@ -35,17 +35,28 @@ PR_ITERS = 2  # unrolled below; every round is the same one-join step
 
 
 def _edges_outdeg_nodes(spark: SparkSession, sf_dir: str):
-    dt = doc_terms(spark, sf_dir, 1).distinct()
+    # per-doc DISTINCT terms from the shared tokenized scan (one corpus
+    # pass, cached) — the co-occurrence self-join then runs over the
+    # small (docno, term) stream
+    from .corpus import tokenized_docs
+
+    dt = tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"),
+        F.explode(F.array_distinct(F.col("kept"))).alias("term"),
+    )
     a = dt.select(F.col("term").alias("src"), "docno")
     b = dt.select(F.col("term").alias("dst"), "docno")
+    # edges/outdeg/nodes are dictionary-sized and referenced by both
+    # unrolled iterations — cache so the co-occurrence join runs once
     edges = (
         a.join(b, "docno")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .cache()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = dt.select(F.col("term").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    nodes = dt.select(F.col("term").alias("node")).distinct().cache()
     return edges, outdeg, nodes
 
 

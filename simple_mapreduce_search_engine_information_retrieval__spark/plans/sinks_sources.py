@@ -183,14 +183,21 @@ def index_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .indexing import postings_flat
 
     post = postings_flat(spark, sf_dir, 1)
-    base_p = _out_path("idx_base", sf_dir)
-    delta_p = _out_path("idx_delta", sf_dir)
+    shards_p = _out_path("idx_shards", sf_dir)
     merged_p = _out_path("idx_merged", sf_dir)
-    post.filter(F.col("docno") % 2 == 0).write.mode("overwrite").parquet(base_p)
-    post.filter(F.col("docno") % 2 == 1).write.mode("overwrite").parquet(delta_p)
+    # ONE pass writes both shards via partitionBy (two .filter writes
+    # would tokenize the corpus twice); shard directories stand in for
+    # the base and delta stores of the LSM layout
     (
-        spark.read.parquet(base_p)
-        .unionByName(spark.read.parquet(delta_p))
+        post.withColumn("shard", (F.col("docno") % 2).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(shards_p)
+    )
+    base = spark.read.parquet(shards_p).filter(F.col("shard") == 0)
+    delta = spark.read.parquet(shards_p).filter(F.col("shard") == 1)
+    (
+        base.unionByName(delta)
         .groupBy("term", "docno")
         .agg(F.sum("tf").alias("tf"))
         .write.mode("overwrite")
