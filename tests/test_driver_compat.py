@@ -70,6 +70,16 @@ def test_no_registered_query_outputs_raw_arrays(spark):
     assert not offenders, offenders
 
 
+def test_changed_this_round_names_exist():
+    """Every name in CHANGED_THIS_ROUND must be a registered query — a
+    typo or a renamed query would silently drop the re-verify bump."""
+    import __spark_entry__ as e
+
+    registry = set(e.queries())
+    missing = set(e.CHANGED_THIS_ROUND) - registry
+    assert not missing, missing
+
+
 def test_vanilla_session_runs_contract():
     code = textwrap.dedent(
         """
