@@ -99,7 +99,14 @@ def test_vanilla_session_runs_contract():
         sf = "/root/testdata/sf0.001"
         for name in ["events_hourly", "streaming_sessionize_users",
                      "events_user_zscores", "search_two_term",
-                     "text_quality_scores", "dedup_simhash"]:
+                     "text_quality_scores", "dedup_simhash",
+                     # round-4 surfaces: warm-index BM25, shared
+                     # tokenized scan, nanos week math, file-writing
+                     # compaction, cached graph
+                     "search_bm25", "pipeline_pack_sequences",
+                     "events_retention_cohorts",
+                     "index_compaction_roundtrip",
+                     "graph_pagerank_terms"]:
             out[name] = q[name](spark, sf).count()
         print("RESULT:" + json.dumps(out))
         """
