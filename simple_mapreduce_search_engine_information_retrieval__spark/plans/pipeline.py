@@ -182,6 +182,56 @@ FROM c
 """
 
 
+# Fixed public weights for the linear quality classifier — the
+# deterministic stand-in for a fastText/logreg quality model (the
+# score's SHAPE and the serving plan are the deliverable; a trained
+# model swaps in behind the same contract). Features are the already-
+# oracled quality signals, so both engines compute z from identical
+# rounded inputs.
+CLF_BIAS = -2.0
+CLF_W_LN_TOKENS = 0.5
+CLF_W_STOPWORD = 3.0
+CLF_W_DIGIT = -4.0
+CLF_W_PUNCT = -2.0
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, keep): sigmoid of a fixed linear model over the
+    quality signals — model-inference as a pure expression select over
+    the signal pass (no UDF, no extra scan beyond quality_scores)."""
+    from .textstats import quality_scores
+
+    q = quality_scores(spark, sf_dir)
+    z = (
+        F.lit(CLF_BIAS)
+        + CLF_W_LN_TOKENS * F.log(F.col("n_tokens") + 1)
+        + CLF_W_STOPWORD * F.col("stopword_ratio")
+        + CLF_W_DIGIT * F.col("digit_ratio")
+        + CLF_W_PUNCT * F.col("punct_ratio")
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    return q.select(
+        "doc_id", score.alias("score"), (score >= 0.5).alias("keep")
+    )
+
+
+def _duck_quality_classifier() -> str:
+    from .textstats import _duck_quality
+
+    z = (
+        f"({CLF_BIAS}e0 + {CLF_W_LN_TOKENS}e0 * ln(n_tokens + 1) "
+        f"+ {CLF_W_STOPWORD}e0 * stopword_ratio "
+        f"+ {CLF_W_DIGIT}e0 * digit_ratio "
+        f"+ {CLF_W_PUNCT}e0 * punct_ratio)"
+    )
+    return f"""
+SELECT doc_id,
+       round(1e0 / (1e0 + exp(-{z})), 4) AS score,
+       round(1e0 / (1e0 + exp(-{z})), 4) >= 0.5 AS keep
+FROM ({_duck_quality()})
+"""
+
+
 N_CURRICULUM_BUCKETS = 10
 
 
@@ -218,6 +268,12 @@ FROM (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_quality_classifier": QuerySpec(
+        fn=quality_classifier,
+        oracle=_duck_quality_classifier(),
+        note="fixed-weight sigmoid quality model over the oracled "
+        "signal pass — expression-only model inference",
+    ),
     "pipeline_curriculum_buckets": QuerySpec(
         fn=curriculum_buckets,
         oracle=_duck_curriculum(),

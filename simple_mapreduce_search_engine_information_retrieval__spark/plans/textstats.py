@@ -253,6 +253,50 @@ GROUP BY piece
 """
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram surprisal -ln p(token), with the corpus
+    itself as the language model (p = corpus count / total occurrences)
+    — the CCNet-style LM-perplexity quality gate: boilerplate scores
+    low, token salad scores high. One count aggregate + one term-keyed
+    join (vocabulary-cardinality — deliberately NO broadcast hint) +
+    one per-doc aggregate; the 1-row total is the only broadcast.
+    Cross-engine float note: the per-doc sum of ~1e2 ln() terms agrees
+    far inside the 4-dp rounding (same tolerance argument as the
+    percentile/gmean queries)."""
+    from .indexing import doc_terms
+
+    dt = doc_terms(spark, sf_dir, 1)
+    wc = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("double").alias("tot"))
+    return (
+        dt.join(wc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("docno")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("tot"))), 4
+            ).alias("mean_surprisal"),
+        )
+        .select(F.col("docno").alias("doc_id"), "n_tokens", "mean_surprisal")
+    )
+
+
+def _duck_surprisal() -> str:
+    from .indexing import duck_doc_terms
+
+    return f"""
+WITH dt AS MATERIALIZED ({duck_doc_terms(1)}),
+     wc AS (SELECT term, count(*) AS cnt FROM dt GROUP BY term),
+     tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM wc)
+SELECT dt.docno AS doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(wc.cnt / tot.tot)), 4) AS mean_surprisal
+FROM dt JOIN wc USING (term) CROSS JOIN tot
+GROUP BY dt.docno
+"""
+
+
 # Heaps-law vocabulary growth: vocab size after the first N docs, in
 # STEP-doc increments. One first-occurrence aggregate (per term:
 # min docno) + a STEP-bucket histogram + a ~|corpus|/STEP-row running
@@ -602,6 +646,12 @@ QUERIES: dict[str, QuerySpec] = {
         "stream (order-sensitive, incrementally maintainable)",
     ),
     "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
+    "text_unigram_surprisal": QuerySpec(
+        fn=unigram_surprisal,
+        oracle=_duck_surprisal(),
+        note="CCNet-style per-doc LM-surprisal quality signal (corpus "
+        "unigram model), vocabulary join unhinted",
+    ),
     "text_vocab_growth": QuerySpec(
         fn=vocab_growth,
         oracle=_duck_vocab_growth(),
