@@ -497,9 +497,9 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _duck_sq_dist(a: str, b: str) -> str:
+def _duck_sq_dist(a: str, b: str, dim: int = DIM) -> str:
     return (
-        f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
         f"i -> pow(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)), 'sum')"
     )
 
@@ -631,6 +631,86 @@ FROM (SELECT vec_id, embedding,
 """
 
 
+# --- product quantization (PQ) ------------------------------------------
+# The third embedding compressor next to int8 (scalar) and IVF (coarse):
+# split each vector into PQ_M subvectors, learn a per-subspace codebook
+# (deterministic stride sample — same discipline as the IVF seeds), code
+# each subvector as its argmin-squared-L2 centroid. Storage: PQ_M small
+# ints per vector. Assignment reuses the struct-min argmax pattern, so
+# codes are deterministic and fully oracled. At scale: one broadcast
+# codebook pass per subspace over a SLICED projection (narrow), N-row
+# shuffle per subspace, joined on vec_id.
+PQ_M = 2
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0, code1): per-subspace PQ codes."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = emb.agg(
+        F.greatest(F.floor(F.count("*") / PQ_K), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    out = None
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("sv")
+        )
+        cents = seeds.select(
+            "cent_id", F.slice("cvec", m * PQ_SUB + 1, PQ_SUB).alias("cv")
+        )
+        pairs = sub.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cent_id", _sq_dist(F.col("sv"), F.col("cv")).alias("d")
+        )
+        codes = (
+            pairs.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.c").cast("long").alias(f"code{m}"))
+        )
+        out = codes if out is None else out.join(codes, "vec_id")
+    return out
+
+
+def _duck_pq() -> str:
+    subs = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUB + 1
+        hi = (m + 1) * PQ_SUB
+        sq = _duck_sq_dist(
+            f"list_slice(v.embedding, {lo}, {hi})",
+            f"list_slice(c.cvec, {lo}, {hi})",
+            PQ_SUB,
+        )
+        subs.append(
+            f"""p{m} AS (SELECT v.vec_id, c.cent_id, {sq} AS d
+           FROM v CROSS JOIN seeds c),
+     a{m} AS (SELECT vec_id,
+                     CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS code{m}
+              FROM p{m} GROUP BY vec_id)"""
+        )
+    joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, PQ_M))
+    cols = ", ".join(f"code{m}" for m in range(PQ_M))
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+     n0 AS (SELECT greatest(count(*) // {PQ_K}, 1) AS stride FROM v),
+     seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
+               FROM v, n0 WHERE vec_id % n0.stride = 0),
+     {", ".join(subs)}
+SELECT a0.vec_id, {cols} FROM a0 {joins}
+"""
+
+
 BATCH_QUERY_IDS = (0, 1, 2, 3, 4)
 
 
@@ -718,6 +798,13 @@ QUERIES: dict[str, QuerySpec] = {
         note="symmetric per-vector int8 scalar quantization (4x storage "
         "compressor with kept dequantize scale); codes rendered as a "
         "csv string because raw list columns break the grading canon",
+    ),
+    "embedding_pq_codes": QuerySpec(
+        fn=pq_codes,
+        oracle=_duck_pq(),
+        note="2-subspace product-quantization codes (stride codebooks, "
+        "struct-min argmin assignment) — the PQ compressor next to "
+        "int8 and IVF, fully oracled",
     ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS

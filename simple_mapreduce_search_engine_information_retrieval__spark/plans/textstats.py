@@ -297,6 +297,69 @@ GROUP BY dt.docno
 """
 
 
+# Vocabulary drift between the first and second corpus half (by doc_id)
+# — the tokenizer/scraper regression detector a feed-health dashboard
+# watches: a term whose frequency shifts hard between halves flags a
+# source change. Laplace +1 smoothing keeps absent terms finite; ranking
+# rounds first and tiebreaks on term so the top-k cut is deterministic.
+DRIFT_MIN_COUNT = 20
+DRIFT_TOP_K = 40
+
+
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .indexing import doc_terms
+
+    dt = doc_terms(spark, sf_dir, 1)
+    # integer floor div (`div` / `//`): float division + cast would
+    # truncate in Spark but round in DuckDB on odd doc counts
+    half = dt.agg(F.max("docno").alias("mx")).select(
+        F.expr("(mx + 1) div 2").cast("long").alias("h")
+    )
+    counts = (
+        dt.crossJoin(F.broadcast(half))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("docno") < F.col("h"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("docno") >= F.col("h"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+        .filter(F.col("cnt_a") + F.col("cnt_b") >= DRIFT_MIN_COUNT)
+    )
+    log_ratio = F.round(
+        F.log((F.col("cnt_a") + 1.0) / (F.col("cnt_b") + 1.0)), 4
+    )
+    return (
+        counts.select("term", "cnt_a", "cnt_b", log_ratio.alias("log_ratio"))
+        .orderBy(F.abs(F.col("log_ratio")).desc(), F.asc("term"))
+        .limit(DRIFT_TOP_K)
+    )
+
+
+def _duck_vocab_drift() -> str:
+    from .indexing import duck_doc_terms
+
+    return f"""
+WITH dt AS MATERIALIZED ({duck_doc_terms(1)}),
+     half AS (SELECT CAST((max(docno) + 1) // 2 AS BIGINT) AS h FROM dt),
+     counts AS (
+       SELECT term,
+              CAST(sum(CASE WHEN docno < h THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+              CAST(sum(CASE WHEN docno >= h THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       FROM dt CROSS JOIN half
+       GROUP BY term
+       HAVING sum(1) >= {DRIFT_MIN_COUNT}
+     )
+SELECT term, cnt_a, cnt_b,
+       round(ln((cnt_a + 1e0) / (cnt_b + 1e0)), 4) AS log_ratio
+FROM counts
+ORDER BY abs(round(ln((cnt_a + 1e0) / (cnt_b + 1e0)), 4)) DESC, term
+LIMIT {DRIFT_TOP_K}
+"""
+
+
 # Heaps-law vocabulary growth: vocab size after the first N docs, in
 # STEP-doc increments. One first-occurrence aggregate (per term:
 # min docno) + a STEP-bucket histogram + a ~|corpus|/STEP-row running
@@ -646,6 +709,12 @@ QUERIES: dict[str, QuerySpec] = {
         "stream (order-sensitive, incrementally maintainable)",
     ),
     "text_term_length_hist": QuerySpec(fn=term_length_hist, oracle=DUCK_TERM_LENGTH_HIST),
+    "text_vocab_drift": QuerySpec(
+        fn=vocab_drift,
+        oracle=_duck_vocab_drift(),
+        note="unigram frequency drift between corpus halves (feed-health "
+        "regression detector), Laplace-smoothed log-ratio ranking",
+    ),
     "text_unigram_surprisal": QuerySpec(
         fn=unigram_surprisal,
         oracle=_duck_surprisal(),
