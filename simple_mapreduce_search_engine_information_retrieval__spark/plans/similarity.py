@@ -645,19 +645,27 @@ PQ_SUB = DIM // PQ_M
 PQ_K = 16
 
 
-def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, code0, code1): per-subspace PQ codes."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _pq_seeds(emb: DataFrame) -> DataFrame:
+    """(cent_id, cvec): the deterministic stride-sampled PQ codebook
+    source (every stride-th vector, stride = max(N/PQ_K, 1)) — shared by
+    the code assignment (pq_codes) and the ADC query LUTs so both sides
+    of the index agree on the codebook by construction."""
     stride = emb.agg(
         F.greatest(F.floor(F.count("*") / PQ_K), F.lit(1))
         .cast("long")
         .alias("stride")
     )
-    seeds = (
+    return (
         emb.crossJoin(F.broadcast(stride))
         .filter(F.col("vec_id") % F.col("stride") == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code0, code1): per-subspace PQ codes."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = _pq_seeds(emb)
     out = None
     for m in range(PQ_M):
         sub = emb.select(
@@ -682,7 +690,10 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _duck_pq() -> str:
+def _duck_pq_ctes() -> tuple[str, str]:
+    """(cte_body, final_select) for the PQ code assignment — split so
+    the ADC search oracle can extend the same WITH-chain (the codebook
+    and codes must be the IDENTICAL expressions in both queries)."""
     subs = []
     for m in range(PQ_M):
         lo = m * PQ_SUB + 1
@@ -701,13 +712,143 @@ def _duck_pq() -> str:
         )
     joins = " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, PQ_M))
     cols = ", ".join(f"code{m}" for m in range(PQ_M))
-    return f"""
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    ctes = f"""v AS (SELECT vec_id, embedding FROM embeddings),
      n0 AS (SELECT greatest(count(*) // {PQ_K}, 1) AS stride FROM v),
      seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
                FROM v, n0 WHERE vec_id % n0.stride = 0),
-     {", ".join(subs)}
-SELECT a0.vec_id, {cols} FROM a0 {joins}
+     {", ".join(subs)}"""
+    return ctes, f"SELECT a0.vec_id, {cols} FROM a0 {joins}"
+
+
+def _duck_pq() -> str:
+    ctes, final = _duck_pq_ctes()
+    return f"\nWITH {ctes}\n{final}\n"
+
+
+# --- IVF-PQ ADC serving --------------------------------------------------
+# The composed scale path (classic IVFADC, sans residual encoding):
+#   coarse prune (the query's NPROBE IVF cells)
+#   -> asymmetric-distance scan over the PQ CODES ONLY (a PQ_K x PQ_M
+#      lookup table of squared-L2 distances from the query's subvectors
+#      to each codebook centroid, broadcast; the full vectors are never
+#      read in this stage — at 100 TB the code table is ~PQ_M bytes/row
+#      vs 256 B/row of raw floats, a ~100x scan reduction)
+#   -> exact cosine re-rank of the ADC_RERANK shortlist (one vec_id join
+#      back to the embeddings — RERANK rows, not N).
+# Deterministic end-to-end (stride codebooks, struct-argmin assignment,
+# vec_id tie-breaks), so the whole three-stage plan carries a full value
+# oracle.
+ADC_RERANK = 50
+
+
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, adist, cos, rank): top-k by exact cosine over the
+    ADC-shortlisted candidates of the query vector's probe cells."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(emb)
+    pairs = _ivf_pairs(emb, cents)
+    cells = _ivf_cells(pairs)
+    probes = (
+        pairs.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(NPROBE)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    seeds = _pq_seeds(emb)
+    cand = (
+        pq_codes(spark, sf_dir)
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    for m in range(PQ_M):
+        lut = seeds.crossJoin(F.broadcast(q)).select(
+            F.col("cent_id").alias(f"code{m}"),
+            _sq_dist(
+                F.slice("cvec", m * PQ_SUB + 1, PQ_SUB),
+                F.slice("qvec", m * PQ_SUB + 1, PQ_SUB),
+            ).alias(f"d{m}"),
+        )
+        cand = cand.join(F.broadcast(lut), f"code{m}")
+    adist = sum(F.col(f"d{m}") for m in range(PQ_M))
+    shortlist = (
+        cand.select("vec_id", adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(ADC_RERANK)
+    )
+    rr = (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round("adist", 6).alias("adist"),
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rr.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id", "adist", "cos",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+
+
+def _duck_ivfpq_adc() -> str:
+    pq_ctes, pq_final = _duck_pq_ctes()
+    luts, lut_joins = [], []
+    d_sum = " + ".join(f"lut{m}.d{m}" for m in range(PQ_M))
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        sq = _duck_sq_dist(
+            f"list_slice(s.cvec, {lo}, {hi})",
+            f"list_slice(q.qvec, {lo}, {hi})",
+            PQ_SUB,
+        )
+        luts.append(
+            f"lut{m} AS (SELECT s.cent_id AS code{m}, {sq} AS d{m}\n"
+            f"             FROM seeds s CROSS JOIN q)"
+        )
+        lut_joins.append(f"JOIN lut{m} USING (code{m})")
+    return f"""
+WITH {pq_ctes},
+     codes AS ({pq_final}),
+     n AS (SELECT greatest(count(*) // {K_TARGET}, 1) AS stride FROM embeddings),
+     icents AS (SELECT vec_id AS cent_id, embedding AS cvec
+                FROM embeddings, n WHERE vec_id % n.stride = 0),
+     ipairs AS (SELECT e.vec_id, c.cent_id,
+                       {_duck_cos('e.embedding', 'c.cvec')} AS sim
+                FROM embeddings e CROSS JOIN icents c),
+     cells AS (SELECT vec_id,
+                      CAST(-(max({{'s': sim, 'nc': -cent_id}})['nc']) AS BIGINT) AS cell
+               FROM ipairs GROUP BY vec_id),
+     probes AS (SELECT cent_id AS cell FROM ipairs
+                WHERE vec_id = {QUERY_VEC_ID}
+                ORDER BY sim DESC, cent_id LIMIT {NPROBE}),
+     q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+     {", ".join(luts)},
+     cand AS (SELECT codes.vec_id, {d_sum} AS adist
+              FROM codes
+              JOIN cells USING (vec_id)
+              JOIN probes ON cells.cell = probes.cell
+              {" ".join(lut_joins)}
+              WHERE codes.vec_id != {QUERY_VEC_ID}),
+     short AS (SELECT vec_id, adist FROM cand ORDER BY adist, vec_id LIMIT {ADC_RERANK}),
+     rr AS (SELECT s.vec_id, round(s.adist, 6) AS adist,
+                   round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+            FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN q),
+     topk AS (SELECT vec_id, adist, cos FROM rr
+              ORDER BY cos DESC, vec_id LIMIT {TOP_K})
+SELECT vec_id, adist, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM topk
 """
 
 
@@ -805,6 +946,14 @@ QUERIES: dict[str, QuerySpec] = {
         note="2-subspace product-quantization codes (stride codebooks, "
         "struct-min argmin assignment) — the PQ compressor next to "
         "int8 and IVF, fully oracled",
+    ),
+    "knn_ivfpq_adc": QuerySpec(
+        fn=knn_ivfpq_adc,
+        oracle=_duck_ivfpq_adc(),
+        note="composed IVF-PQ serving: coarse probe prune -> asymmetric-"
+        "distance scan over the PQ codes (broadcast LUT, vectors never "
+        "read) -> exact cosine re-rank of the 50-row shortlist; "
+        "deterministic three-stage ANN with a full value oracle",
     ),
     "embedding_label_centroid_norms": QuerySpec(
         fn=label_centroid_norms, oracle=DUCK_LABEL_CENTROIDS
