@@ -633,7 +633,275 @@ FROM topk
 """
 
 
+def search_proximity(
+    spark: SparkSession,
+    sf_dir: str,
+    term_a: str,
+    term_b: str,
+    *,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Positional proximity search: docs ranked by the MINIMUM token gap
+    between two query terms — the classic positional-index proximity
+    operator the reference's recorded positions (TagTokenizer.java:449-451)
+    enable. Output (docno, mindist, rank), closest-first.
+
+    Plan shape: ONE corpus scan — the positional stream is filtered to
+    the two terms (predicate under the explode), then a single per-doc
+    aggregation collects both position lists and computes the min gap
+    with higher-order array functions (JVM-side). No position-x-position
+    join shuffle: the pairwise min-gap expansion happens per doc in
+    memory, bounded by tf_a x tf_b of a single document — at 100 TB the
+    shuffle carries only the two terms' posting rows."""
+    from .indexing import positional_terms
+
+    pos = positional_terms(spark, sf_dir).filter(
+        F.col("term").isin([term_a, term_b])
+    )
+    g = pos.groupBy("docno").agg(
+        F.collect_list(
+            F.when(F.col("term") == term_a, F.col("pos"))
+        ).alias("pa"),
+        F.collect_list(
+            F.when(F.col("term") == term_b, F.col("pos"))
+        ).alias("pb"),
+    )
+    mindist = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("pa"),
+                lambda x: F.transform(F.col("pb"), lambda y: F.abs(x - y)),
+            )
+        )
+    )
+    d = g.filter((F.size("pa") > 0) & (F.size("pb") > 0)).select(
+        "docno", mindist.alias("mindist")
+    )
+    w = Window.orderBy(F.asc("mindist"), F.asc("docno"))
+    return (
+        d.orderBy(F.asc("mindist"), F.asc("docno"))
+        .limit(top_k)
+        .select(
+            "docno", "mindist",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+
+
+def duck_search_proximity(term_a: str, term_b: str, *, top_k: int = TOP_K) -> str:
+    from .indexing import DUCK_POSITIONAL_TERMS
+
+    return f"""
+WITH p AS ({DUCK_POSITIONAL_TERMS}),
+     a AS (SELECT docno, pos FROM p WHERE term = '{term_a}'),
+     b AS (SELECT docno, pos FROM p WHERE term = '{term_b}'),
+     d AS (SELECT a.docno, min(abs(a.pos - b.pos)) AS mindist
+           FROM a JOIN b USING (docno) GROUP BY a.docno),
+     topk AS (SELECT docno, mindist FROM d
+              ORDER BY mindist, docno LIMIT {top_k})
+SELECT docno, CAST(mindist AS BIGINT) AS mindist,
+       CAST(row_number() OVER (ORDER BY mindist, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
+# Fuzzy term matching (spelling correction) constants
+FUZZY_K = 2        # char-gram width for candidate generation
+FUZZY_MAX_LEV = 2  # classic spell-correct edit-distance tolerance
+FUZZY_TOP = 5
+
+
+def _query_grams(term: str, k: int) -> list[str]:
+    probe = f"${term}$"
+    return sorted({probe[i : i + k] for i in range(len(probe) - k + 1)})
+
+
+def fuzzy_terms(
+    spark: SparkSession, sf_dir: str, query_term: str, *, k: int = FUZZY_K
+) -> DataFrame:
+    """Spelling correction over the char-k-gram index: candidate terms
+    share >=1 $-padded gram with the misspelled query (generated by the
+    SAME index the wildcard lookup uses — CharKGramTermIndexer's other
+    classic application), scored by gram-set Jaccard, verified by
+    edit distance <= FUZZY_MAX_LEV. Output (term, lev, jacc).
+
+    Scale: candidates come from the gram-index join (never a vocab scan
+    against the query), the per-term gram counts are dictionary-sized,
+    and the levenshtein verify runs only on the candidate set."""
+    from .indexing import chargram_flat
+
+    qgrams = _query_grams(query_term, k)
+    idx = chargram_flat(spark, sf_dir, k)
+    tn = idx.groupBy("term").agg(F.count("*").alias("tn"))
+    gdf = spark.createDataFrame([(g,) for g in qgrams], "gram string")
+    cand = (
+        idx.join(F.broadcast(gdf), "gram")
+        .groupBy("term")
+        .agg(F.count("*").alias("matches"))
+        .join(tn, "term")
+    )
+    jacc = F.round(
+        F.col("matches").cast("double")
+        / (F.lit(len(qgrams)) + F.col("tn") - F.col("matches")),
+        6,
+    )
+    return (
+        cand.select(
+            "term",
+            F.levenshtein(F.col("term"), F.lit(query_term))
+            .cast("long")
+            .alias("lev"),
+            jacc.alias("jacc"),
+        )
+        .filter(F.col("lev") <= FUZZY_MAX_LEV)
+        .orderBy(F.asc("lev"), F.desc("jacc"), F.asc("term"))
+        .limit(FUZZY_TOP)
+    )
+
+
+def duck_fuzzy_terms(query_term: str, *, k: int = FUZZY_K) -> str:
+    from .indexing import duck_chargram_flat
+
+    qgrams = _query_grams(query_term, k)
+    lits = ", ".join("'" + g + "'" for g in qgrams)
+    return f"""
+WITH idx AS ({duck_chargram_flat(k)}),
+     tn AS (SELECT term, count(*) AS tn FROM idx GROUP BY term),
+     cand AS (SELECT term, count(*) AS matches FROM idx
+              WHERE gram IN ({lits}) GROUP BY term),
+     scored AS (
+       SELECT cand.term,
+              CAST(levenshtein(cand.term, '{query_term}') AS BIGINT) AS lev,
+              round(CAST(matches AS DOUBLE) / ({len(qgrams)} + tn.tn - matches), 6) AS jacc
+       FROM cand JOIN tn USING (term)
+     )
+SELECT term, lev, jacc FROM scored
+WHERE lev <= {FUZZY_MAX_LEV}
+ORDER BY lev, jacc DESC, term
+LIMIT {FUZZY_TOP}
+"""
+
+
+# Pseudo-relevance-feedback (Rocchio-style) expansion constants
+PRF_EXP = 3     # expansion terms taken from the feedback docs
+PRF_BETA = 0.5  # expansion-term weight (original terms weigh 1.0)
+
+
+def search_prf(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Rocchio-style pseudo-relevance feedback: run the base tf-idf
+    query, take its top-k docs as the feedback set, pick the PRF_EXP
+    highest-weight non-query terms inside those docs (weight = summed
+    tf-idf contribution, rounded to 6dp before ranking so both engines
+    cut the same top), then re-score the corpus with the expanded
+    weighted query (originals 1.0, expansions PRF_BETA).
+
+    Scale: the feedback set is top_k rows (broadcast), the candidate
+    postings are the feedback docs' rows only, and the expanded query
+    is <= |terms|+PRF_EXP rows (broadcast) — the re-score is the same
+    broadcast-lookup shape as the base search, so PRF costs one extra
+    dictionary-sized aggregation, not an extra corpus pass."""
+    terms = sorted(set(tokenize_query(query)))
+    if not terms:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+    post, stats, n_docs = _warm_index(spark, sf_dir, 1)
+    fb = search(spark, sf_dir, query, top_k=top_k).select("docno")
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_docs) / F.col("df"))
+    cw = (
+        post.join(F.broadcast(fb), "docno")
+        .filter(~F.col("term").isin(terms))
+        .join(stats.select("term", "df"), "term")
+        .groupBy("term")
+        .agg(F.round(F.sum(contrib), 6).alias("w"))
+    )
+    exp = (
+        cw.orderBy(F.desc("w"), F.asc("term"))
+        .limit(PRF_EXP)
+        .select("term", F.lit(float(PRF_BETA)).alias("weight"))
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in terms], "term string, weight double"
+    )
+    qw = orig.unionByName(exp)
+    scored = (
+        post.join(F.broadcast(qw), "term")
+        .join(F.broadcast(stats.join(F.broadcast(qw.select("term")), "term")), "term")
+        .groupBy("docno")
+        .agg(F.round(F.sum(F.col("weight") * contrib), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+        .select(
+            "docno", "score",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+
+
+def duck_search_prf(query: str, *, top_k: int = TOP_K) -> str:
+    terms = sorted(set(tokenize_query(query)))
+    lits = ", ".join("'" + t + "'" for t in terms)
+    values = ", ".join(f"('{t}', 1.0e0)" for t in terms)
+    return f"""
+WITH post AS ({duck_postings_flat(1)}),
+     stats AS ({duck_term_stats(1)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     s0 AS (
+       SELECT post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN stats USING (term) CROSS JOIN n
+       WHERE post.term IN ({lits})
+       GROUP BY post.docno
+     ),
+     fb AS (SELECT docno FROM s0 ORDER BY score DESC, docno LIMIT {top_k}),
+     cw AS (
+       SELECT post.term,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS w
+       FROM post JOIN fb USING (docno) JOIN stats USING (term) CROSS JOIN n
+       WHERE post.term NOT IN ({lits})
+       GROUP BY post.term
+     ),
+     expn AS (SELECT term, {PRF_BETA}e0 AS weight FROM cw
+              ORDER BY w DESC, term LIMIT {PRF_EXP}),
+     qw AS (SELECT * FROM (VALUES {values}) AS t(term, weight)
+            UNION ALL SELECT term, weight FROM expn),
+     scored AS (
+       SELECT post.docno,
+              round(sum(qw.weight * (1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN qw USING (term) JOIN stats USING (term) CROSS JOIN n
+       GROUP BY post.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "search_proximity_pair": QuerySpec(
+        fn=lambda s, d: search_proximity(s, d, "spark", "join"),
+        oracle=duck_search_proximity("spark", "join"),
+        note="positional min-gap proximity ranking — single-scan "
+        "per-doc higher-order-function plan over the positional stream",
+    ),
+    "search_fuzzy_term": QuerySpec(
+        fn=lambda s, d: fuzzy_terms(s, d, "sart"),
+        oracle=duck_fuzzy_terms("sart"),
+        note="spelling correction via the char-2-gram index: gram-join "
+        "candidates, Jaccard score, levenshtein<=2 verify",
+    ),
+    "search_prf_expanded": QuerySpec(
+        fn=lambda s, d: search_prf(s, d, "spark join"),
+        oracle=duck_search_prf("spark join"),
+        note="Rocchio pseudo-relevance feedback: top-10 feedback docs -> "
+        "3 expansion terms (6dp-rounded weights) -> weighted re-score, "
+        "all broadcast-lookup shaped",
+    ),
     "search_bm25": QuerySpec(
         fn=lambda s, d: search_bm25(s, d, "spark join"),
         oracle=duck_search_bm25("spark join"),

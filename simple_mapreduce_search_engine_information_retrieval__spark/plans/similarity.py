@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..sources.tables import table
 from . import QuerySpec
 
@@ -740,16 +741,34 @@ def _duck_pq() -> str:
 # oracle.
 ADC_RERANK = 50
 
+# Warm ADC-index memo (same contract as search.py's _warm: the index —
+# coarse cells + PQ codes — is BUILT once per (session, sf_dir) and
+# cached; every query after that touches only code rows, broadcast LUTs
+# and the RERANK-row exact join. Without it the composed plan re-derives
+# the embeddings lineage ~20x per query — harmless at sf0.001, a
+# 20-pass corpus read at 100 TB. The on-disk analogue is write_ivf_store
+# plus a persisted codes table.)
+_warm_adc: dict = register_cache({})
+
+
+def _warm_adc_index(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _warm_adc:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+        cells = _ivf_cells(_ivf_pairs(emb, _ivf_centroids(emb))).cache()
+        codes = pq_codes(spark, sf_dir).cache()
+        _warm_adc[key] = (emb, cells, codes)
+    return _warm_adc[key]
+
 
 def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, adist, cos, rank): top-k by exact cosine over the
     ADC-shortlisted candidates of the query vector's probe cells."""
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb, cells, codes = _warm_adc_index(spark, sf_dir)
     cents = _ivf_centroids(emb)
     pairs = _ivf_pairs(emb, cents)
-    cells = _ivf_cells(pairs)
     probes = (
         pairs.filter(F.col("vec_id") == QUERY_VEC_ID)
         .orderBy(F.desc("sim"), F.asc("cent_id"))
@@ -761,7 +780,7 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = _pq_seeds(emb)
     cand = (
-        pq_codes(spark, sf_dir)
+        codes
         .join(cells, "vec_id")
         .join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
