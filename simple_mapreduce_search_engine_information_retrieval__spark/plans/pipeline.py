@@ -267,7 +267,62 @@ FROM (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents)
 """
 
 
+# --- deterministic data-mix sampling -------------------------------------
+# Language-mix rebalancing: the reproducible downsampling filter a
+# training pipeline applies to hit a target mix (keep English in full,
+# thin the rest). Same portable md5-hex discipline as the corpus split
+# (textstats._split_expr_spark) but with 2 hex chars = 256 buckets so
+# fractional rates resolve to a hex threshold; a doc's keep/drop verdict
+# is a pure function of (doc_id, lang) — stable across re-runs, cluster
+# sizes, and engines. At 100 TB this is a stateless expression filter
+# fused into the scan: no shuffle, no sampling state, no RNG.
+MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+MIX_DEFAULT_RATE = 0.125  # langs outside the table
+
+
+def _mix_hex(rate: float) -> str:
+    return format(int(round(rate * 256)), "02x")
+
+
+def sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, kept): the per-document mix-sampling verdict."""
+    from ..sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    expr = None
+    for lang, rate in MIX_RATES.items():
+        keep = F.lit(1) if rate >= 1.0 else (h2 < _mix_hex(rate)).cast("int")
+        cond = F.col("lang") == lang
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    expr = expr.otherwise((h2 < _mix_hex(MIX_DEFAULT_RATE)).cast("int"))
+    return docs.select("doc_id", "lang", expr.alias("kept"))
+
+
+def _duck_sample_mix() -> str:
+    h2 = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    whens = []
+    for lang, rate in MIX_RATES.items():
+        keep = (
+            "1" if rate >= 1.0
+            else f"CAST({h2} < '{_mix_hex(rate)}' AS INT)"
+        )
+        whens.append(f"WHEN lang = '{lang}' THEN {keep}")
+    return f"""
+SELECT doc_id, lang,
+       CASE {' '.join(whens)}
+            ELSE CAST({h2} < '{_mix_hex(MIX_DEFAULT_RATE)}' AS INT) END AS kept
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_sample_mix": QuerySpec(
+        fn=sample_mix,
+        oracle=_duck_sample_mix(),
+        note="deterministic language-mix downsampling (md5 256-bucket "
+        "thresholds) — the reproducible stateless rebalancing filter",
+    ),
     "pipeline_quality_classifier": QuerySpec(
         fn=quality_classifier,
         oracle=_duck_quality_classifier(),
