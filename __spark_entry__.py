@@ -46,6 +46,7 @@ def _registry():
         "pipeline",
         "sinks_sources",
         "graph",
+        "merge",
     ):
         try:
             mod = __import__(
@@ -127,6 +128,9 @@ CHANGED_THIS_ROUND = frozenset(
         "text_quality_by_source",
         "text_collocations_pmi",
         "events_value_gmean_udaf",
+        # r3 rewrite (multi-probe data-dependent codebook) whose green
+        # verdict predates the rewrite (advisor r3, "low" #2)
+        "knn_ivf_bucketed",
     }
 )
 

@@ -676,6 +676,58 @@ FROM events
 GROUP BY event_type
 """
 
+# Robust per-type outlier profile: median + MAD (median absolute
+# deviation) + 3-MAD outlier count — the heavy-tail-safe anomaly gate
+# (mean/stddev z-scores melt under the very outliers they hunt; the
+# median/MAD pair does not). Single-shuffle shape: both exact medians
+# run as window aggregates over the SAME event_type partitioning (one
+# Exchange, sort reused by the second Window) and the final per-type
+# rollup preserves that partitioning. The only cross-engine-fragile
+# quantities (the two interpolated medians) are rounded to 4 dp BEFORE
+# any downstream arithmetic, so the 3-MAD comparison runs on
+# bit-identical doubles in both engines (the int8_quantize half-up
+# discipline applied to thresholds). Exact percentile buffers each
+# partition's values — at 100 TB swap {P}=approx_percentile for
+# sketch-sized state on the identical plan.
+_MAD_BODY = """
+WITH s AS (
+  SELECT event_type, value,
+         round({P}(value, 0.5) OVER (PARTITION BY event_type), 4) AS med
+  FROM events
+),
+m AS (
+  SELECT event_type, med, abs(value - med) AS dev,
+         round({P}(abs(value - med), 0.5)
+               OVER (PARTITION BY event_type), 4) AS mad
+  FROM s
+)
+SELECT event_type, min(med) AS med, min(mad) AS mad,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM m GROUP BY event_type
+"""
+
+
+def _events_mad_outliers(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    register_views(spark, sf_dir)
+    return spark.sql(_MAD_BODY.format(P="percentile"))
+
+
+# GROUPING SETS — the general form behind ROLLUP/CUBE (both already
+# covered): sliced single-dimension marginals + grand total in ONE pass
+# over orders (Spark Expand + single aggregate; a UNION ALL of three
+# GROUP BYs would scan the fact table three times).
+ORDERS_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL')   AS status,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # Spark 4 VARIANT path for semi-structured props: parse the JSON ONCE
 # into the binary-encoded VARIANT, then every extraction is a cheap
 # typed variant_get — the engine-native replacement for repeated
@@ -851,6 +903,15 @@ QUERIES: dict[str, QuerySpec] = {
         fn=_events_percentiles,
         oracle=_PCTL_BODY.format(P="quantile_cont"),
         note="exact interpolated percentiles (percentile vs quantile_cont)",
+    ),
+    "events_value_mad_outliers": QuerySpec(
+        fn=_events_mad_outliers,
+        oracle=_MAD_BODY.format(P="quantile_cont"),
+        note="median/MAD robust outlier profile, single-shuffle window "
+        "formulation, thresholds rounded before comparison",
+    ),
+    "grouping_sets_orders": shared_sql(
+        ORDERS_GROUPING_SETS, "GROUPING SETS single-pass marginals"
     ),
     "events_type_pivot": QuerySpec(
         fn=_events_pivot,

@@ -580,6 +580,65 @@ FROM ranked WHERE rk <= {TOP_TERMS_PER_DOC}
 """
 
 
+RELATED_MIN_SHARED = 2  # pairs must share >= 2 of their top terms
+RELATED_TERM_CAP = 100  # drop terms that are a top term of > CAP docs
+
+
+def related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'More-like-this' doc-doc similarity over the sparse top-terms
+    representation (the classic keyword-profile related-articles pass):
+    pairs of docs sharing >= RELATED_MIN_SHARED of their top-3 tf-idf
+    terms, scored by the sum of shared-term tf-idf products.
+
+    Scale shape: the self-join runs on the docs×3 top-terms relation
+    (NOT the full postings), so per-term pair fan-out is bounded by how
+    many docs elect the term — and terms electing > RELATED_TERM_CAP
+    docs are dropped first (the standard common-feature cut in sparse
+    similarity joins; tf-idf election already makes such terms rare).
+    Worst case is CAP² pairs per term, never df². Scoring accumulates
+    half-up micro-units (floor(x*1e6 + 0.5) as BIGINT) so the sum is
+    integer-associative — immune to cross-engine float summation order
+    (the int8_quantize discipline applied to a join-aggregate)."""
+    top = top_terms_per_doc(spark, sf_dir).select("docno", "term", "tfidf")
+    tc = top.groupBy("term").agg(F.count("*").alias("tc"))
+    top = top.join(tc.filter(F.col("tc") <= RELATED_TERM_CAP), "term").drop(
+        "tc"
+    )
+    a = top.select(
+        "term", F.col("docno").alias("d1"), F.col("tfidf").alias("s1")
+    )
+    b = top.select(
+        "term", F.col("docno").alias("d2"), F.col("tfidf").alias("s2")
+    )
+    micro = F.floor(F.col("s1") * F.col("s2") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(micro).cast("long").alias("score_micro"),
+        )
+        .filter(F.col("n_shared") >= RELATED_MIN_SHARED)
+    )
+
+
+def duck_related_docs() -> str:
+    return f"""
+WITH top0 AS ({duck_top_terms_per_doc()}),
+     tc AS (SELECT term, count(*) AS tc FROM top0 GROUP BY term),
+     top AS (SELECT top0.docno, top0.term, top0.tfidf
+             FROM top0 JOIN tc USING (term)
+             WHERE tc.tc <= {RELATED_TERM_CAP})
+SELECT a.docno AS d1, b.docno AS d2, count(*) AS n_shared,
+       CAST(sum(CAST(floor(a.tfidf * b.tfidf * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS score_micro
+FROM top a JOIN top b ON a.term = b.term AND a.docno < b.docno
+GROUP BY a.docno, b.docno
+HAVING count(*) >= {RELATED_MIN_SHARED}
+"""
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 
 
@@ -919,6 +978,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_top_terms_per_doc(),
         note="per-doc top-3 tf-idf keyword extraction via one ranking "
         "window over the warm postings",
+    ),
+    "search_related_docs": QuerySpec(
+        fn=related_docs,
+        oracle=duck_related_docs(),
+        note="more-like-this pairs via top-terms self-join (common-"
+        "feature cap, integer-associative micro-unit scoring)",
     ),
     "search_one_term": QuerySpec(
         fn=lambda s, d: search(s, d, "spark"),

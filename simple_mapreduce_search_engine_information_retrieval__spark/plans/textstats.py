@@ -282,6 +282,74 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ALPHA = 0.5  # add-alpha smoothing for the conditional bigram LM
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean conditional bigram surprisal -ln p(w2|w1) under an
+    add-α corpus bigram model: p = (c(w1 w2)+α) / (c(w1)+α·V). The
+    second-order companion to text_unigram_surprisal — token salad that
+    sneaks past the unigram gate (real words, wrong order) scores high
+    here. Shape: bigram + unigram count aggregates off one tokenized
+    scan, two vocabulary-cardinality joins (deliberately unhinted —
+    Heaps' law makes both sides big at corpus scale), 1-row V broadcast,
+    per-doc mean. Docs with <2 tokens have no bigrams and drop out
+    (same convention in both engines)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    db = docs.select(
+        "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+    )
+    wc = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bc = db.groupBy("g").agg(F.count("*").alias("cg"))
+    v = wc.agg(F.count("*").cast("double").alias("nv"))
+    return (
+        db.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .join(bc, "g")
+        .join(wc.select(F.col("w").alias("w1"), "cw"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("cg") + BIGRAM_ALPHA)
+                        / (F.col("cw") + BIGRAM_ALPHA * F.col("nv"))
+                    )
+                ),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+def _duck_bigram_surprisal() -> str:
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS MATERIALIZED (SELECT doc_id, {lst} AS toks FROM documents),
+     db AS MATERIALIZED (
+       SELECT doc_id, unnest({duck_kgrams('toks', 2)}) AS g FROM t),
+     wc AS (SELECT w, count(*) AS cw
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+     bc AS (SELECT g, count(*) AS cg FROM db GROUP BY g),
+     v AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM wc)
+SELECT db.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((bc.cg + {BIGRAM_ALPHA})
+                     / (wc.cw + {BIGRAM_ALPHA} * v.nv))), 4)
+         AS mean_surprisal
+FROM db JOIN bc USING (g)
+        JOIN wc ON wc.w = string_split(db.g, ' ')[1]
+        CROSS JOIN v
+GROUP BY db.doc_id
+"""
+
+
 def _duck_surprisal() -> str:
     from .indexing import duck_doc_terms
 
@@ -720,6 +788,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_duck_surprisal(),
         note="CCNet-style per-doc LM-surprisal quality signal (corpus "
         "unigram model), vocabulary join unhinted",
+    ),
+    "text_bigram_surprisal": QuerySpec(
+        fn=bigram_surprisal,
+        oracle=_duck_bigram_surprisal(),
+        note="conditional bigram-LM surprisal (add-α smoothed) — the "
+        "word-order quality gate the unigram model cannot see",
     ),
     "text_vocab_growth": QuerySpec(
         fn=vocab_growth,

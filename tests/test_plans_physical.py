@@ -155,3 +155,25 @@ def test_pack_sequences_single_scan_pruned(spark, sf_dir):
 
     plan = _physical(pack_sequences(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_mad_outliers_single_exchange(spark, sf_dir):
+    """Both exact medians and the final rollup must share ONE
+    event_type shuffle (window partitioning reused end-to-end)."""
+    register_views(spark, sf_dir)
+    df = spark.sql(relational._MAD_BODY.format(P="percentile"))
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_merge_upsert_no_corpus_broadcast(spark, sf_dir):
+    """The MERGE join key side must not hint a corpus-sized broadcast;
+    whatever join the planner picks, the change-set derivation reads
+    only (doc_id, text)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.merge import (
+        merge_upsert_documents,
+    )
+
+    plan = _physical(merge_upsert_documents(spark, sf_dir))
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "lang" not in m.group(0)  # pruned to doc_id,text
