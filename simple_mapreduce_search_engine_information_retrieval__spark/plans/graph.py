@@ -119,6 +119,72 @@ SELECT node AS term, CAST(p AS BIGINT) AS pr_scaled FROM p2
 """
 
 
+# HITS (Kleinberg hubs & authorities) over the doc↔term BIPARTITE graph
+# — the second classic link-analysis fixpoint next to PageRank, and a
+# different graph shape: docs are hubs, terms are authorities, edges are
+# the distinct (docno, term) incidence stream (no co-occurrence
+# self-join needed). Float HITS normalizes by L2; the cross-engine-exact
+# variant normalizes by the MAX score instead — max/sum/floor-div are
+# integer-associative, so one-and-a-half mutual-reinforcement rounds
+# (a₁ = df → h₁ = Σ a₁ₙ → a₂ = Σ h₁ₙ) carry a full value oracle.
+# HITS_SCALE=1e6 keeps every intermediate < 2^63 up to ~1e6-doc corpora
+# (a₂·SCALE ≤ n_docs·SCALE² = 1e18); beyond that, renormalize each
+# partial sum by its running max before scaling (same trick, one extra
+# tiny aggregate) — noted rather than implemented because the fixture
+# contract pins this exact arithmetic.
+HITS_SCALE = 10**6
+
+
+def hits_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, auth_scaled): max-normalized integer HITS authorities
+    after doc-hubs=1 → authorities → hubs → authorities."""
+    from .corpus import tokenized_docs
+
+    dt = (
+        tokenized_docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("docno"),
+            F.explode(F.array_distinct(F.col("kept"))).alias("term"),
+        )
+        .cache()
+    )
+    a1 = dt.groupBy("term").agg(F.count("*").alias("a"))  # h0 = 1 ⇒ a1 = df
+    m1 = a1.agg(F.max("a").alias("m"))
+    a1n = a1.crossJoin(F.broadcast(m1)).select(
+        "term", F.expr(f"a * {HITS_SCALE} div m").alias("an")
+    )
+    h1 = dt.join(a1n, "term").groupBy("docno").agg(F.sum("an").alias("h"))
+    m2 = h1.agg(F.max("h").alias("m"))
+    h1n = h1.crossJoin(F.broadcast(m2)).select(
+        "docno", F.expr(f"h * {HITS_SCALE} div m").alias("hn")
+    )
+    a2 = dt.join(h1n, "docno").groupBy("term").agg(F.sum("hn").alias("a2"))
+    m3 = a2.agg(F.max("a2").alias("m"))
+    return a2.crossJoin(F.broadcast(m3)).select(
+        "term",
+        F.expr(f"a2 * {HITS_SCALE} div m").cast("long").alias("auth_scaled"),
+    )
+
+
+def _duck_hits() -> str:
+    s = HITS_SCALE
+    return f"""
+WITH dt AS MATERIALIZED (SELECT DISTINCT docno, term FROM ({duck_doc_terms(1)})),
+     a1 AS (SELECT term, count(*) AS a FROM dt GROUP BY term),
+     m1 AS (SELECT max(a) AS m FROM a1),
+     a1n AS (SELECT term, (a * {s}) // m1.m AS an FROM a1 CROSS JOIN m1),
+     h1 AS (SELECT dt.docno, sum(a1n.an) AS h
+            FROM dt JOIN a1n USING (term) GROUP BY dt.docno),
+     m2 AS (SELECT max(h) AS m FROM h1),
+     h1n AS (SELECT docno, (h * {s}) // m2.m AS hn FROM h1 CROSS JOIN m2),
+     a2 AS (SELECT dt.term, sum(h1n.hn) AS a2
+            FROM dt JOIN h1n USING (docno) GROUP BY dt.term),
+     m3 AS (SELECT max(a2) AS m FROM a2)
+SELECT term, CAST((a2 * {s}) // m3.m AS BIGINT) AS auth_scaled
+FROM a2 CROSS JOIN m3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank_terms": QuerySpec(
         fn=pagerank_terms,
@@ -126,5 +192,12 @@ QUERIES: dict[str, QuerySpec] = {
         note="fixed-point integer PageRank (2 unrolled rounds) over the "
         "term co-occurrence graph — iterative algorithm with exact "
         "cross-engine arithmetic, full value oracle",
+    ),
+    "graph_hits_terms": QuerySpec(
+        fn=hits_terms,
+        oracle=_duck_hits(),
+        note="max-normalized integer HITS authorities over the doc-term "
+        "bipartite graph — second link-analysis fixpoint, no "
+        "co-occurrence self-join, exact cross-engine arithmetic",
     ),
 }
