@@ -624,6 +624,99 @@ FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+# --- content-defined chunking (CDC) --------------------------------------
+# Fixed-size passage chunks (duplicate_passages above) break on insertion:
+# one added token shifts every later chunk boundary and the hashes stop
+# matching. Content-DEFINED chunking puts boundaries where the token's own
+# rolling-hash code satisfies code % CDC_DIVISOR == 0 (the Gear/rsync
+# idea), so an edit only perturbs the chunks it touches — the property
+# incremental corpus dedup wants. Entirely array-native per doc: ONE
+# corpus scan, no positional explode; only (chunk_hash, n_toks) rows
+# shuffle, never text.
+CDC_DIVISOR = 8
+
+
+def _cdc_chunk_structs(toks):
+    """array<struct<h,n>>: md5 + token count of each content-defined
+    chunk of `toks` (chunk = tokens (prev_boundary, boundary])."""
+    from .textstats import _rh_code_spark
+
+    flags = F.transform(toks, lambda t: (_rh_code_spark(t) % CDC_DIVISOR) == 0)
+    bpos = F.filter(
+        F.transform(flags, lambda b, i: F.when(b, i + 1)),
+        lambda v: v.isNotNull(),
+    )  # 1-based positions of boundary tokens
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(F.size(toks)))
+    return F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s,
+                F.struct(
+                    F.md5(F.array_join(F.slice(toks, s, e - s + 1), " ")).alias("h"),
+                    (e - s + 1).cast("long").alias("n"),
+                ),
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chunk_hash, chunk_tokens, n_docs, n_occ) for content-defined
+    chunks appearing >= 2 times in the corpus."""
+    docs = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
+    chunks = docs.select(
+        "doc_id", F.explode(_cdc_chunk_structs(F.col("toks"))).alias("c")
+    )
+    return (
+        chunks.groupBy(F.col("c.h").alias("chunk_hash"))
+        .agg(
+            F.min("c.n").alias("chunk_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+def _duck_cdc_chunks() -> str:
+    from .textstats import _RH_CODE_SQL
+
+    return f"""
+WITH d AS (SELECT doc_id, {duck_tokens_list('text', stopworded=False)} AS toks
+           FROM documents),
+b AS (SELECT doc_id, toks,
+             list_filter(
+               list_transform(range(1, len(toks)+1),
+                 i -> CASE WHEN bf[i] THEN i END),
+               v -> v IS NOT NULL) AS bpos
+      FROM (SELECT doc_id, toks,
+                   list_transform(toks,
+                     t -> ({_RH_CODE_SQL}) % {CDC_DIVISOR} = 0) AS bf
+            FROM d)),
+spans AS (SELECT doc_id, toks,
+                 list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+                 list_append(bpos, len(toks)) AS ends
+          FROM b),
+chunks AS (
+  SELECT doc_id, s.s AS s, s.e AS e,
+         md5(array_to_string(list_slice(toks, s.s, s.e), ' ')) AS chunk_hash
+  FROM (SELECT doc_id, toks,
+               unnest(list_transform(range(1, len(starts)+1),
+                      k -> {{'s': starts[k], 'e': ends[k]}})) AS s
+        FROM spans)
+  WHERE s.e >= s.s)
+SELECT chunk_hash,
+       CAST(min(e - s + 1) AS BIGINT) AS chunk_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ
+FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
+"""
+
+
 # --- containment (asymmetric Jaccard) -----------------------------------
 # containment(A→B) = |A∩B| / |A|: flags SUBSET duplication (a short doc
 # quoted whole inside a long one) that symmetric Jaccard scores low.
@@ -821,6 +914,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_DUPLICATE_PASSAGES,
         note="chunk-level exact dedup (copy-paste passage detector): "
         "fixed-size token chunks hashed and grouped across docs",
+    ),
+    "dedup_cdc_chunks": QuerySpec(
+        fn=cdc_chunks,
+        oracle=_duck_cdc_chunks(),
+        note="content-defined chunking (Gear/rsync boundaries from the "
+        "per-token rolling-hash code) — edit-stable chunk dedup, "
+        "array-native single scan",
     ),
     "dedup_near_dup_groups": QuerySpec(
         fn=lambda s, d: near_dup_groups(s, d),

@@ -18,7 +18,7 @@ dedup aggregations, both already shaped for scale (see plans/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec
@@ -195,13 +195,10 @@ CLF_W_DIGIT = -4.0
 CLF_W_PUNCT = -2.0
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score, keep): sigmoid of a fixed linear model over the
-    quality signals — model-inference as a pure expression select over
-    the signal pass (no UDF, no extra scan beyond quality_scores)."""
-    from .textstats import quality_scores
-
-    q = quality_scores(spark, sf_dir)
+def _clf_score():
+    """4dp-rounded sigmoid of the fixed linear model, as a Column over
+    the quality-signal names (n_tokens, stopword_ratio, digit_ratio,
+    punct_ratio)."""
     z = (
         F.lit(CLF_BIAS)
         + CLF_W_LN_TOKENS * F.log(F.col("n_tokens") + 1)
@@ -209,7 +206,17 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         + CLF_W_DIGIT * F.col("digit_ratio")
         + CLF_W_PUNCT * F.col("punct_ratio")
     )
-    score = F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    return F.round(1.0 / (1.0 + F.exp(-z)), 4)
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, keep): sigmoid of a fixed linear model over the
+    quality signals — model-inference as a pure expression select over
+    the signal pass (no UDF, no extra scan beyond quality_scores)."""
+    from .textstats import quality_scores
+
+    q = quality_scores(spark, sf_dir)
+    score = _clf_score()
     return q.select(
         "doc_id", score.alias("score"), (score >= 0.5).alias("keep")
     )
@@ -316,12 +323,109 @@ FROM documents
 """
 
 
+# --- token-budget selection ----------------------------------------------
+# "Fill a 10B-token training budget with the best documents": rank docs
+# by the quality-classifier score and take them, best first, until the
+# cumulative kept-token count reaches TOKEN_BUDGET. The naive plan is a
+# GLOBAL running sum over (score desc, doc_id) — a single-partition
+# window that dies at corpus scale. The scale-safe plan exploits the
+# 4dp-rounded score (<= 10^4+1 distinct values): aggregate per-score
+# token totals (dictionary-sized), prefix-sum THAT tiny table, broadcast
+# it back, and run the within-bucket running sum partitioned BY score —
+# every corpus-sized stage is either a partial agg or a partitioned
+# window; only the <=10k-row bucket table is ever single-partition.
+TOKEN_BUDGET = 8000
+
+
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, cum_tokens) for the docs that fit the budget,
+    best-quality-first (ties by doc_id). ONE corpus scan: the classifier
+    signals and the kept-token count come from the same select."""
+    from ..functions.tokenize import filter_stopwords, tokens_col
+    from ..sources.tables import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            tokens_col(F.col("text"), stopworded=False).alias("toks"),
+        )
+        .withColumn("kept", filter_stopwords(F.col("toks")))
+    )
+    n_tok = F.size("toks")
+    base = docs.select(
+        "doc_id",
+        F.size("kept").cast("long").alias("n_kept"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (n_tok - F.size("kept")) / F.greatest(n_tok, F.lit(1)).cast("double"), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+            / F.length("text").cast("double"),
+            4,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", ""))
+            / F.length("text").cast("double"),
+            4,
+        ).alias("punct_ratio"),
+    ).select("doc_id", "n_kept", _clf_score().alias("score"))
+    per_bucket = base.groupBy("score").agg(F.sum("n_kept").alias("bucket_toks"))
+    wb = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    buckets = per_bucket.select(
+        "score",
+        (F.sum("bucket_toks").over(wb) - F.col("bucket_toks")).alias("cum_before"),
+    )
+    ww = (
+        Window.partitionBy("score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(buckets), "score")
+        .select(
+            "doc_id",
+            "n_kept",
+            (F.col("cum_before") + F.sum("n_kept").over(ww)).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+def _duck_token_budget() -> str:
+    # the oracle states the SPEC (global running sum); the Spark plan is
+    # the bucketed equivalent — value-identical by construction
+    from ..functions.tokenize import duck_tokens_list
+
+    return f"""
+WITH clf AS ({_duck_quality_classifier()}),
+     k AS (SELECT doc_id, CAST(len({duck_tokens_list('text')}) AS BIGINT) AS n_kept
+           FROM documents),
+     c AS (SELECT doc_id, n_kept,
+                  CAST(sum(n_kept) OVER (ORDER BY score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+           FROM clf JOIN k USING (doc_id))
+SELECT doc_id, n_kept, cum_tokens FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pipeline_sample_mix": QuerySpec(
         fn=sample_mix,
         oracle=_duck_sample_mix(),
         note="deterministic language-mix downsampling (md5 256-bucket "
         "thresholds) — the reproducible stateless rebalancing filter",
+    ),
+    "pipeline_token_budget": QuerySpec(
+        fn=token_budget_fill,
+        oracle=_duck_token_budget(),
+        note="quality-ranked token-budget fill: per-score bucket "
+        "prefix sums broadcast back so no corpus-sized global window",
     ),
     "pipeline_quality_classifier": QuerySpec(
         fn=quality_classifier,

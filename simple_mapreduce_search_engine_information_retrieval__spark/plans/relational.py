@@ -586,6 +586,47 @@ WHERE {JSONK} IS NOT NULL
 GROUP BY 1
 """
 
+# SCD2 dimension build (the warehouse slowly-changing-dimension type-2
+# shape): collapse each user's event stream into validity intervals per
+# consecutive event_type run. Islands come from a lag-change flag +
+# running sum — every window partitions on user_id only (ONE Exchange
+# carries all three window passes; the row_number-difference formulation
+# would add a second partitioning on (user_id, event_type)). valid_to of
+# the current segment renders as -1 (the open interval), is_current as
+# 0/1 BIGINT so both engines hash identically.
+EVENTS_USER_SEGMENTS_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, event_type, {TS} AS ts_us, event_id,
+         CASE WHEN lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY {TS}, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_type, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+seg AS (
+  SELECT user_id, event_type AS segment, island,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM islands GROUP BY user_id, event_type, island
+)
+SELECT user_id, segment, valid_from_us,
+       COALESCE(lead(valid_from_us)
+                  OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                -1) AS valid_to_us,
+       CAST(CASE WHEN lead(valid_from_us)
+                        OVER (PARTITION BY user_id ORDER BY valid_from_us)
+                      IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       n_events
+FROM seg
+"""
+
 # As-of join (operator Spark lacks natively — SURVEY.md §4 'custom
 # operators'): for each click, the most recent STRICTLY PRIOR purchase by
 # the same user, composed as a frame-bounded window max (no per-row
@@ -898,6 +939,7 @@ QUERIES: dict[str, QuerySpec] = {
     "outer_join_null_agg": shared_sql(OUTER_JOIN_NULL_AGG, "left join null-aware aggregates"),
     "like_name_filter": shared_sql(LIKE_NAME_FILTER, "LIKE pushdown"),
     "events_asof_last_purchase": _events_pair(EVENTS_ASOF_LAST_PURCHASE),
+    "events_user_segments_scd2": _events_pair(EVENTS_USER_SEGMENTS_SCD2),
     "range_join_value_bands": shared_sql(RANGE_JOIN_VALUE_BANDS, "band/range join"),
     "events_value_percentiles": QuerySpec(
         fn=_events_percentiles,

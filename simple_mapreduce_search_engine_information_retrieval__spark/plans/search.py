@@ -941,12 +941,210 @@ FROM topk
 """
 
 
+# --- boolean retrieval ----------------------------------------------------
+# Classic boolean-model evaluation over the postings the reference builds
+# (its REPL only ranks, IntDocVectorsForwardIndex.java:295-319; AND/NOT
+# compose the same dictionary lookups). MUST terms become a postings
+# group-filter (count == |must|), NOT terms an anti-join.
+
+
+def search_boolean(
+    spark: SparkSession,
+    sf_dir: str,
+    must: tuple[str, ...],
+    must_not: tuple[str, ...],
+) -> DataFrame:
+    """(docno, tf_sum): docs containing EVERY `must` term and NO
+    `must_not` term; tf_sum sums the must-terms' tf as a crude rank.
+
+    Scale: both legs are term-IN filters over the warm postings — the
+    scan prunes to |must|+|must_not| terms' rows; the AND is a partial-
+    aggregable per-doc count (no self-join per term, which would be
+    |must| shuffles); the NOT leg's cardinality is the excluded terms'
+    df, joined unhinted so AQE picks broadcast only when it is small."""
+    post, _stats, _n = _warm_index(spark, sf_dir, 1)
+    sel = (
+        post.filter(F.col("term").isin(list(must)))
+        .groupBy("docno")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+        )
+        .filter(F.col("n_terms") == len(must))
+        .drop("n_terms")
+    )
+    neg = (
+        post.filter(F.col("term").isin(list(must_not)))
+        .select("docno")
+        .distinct()
+    )
+    return sel.join(neg, "docno", "left_anti").select("docno", "tf_sum")
+
+
+def duck_search_boolean(must: tuple[str, ...], must_not: tuple[str, ...]) -> str:
+    must_l = ", ".join(f"'{t}'" for t in must)
+    not_l = ", ".join(f"'{t}'" for t in must_not)
+    return f"""
+WITH post AS ({duck_postings_flat(1)}),
+     sel AS (SELECT docno, CAST(sum(tf) AS BIGINT) AS tf_sum
+             FROM post WHERE term IN ({must_l})
+             GROUP BY docno HAVING count(*) = {len(must)})
+SELECT docno, tf_sum FROM sel
+WHERE docno NOT IN (SELECT docno FROM post WHERE term IN ({not_l}))
+"""
+
+
+# --- exact phrase via positional adjacency --------------------------------
+# The alternative phrase plan to the k-gram index (search_phrase_2gram):
+# instead of precomputing phrase postings, intersect the phrase terms'
+# POSITION lists with +1 offsets — the standard positional-index phrase
+# walk. Trades index space (no k-gram postings) for query-time work
+# bounded by the phrase terms' tf.
+
+
+def search_phrase_positional(
+    spark: SparkSession, sf_dir: str, phrase: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """(docno, occurrences, rank) for an exact 2-word phrase, matched by
+    position adjacency. One corpus scan: the positional stream filters
+    to the two terms before the per-doc aggregation, so the shuffle
+    carries only those terms' occurrence rows; the adjacency check runs
+    per doc on the collected position arrays (JVM higher-order
+    functions), never a position-x-position join across docs."""
+    from .indexing import positional_terms
+
+    t1, t2 = tokenize_query(phrase)
+    pos = positional_terms(spark, sf_dir).filter(F.col("term").isin([t1, t2]))
+    g = pos.groupBy("docno").agg(
+        F.collect_list(F.when(F.col("term") == t1, F.col("pos"))).alias("pa"),
+        F.collect_list(F.when(F.col("term") == t2, F.col("pos"))).alias("pb"),
+    )
+    occ = F.size(
+        F.filter(F.col("pa"), lambda x: F.array_contains(F.col("pb"), x + 1))
+    ).cast("long")
+    d = g.select("docno", occ.alias("occurrences")).filter(
+        F.col("occurrences") > 0
+    )
+    w = Window.orderBy(F.desc("occurrences"), F.asc("docno"))
+    return (
+        d.orderBy(F.desc("occurrences"), F.asc("docno"))
+        .limit(top_k)
+        .select(
+            "docno",
+            "occurrences",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+
+
+def duck_search_phrase_positional(phrase: str, *, top_k: int = TOP_K) -> str:
+    from .indexing import DUCK_POSITIONAL_TERMS
+
+    t1, t2 = tokenize_query(phrase)
+    return f"""
+WITH p AS ({DUCK_POSITIONAL_TERMS}),
+     a AS (SELECT docno, pos FROM p WHERE term = '{t1}'),
+     b AS (SELECT docno, pos FROM p WHERE term = '{t2}'),
+     d AS (SELECT a.docno, CAST(count(*) AS BIGINT) AS occurrences
+           FROM a JOIN b ON a.docno = b.docno AND b.pos = a.pos + 1
+           GROUP BY a.docno),
+     topk AS (SELECT docno, occurrences FROM d
+              ORDER BY occurrences DESC, docno LIMIT {top_k})
+SELECT docno, occurrences,
+       CAST(row_number() OVER (ORDER BY occurrences DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
+# --- snippet extraction ---------------------------------------------------
+SNIPPET_RADIUS = 3  # tokens of context either side of the first hit
+
+
+def search_snippets(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """(docno, rank, snippet): the result-page context line — for each
+    top-k doc of the ranked query, the +/-SNIPPET_RADIUS-token window
+    around the FIRST occurrence of any query term in the doc's raw
+    (unstopworded) token stream.
+
+    Scale: the top-k side is 10 rows and broadcast, so the corpus-side
+    token scan never shuffles — the snippet slice runs only on rows the
+    broadcast join keeps, and payload text never moves for the 99.99%
+    of docs outside the result page."""
+    from .corpus import tokenized_docs
+
+    terms = sorted(set(tokenize_query(query)))
+    hits = search(spark, sf_dir, query, top_k=top_k).select("docno", "rank")
+    toks = tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docno"), "toks"
+    )
+    j = toks.join(F.broadcast(hits), "docno")
+    # 0-based index of the first query-term occurrence in the raw stream
+    first = F.array_min(
+        F.filter(
+            F.transform(
+                F.col("toks"),
+                lambda t, i: F.when(t.isin(terms), i),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    start1 = F.greatest(first - (SNIPPET_RADIUS - 1), F.lit(1))  # 1-based
+    snippet = F.array_join(
+        F.slice(F.col("toks"), start1, 2 * SNIPPET_RADIUS + 1), " "
+    )
+    return j.select("docno", "rank", snippet.alias("snippet"))
+
+
+def duck_search_snippets(query: str, *, top_k: int = TOP_K) -> str:
+    terms = sorted(set(tokenize_query(query)))
+    lits = ", ".join(f"'{t}'" for t in terms)
+    toks_sql = duck_tokens_list("text", stopworded=False)
+    r = SNIPPET_RADIUS
+    return f"""
+WITH topk AS ({duck_search(query, top_k=top_k)}),
+     toks AS (SELECT doc_id AS docno, {toks_sql} AS toks FROM documents),
+     j AS (SELECT topk.docno, topk.rank, toks.toks
+           FROM toks JOIN topk USING (docno)),
+     firsts AS (SELECT docno, rank, toks,
+                       list_min(list_filter(
+                         list_transform(range(1, len(toks)+1),
+                           i -> CASE WHEN toks[i] IN ({lits}) THEN i END),
+                         v -> v IS NOT NULL)) AS f
+                FROM j)
+SELECT docno, rank,
+       array_to_string(
+         list_slice(toks, greatest(f - {r}, 1),
+                    greatest(f - {r}, 1) + {2 * r}), ' ') AS snippet
+FROM firsts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "search_proximity_pair": QuerySpec(
         fn=lambda s, d: search_proximity(s, d, "spark", "join"),
         oracle=duck_search_proximity("spark", "join"),
         note="positional min-gap proximity ranking — single-scan "
         "per-doc higher-order-function plan over the positional stream",
+    ),
+    "search_boolean_and_not": QuerySpec(
+        fn=lambda s, d: search_boolean(s, d, ("hash", "join"), ("merge",)),
+        oracle=duck_search_boolean(("hash", "join"), ("merge",)),
+        note="boolean-model retrieval: MUST terms as a per-doc count "
+        "filter (no per-term self-joins), NOT terms as an anti-join",
+    ),
+    "search_phrase_positional": QuerySpec(
+        fn=lambda s, d: search_phrase_positional(s, d, "hash join"),
+        oracle=duck_search_phrase_positional("hash join"),
+        note="exact phrase match by positional adjacency — the "
+        "positional-index twin of the k-gram phrase index",
+    ),
+    "search_snippets": QuerySpec(
+        fn=lambda s, d: search_snippets(s, d, "spark join"),
+        oracle=duck_search_snippets("spark join"),
+        note="result-page snippet extraction: +/-3-token context around "
+        "the first hit, top-k side broadcast so text never shuffles",
     ),
     "search_fuzzy_term": QuerySpec(
         fn=lambda s, d: fuzzy_terms(s, d, "sart"),
