@@ -177,3 +177,43 @@ def test_merge_upsert_no_corpus_broadcast(spark, sf_dir):
     plan = _physical(merge_upsert_documents(spark, sf_dir))
     m = re.search(r"ReadSchema: [^\n]*", plan)
     assert m and "lang" not in m.group(0)  # pruned to doc_id,text
+
+
+def test_token_budget_no_global_corpus_window(spark, sf_dir):
+    """The budget fill's only single-partition window must be over the
+    per-score bucket table (dictionary-sized), never the corpus: the
+    corpus-side running sum has to be partitioned by score."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        token_budget_fill,
+    )
+
+    plan = _physical(token_budget_fill(spark, sf_dir))
+    # corpus-side window: partitioned (partitionBy score) — appears as a
+    # hashpartitioning exchange feeding a Window with partition spec
+    assert "windowspecdefinition(score" in plan.replace(" ", "").lower(), plan[:4000]
+    # bucket prefix-sum rejoins the corpus via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+
+
+def test_snippets_broadcasts_topk_side(spark, sf_dir):
+    """Snippet extraction must broadcast the 10-row hit list so the
+    corpus token scan never shuffles."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search_snippets,
+    )
+
+    plan = _physical(search_snippets(spark, sf_dir, "spark join"))
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+    assert "SortMergeJoin" not in plan, plan[:4000]
+
+
+def test_cdc_chunks_shuffles_hashes_not_text(spark, sf_dir):
+    """The CDC chunk aggregation's exchange must carry only the chunk
+    struct (hash + count), never the document text column."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        cdc_chunks,
+    )
+
+    plan = _physical(cdc_chunks(spark, sf_dir))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("text" not in ln for ln in ex), plan[:4000]
