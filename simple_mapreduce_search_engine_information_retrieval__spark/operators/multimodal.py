@@ -191,6 +191,48 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+PHASH_GRID = 4  # aHash grid — 4x4 = 16-bit hash
+
+
+def phash_bits(width: int, height: int, body: bytes) -> int:
+    """Average-hash (aHash) of a decoded grayscale image: nearest-
+    neighbor downsample to PHASH_GRID x PHASH_GRID, one bit per cell set
+    iff the sampled pixel exceeds the image mean. The mean compare is
+    kept in INTEGER arithmetic (px * n_pixels > sum_pixels) so every
+    engine computing it — including the SQL oracle recomputing from id
+    arithmetic — lands on identical bits with no float-epsilon edge."""
+    n, total = width * height, sum(body)
+    h = 0
+    for i in range(PHASH_GRID * PHASH_GRID):
+        rr = ((i // PHASH_GRID) * height) // PHASH_GRID
+        cc = ((i % PHASH_GRID) * width) // PHASH_GRID
+        if body[rr * width + cc] * n > total:
+            h |= 1 << i
+    return h
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel: payload -> (media_id, phash). Like
+    extract_features, the binary column dies inside the kernel — only
+    the 16-bit hash shuffles, which is what makes hash-bucket image
+    dedup workable at billions of images."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = _decode(bytes(payload))
+                out.append({"media_id": int(mid), "phash": phash_bits(w, h, body)})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PHASH_SCHEMA)
+
+
 def resize_stub(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
     """mapInPandas kernel returning re-encoded payloads (fake codec:
     nearest-neighbor crop/pad; a real pipeline swaps in PIL.resize)."""

@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
@@ -28,6 +29,7 @@ from ..operators.multimodal import (
     encode_fake_video,
     extract_features,
     media_stats,
+    perceptual_hashes,
     sample_frames,
 )
 from ..sources.tables import table
@@ -209,7 +211,47 @@ FROM m
 """
 
 
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phash, n_images, min_media_id): aHash buckets over the media
+    table — the image-dedup analogue of the text fingerprint groups.
+    Decode + hash run in the kernel (payload never shuffles); the
+    bucket aggregation moves 16-bit hashes only."""
+    hashes = perceptual_hashes(media_from_docs(spark, sf_dir))
+    return hashes.groupBy("phash").agg(
+        F.count("*").alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
+    )
+
+
+# the oracle recomputes the aHash from id arithmetic: pixel j of image
+# media_id is (media_id + j) % 251; bit i samples the nearest-neighbor
+# pixel of the 4x4 grid and compares px * n > sum(px) in pure integers
+DUCK_MULTIMODAL_PHASH = f"""
+WITH m AS (SELECT doc_id AS media_id, {_W} AS w, {_H} AS h FROM documents),
+px AS (SELECT media_id, w, h,
+              list_transform(range(0, w * h),
+                             j -> (media_id + j) % 251) AS body
+       FROM m),
+hs AS (SELECT media_id,
+              CAST(list_aggregate(list_transform(range(0, 16), i ->
+                CASE WHEN body[(((i // 4) * h) // 4) * w
+                              + (((i % 4) * w) // 4) + 1] * (w * h)
+                          > list_aggregate(body, 'sum')
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END), 'sum')
+                   AS BIGINT) AS phash
+       FROM px)
+SELECT phash, count(*) AS n_images, min(media_id) AS min_media_id
+FROM hs GROUP BY phash
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_phash_clusters": QuerySpec(
+        fn=multimodal_phash_clusters,
+        oracle=DUCK_MULTIMODAL_PHASH,
+        note="perceptual-hash (aHash) image-dedup buckets: integer-exact "
+        "bit derivation, hashes shuffle but payloads never do",
+    ),
     "multimodal_audio_features": QuerySpec(
         fn=multimodal_audio_features,
         oracle=DUCK_MULTIMODAL_AUDIO,

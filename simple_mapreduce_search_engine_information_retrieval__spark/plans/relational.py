@@ -808,6 +808,50 @@ def _events_percentiles(spark: SparkSession, sf_dir: str) -> "DataFrame":
     return spark.sql(_PCTL_BODY.format(P="percentile"))
 
 
+# EWMA — the order-SENSITIVE sequential fold (smoothed per-user value):
+# ewma_0 = v_0; ewma_i = (1-ALPHA)*ewma_{i-1} + ALPHA*v_i over the
+# time-ordered event stream. Not expressible as a commutative aggregate;
+# here it runs as a higher-order-function fold over the per-user value
+# list (ONE shuffle, state bounded by a user's history — the batch twin
+# of the applyInPandasWithState streaming operator). Both engines fold
+# left-to-right over the identical (ts, event_id)-sorted list, so the
+# IEEE-double sequence is bit-identical; 4dp rounding is belt-and-braces.
+EWMA_ALPHA = 0.2
+
+
+def _events_ewma(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ),
+        lambda s: s["value"],
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), vals.alias("vals")
+    )
+    ew = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1).cast("double"),
+        lambda acc, v: acc * (1.0 - EWMA_ALPHA) + v * EWMA_ALPHA,
+    )
+    return g.select("user_id", "n_events", F.round(ew, 4).alias("ewma"))
+
+
+# DuckDB list_reduce seeds with the first element — same init as the
+# Spark slice-from-2 + element_at(1) formulation
+_DUCK_EWMA = f"""
+SELECT user_id, count(*) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+             (acc, v) -> acc * {1.0 - EWMA_ALPHA} + v * {EWMA_ALPHA}), 4) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
 def _events_pivot(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """groupBy().pivot() — the DataFrame-API-only reshape (no SQL
     equivalent in Spark without hand-written CASE columns). Explicit pivot
@@ -945,6 +989,13 @@ QUERIES: dict[str, QuerySpec] = {
         fn=_events_percentiles,
         oracle=_PCTL_BODY.format(P="quantile_cont"),
         note="exact interpolated percentiles (percentile vs quantile_cont)",
+    ),
+    "events_user_ewma": QuerySpec(
+        fn=_events_ewma,
+        oracle=_DUCK_EWMA,
+        note="order-sensitive EWMA fold per user (higher-order-function "
+        "reduce over the time-sorted value list; batch twin of the "
+        "stateful-streaming operator)",
     ),
     "events_value_mad_outliers": QuerySpec(
         fn=_events_mad_outliers,

@@ -632,6 +632,54 @@ FROM (SELECT vec_id, embedding,
 """
 
 
+# --- per-dimension distribution profile ----------------------------------
+# The embedding-feed health check (the vector-store analogue of
+# text_vocab_drift): per-dimension mean and std over the corpus. Sums
+# accumulate in DECIMAL(27,12) — associative, so partition order cannot
+# perturb the double reduction (the k-means discipline above) — and the
+# variance assembles from the two exact moments in one double step.
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n, mean, std): per-dimension profile of the embedding
+    corpus. One scan + one dim-keyed aggregation (DIM groups)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vd = F.col("v").cast("double")
+    g = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(vd.cast("decimal(27,12)")).alias("s"),
+            F.sum((vd * vd).cast("decimal(27,12)")).alias("sq"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    msq = F.col("sq").cast("double") / F.col("n")
+    var = (msq - mean * mean) * F.col("n") / (F.col("n") - 1)
+    return g.select(
+        "dim",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("std"),
+    )
+
+
+DUCK_EMBEDDING_DIM_STATS = """
+SELECT dim, n,
+       round(s / n, 4) AS mean,
+       round(sqrt((sq / n - (s / n) * (s / n)) * n / (n - 1)), 4) AS std
+FROM (
+  SELECT CAST(u.dim AS BIGINT) AS dim, count(*) AS n,
+         CAST(sum(CAST(u.v AS DECIMAL(27,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(u.v * u.v AS DECIMAL(27,12))) AS DOUBLE) AS sq
+  FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+               i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings)
+  GROUP BY 1)
+"""
+
+
 # --- product quantization (PQ) ------------------------------------------
 # The third embedding compressor next to int8 (scalar) and IVF (coarse):
 # split each vector into PQ_M subvectors, learn a per-subspace codebook
@@ -958,6 +1006,12 @@ QUERIES: dict[str, QuerySpec] = {
         note="symmetric per-vector int8 scalar quantization (4x storage "
         "compressor with kept dequantize scale); codes rendered as a "
         "csv string because raw list columns break the grading canon",
+    ),
+    "embedding_dim_stats": QuerySpec(
+        fn=embedding_dim_stats,
+        oracle=DUCK_EMBEDDING_DIM_STATS,
+        note="per-dimension mean/std profile (vector-feed drift check); "
+        "decimal-exact moments so partition order cannot move the doubles",
     ),
     "embedding_pq_codes": QuerySpec(
         fn=pq_codes,
