@@ -161,3 +161,29 @@ def test_frame_sample_real_format_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real video decoding"):
         mm.sample_frames(df).collect()
+
+
+def test_phash_bits_golden():
+    # uniform image: no pixel strictly exceeds the mean -> hash 0
+    assert mm.phash_bits(4, 4, bytes([7] * 16)) == 0
+    # left-half black, right-half white on a 4x4 grid: the two right
+    # columns of the grid sample white pixels (255*16 > sum=8*255) ->
+    # bits at i with i%4 in {2,3}
+    body = bytes(([0, 0, 255, 255] * 4))
+    expect = sum(1 << i for i in range(16) if i % 4 >= 2)
+    assert mm.phash_bits(4, 4, body) == expect
+    # shifting every pixel by a constant leaves the bits unchanged
+    # (mean shifts with the pixels) — the brightness-invariance property
+    body2 = bytes(p // 2 + 10 for p in body)
+    assert mm.phash_bits(4, 4, body2) == expect
+
+
+def test_phash_kernel_matches_driver_arithmetic(spark):
+    hashes = {
+        r.media_id: r.phash
+        for r in mm.perceptual_hashes(mm.synthetic_media(spark, n=16)).collect()
+    }
+    for i in range(16):
+        w, h = 8 + (i % 5), 6 + (i % 3)
+        body = bytes(((i + j) % 251) for j in range(w * h))
+        assert hashes[i] == mm.phash_bits(w, h, body)

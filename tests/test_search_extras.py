@@ -78,3 +78,58 @@ def test_fidelity_equals_expression_plus_stem_dict_on_fixture_corpus():
             assert tokenize_text(text) == [mapping.get(t, t) for t in expr]
         # every token the corpus produces is in the embedded dictionary
         assert pool_seen <= set(FIXTURE_POOL)
+
+
+def test_boolean_semantics(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        _warm_index,
+        search_boolean,
+    )
+
+    post, _, _ = _warm_index(spark, sf_dir, 1)
+    rows = post.select("term", "docno", "tf").collect()
+    has = {}
+    for r in rows:
+        has.setdefault(r.term, {})[r.docno] = r.tf
+    want = {
+        d: has["hash"][d] + has["join"][d]
+        for d in set(has.get("hash", {})) & set(has.get("join", {}))
+        if d not in has.get("merge", {})
+    }
+    got = {
+        r.docno: r.tf_sum
+        for r in search_boolean(spark, sf_dir, ("hash", "join"), ("merge",)).collect()
+    }
+    assert got == want
+    # a must-term absent from the corpus empties the result (the AND
+    # count filter can never reach |must|)
+    none = search_boolean(spark, sf_dir, ("hash", "zzzmissing"), ("merge",))
+    assert none.count() == 0
+
+
+def test_phrase_positional_bounded_by_tf(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        _warm_index,
+        search_phrase_positional,
+    )
+
+    post, _, _ = _warm_index(spark, sf_dir, 1)
+    tf = {(r.term, r.docno): r.tf for r in post.collect()}
+    for r in search_phrase_positional(spark, sf_dir, "hash join").collect():
+        assert 0 < r.occurrences <= min(
+            tf.get(("hash", r.docno), 0), tf.get(("join", r.docno), 0)
+        )
+
+
+def test_snippets_contain_a_query_term(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        SNIPPET_RADIUS,
+        search_snippets,
+    )
+
+    rows = search_snippets(spark, sf_dir, "spark join").collect()
+    assert rows  # the fixture corpus has hits for this query
+    for r in rows:
+        toks = r.snippet.split(" ")
+        assert len(toks) <= 2 * SNIPPET_RADIUS + 1
+        assert {"spark", "join"} & set(toks)
