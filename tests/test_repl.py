@@ -22,3 +22,46 @@ def test_repl_session(spark, monkeypatch):
     # 3+-word query warns but the loop continues (two prompts after it)
     assert "reference REPL constraint" in text
     assert text.count("blank to quit") == 3
+
+
+def test_cli_search_and_docnos(spark, tmp_path, capsys=None):
+    import io
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.__main__ import (
+        main,
+    )
+
+    buf = io.StringIO()
+    rc = main(
+        ["search", "spark join", "--sf-dir", "/root/testdata/sf0.001"], out=buf
+    )
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l and l != "(no hits)"]
+    for ln in lines:
+        rank, docno, score = ln.split("\t")
+        assert int(rank) >= 1 and float(score) == float(score)
+
+    buf = io.StringIO()
+    out_dir = str(tmp_path / "docnos")
+    rc = main(["docnos", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir], out=buf)
+    assert rc == 0 and "docno mappings" in buf.getvalue()
+    back = spark.read.option("sep", "\t").csv(out_dir)
+    assert back.count() > 0
+
+
+def test_cli_index_roundtrip(spark, tmp_path):
+    import io
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.__main__ import (
+        main,
+    )
+
+    buf = io.StringIO()
+    rc = main(
+        [
+            "index", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "ix"), "--k", "1", "--buckets", "4",
+        ],
+        out=buf,
+    )
+    assert rc == 0 and "postings rows" in buf.getvalue()
