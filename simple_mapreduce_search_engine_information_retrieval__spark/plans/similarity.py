@@ -803,9 +803,13 @@ def _warm_adc_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _warm_adc:
         emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
-        cells = _ivf_cells(_ivf_pairs(emb, _ivf_centroids(emb))).cache()
+        # the codebooks are part of the index — a serving engine loads
+        # them WITH the cells/codes, it does not re-derive them per query
+        cents = _ivf_centroids(emb).cache()
+        seeds = _pq_seeds(emb).cache()
+        cells = _ivf_cells(_ivf_pairs(emb, cents)).cache()
         codes = pq_codes(spark, sf_dir).cache()
-        _warm_adc[key] = (emb, cells, codes)
+        _warm_adc[key] = (emb, cells, codes, cents, seeds)
     return _warm_adc[key]
 
 
@@ -814,8 +818,7 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC-shortlisted candidates of the query vector's probe cells."""
     from pyspark.sql import Window
 
-    emb, cells, codes = _warm_adc_index(spark, sf_dir)
-    cents = _ivf_centroids(emb)
+    emb, cells, codes, cents, seeds = _warm_adc_index(spark, sf_dir)
     pairs = _ivf_pairs(emb, cents)
     probes = (
         pairs.filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -826,7 +829,6 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
     )
-    seeds = _pq_seeds(emb)
     cand = (
         codes
         .join(cells, "vec_id")
