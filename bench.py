@@ -275,12 +275,25 @@ def main() -> None:
 
         baseline_bytes = int(22.8 * 1024 * 1024)
         rep = max(1, -(-baseline_bytes // corpus_bytes))
-        big = docs.select(
-            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("rep"),
-            "doc_id",
-            "text",
-        ).select(
-            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("docno"), "text"
+        # The fixture parquet is ONE row group, so the scan (and the
+        # explode-replication above it, a narrow op) is a single split —
+        # the whole tokenize stage would run on one of 32 cores, which
+        # models nothing: a real 22.8 MiB (let alone 100 TB) input
+        # arrives as many splits. Repartition the raw text once to
+        # restore input parallelism; the shuffle's cost stays inside the
+        # timed build (measured: 4.9 -> 18.2 MiB/s at 32 cores).
+        big = (
+            docs.select(
+                F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("rep"),
+                "doc_id",
+                "text",
+            )
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("docno"), "text"
+            )
+            .repartition(
+                int(c) if (c := os.environ.get("SPARK_GRAFT_CPUS", "32")).isdigit() else 32
+            )
         )
 
         def _build() -> None:
