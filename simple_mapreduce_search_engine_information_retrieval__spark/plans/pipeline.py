@@ -122,6 +122,23 @@ WHERE q.n_tokens >= {MIN_TOKENS}
 CTX_TOKENS = 512
 
 
+# Two-level prefix-sum buckets: corpus-sized stages are a partitioned
+# window + a partial agg; only the <=PREFIX_BUCKETS-row bucket table is
+# single-partition. doc_id-contiguous buckets come from the id range
+# (min/max broadcast as a 1-row relation), so bucket order == doc_id
+# order and addition's associativity makes the result identical to the
+# global window.
+PREFIX_BUCKETS = 32
+
+
+def _range_bucket(col, lo, hi, n=PREFIX_BUCKETS):
+    """Monotone, contiguous bucket id in [0, n) over [lo, hi]."""
+    return F.least(
+        F.lit(n - 1),
+        F.floor((col - lo).cast("double") * n / ((hi - lo + 1).cast("double"))),
+    ).cast("long")
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate the token streams of all
     documents in doc_id order and chunk into fixed CTX_TOKENS windows.
@@ -129,19 +146,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment a training-data writer materializes before shard-writing.
 
     start_tok is an exclusive-prefix cumulative sum of token counts over
-    the shared tokenized scan. Scale note: the global ordered window is
-    a single-task stage at 100 TB; the range-partitioned two-pass
-    offsets formulation (docno_mapping_scalable) swaps in unchanged
-    because addition is associative — same contract, same oracle."""
+    the shared tokenized scan, computed with the two-level bucket
+    formulation (local exclusive prefix within doc_id-range buckets +
+    broadcast bucket offsets) so NO corpus-sized stage is ever a
+    single-partition window — the round-3 form's documented hazard,
+    now the shipped plan (oracle unchanged: addition is associative)."""
     staged = tokenized_docs(spark, sf_dir)
     from pyspark.sql import Window
 
     lens = staged.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    with_start = lens.select("doc_id", "n_tokens", start.alias("start_tok"))
+    bounds = lens.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bl = lens.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        _range_bucket(F.col("doc_id"), F.col("lo"), F.col("hi")).alias("b"),
+    )
+    wl = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)).cast("long")
+    btot = bl.groupBy("b").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "b", F.coalesce(F.sum("bt").over(wb), F.lit(0)).cast("long").alias("boff")
+    )
+    with_start = (
+        bl.join(F.broadcast(boff), "b")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("boff") + local).alias("start_tok"),
+        )
+    )
     first_w = F.floor(F.col("start_tok") / CTX_TOKENS).cast("long")
     # empty docs occupy no tokens: treat them as length-1 for the
     # boundary test so they never "span"
@@ -246,19 +288,51 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-curriculum bucketing: ntile(N) over (n_tokens, doc_id) —
     the short-to-long schedule assignment a curriculum-training pipeline
     materializes. Deterministic via the doc_id tiebreak; same standard
-    ntile fill semantics in both engines. Scale note: the global ordered
-    window is single-task — at 100 TB swap in the two-pass
-    range-partitioned rank (docno_mapping_scalable pattern) and derive
-    bucket = floor(rank * N / count); same contract."""
+    ntile fill semantics in both engines.
+
+    Computed WITHOUT a corpus-sized global window (the round-3 form's
+    documented hazard): global rank = broadcast bucket-count offsets +
+    local row_number within n_tokens-range buckets (two-level, the
+    docno_mapping_scalable pattern in pure DataFrame form), then the
+    exact SQL ntile fill formula applied to the rank — the first
+    (total % N) tiles take ceil(total/N) rows, the rest floor. Integer
+    math end-to-end, so the result is bit-identical to ntile()."""
     from pyspark.sql import Window
 
     staged = tokenized_docs(spark, sf_dir)
     lens = staged.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-    w = Window.orderBy("n_tokens", "doc_id")
-    return lens.select(
+    bounds = lens.agg(
+        F.min("n_tokens").alias("lo"),
+        F.max("n_tokens").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bl = lens.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         "n_tokens",
-        F.ntile(N_CURRICULUM_BUCKETS).over(w).cast("long").alias("bucket"),
+        "n",
+        _range_bucket(F.col("n_tokens"), F.col("lo"), F.col("hi")).alias("b"),
+    )
+    wl = Window.partitionBy("b").orderBy("n_tokens", "doc_id")
+    local = F.row_number().over(wl).cast("long")
+    bcnt = bl.groupBy("b").agg(F.count("*").alias("bc"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bcnt.select(
+        "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).cast("long").alias("boff")
+    )
+    ranked = bl.join(F.broadcast(boff), "b").select(
+        "doc_id", "n_tokens", "n", (F.col("boff") + local).alias("r")
+    )
+    nb = F.lit(N_CURRICULUM_BUCKETS).cast("long")
+    q = F.floor(F.col("n") / nb).cast("long")
+    rem = (F.col("n") % nb).cast("long")
+    tile = F.when(
+        F.col("r") <= (q + 1) * rem,
+        F.floor((F.col("r") - 1) / (q + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("r") - 1 - rem * (q + 1)) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", tile.cast("long").alias("bucket")
     )
 
 
