@@ -537,6 +537,96 @@ FROM topk
 """
 
 
+# Dirichlet-prior query-likelihood smoothing parameter (standard
+# Zhai/Lafferty value range; 2000 is the common default)
+LM_MU = 2000.0
+
+
+def search_lm_dirichlet(
+    spark: SparkSession, sf_dir: str, query: str, *, k: int = 1, top_k: int = TOP_K
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing — the language-
+    modeling ranker next to tf-idf (the reference REPL formula) and BM25:
+
+        score(doc) = sum_q ln( (tf + mu * cf_q / C) / (dl + mu) )
+
+    Full QL semantics: every query term contributes to every CANDIDATE
+    doc (docs with >=1 hit), absent terms through the collection prior —
+    so candidates x query-terms is built with the tiny term side
+    broadcast and tf left-joined from the warm postings. cf and C come
+    from the cached dictionary (stats already carries cf); dl is one
+    partial agg over the cached postings. No extra corpus scan."""
+    terms = tokenize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "docno long, score double, rank long")
+    post, stats, _ = _warm_index(spark, sf_dir, k)
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    # qstats: (term, cf) for query terms present in the dictionary
+    # (missing terms have cf=0 — a zero-probability event under the pure
+    # collection prior — so the miss-skip drops them, J2's semantics)
+    qstats = stats.join(F.broadcast(qdf), "term").select("term", "cf")
+    coll = stats.agg(F.sum("cf").cast("double").alias("c_total"))
+    dl = post.groupBy("docno").agg(F.sum("tf").alias("dl"))
+    cand = post.join(F.broadcast(qdf), "term").select("docno").distinct()
+    grid = cand.join(dl, "docno").crossJoin(F.broadcast(qstats)).crossJoin(
+        F.broadcast(coll)
+    )
+    hits = post.join(F.broadcast(qdf), "term").select("docno", "term", "tf")
+    scored = (
+        grid.join(hits, ["docno", "term"], "left")
+        .select(
+            "docno",
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + F.lit(LM_MU) * F.col("cf") / F.col("c_total")
+                )
+                / (F.col("dl") + F.lit(LM_MU))
+            ).alias("contrib"),
+        )
+        .groupBy("docno")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("docno"))
+    return scored.select(
+        "docno", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def duck_search_lm_dirichlet(query: str, *, k: int = 1, top_k: int = TOP_K) -> str:
+    terms = tokenize_query(query)
+    lits = ", ".join("'" + t + "'" for t in set(terms))
+    mu = f"{LM_MU}e0" if "e" not in repr(LM_MU) else repr(LM_MU)
+    return f"""
+WITH post AS MATERIALIZED (
+       SELECT * FROM ({duck_postings_flat(k)}) ),
+     stats AS ({duck_term_stats(k)}),
+     qstats AS (SELECT term, cf FROM stats WHERE term IN ({lits})),
+     coll AS (SELECT CAST(sum(cf) AS DOUBLE) AS c_total FROM stats),
+     dl AS (SELECT docno, sum(tf) AS dl FROM post GROUP BY docno),
+     cand AS (SELECT DISTINCT docno FROM post WHERE term IN ({lits})),
+     grid AS (SELECT cand.docno, dl.dl, qstats.term, qstats.cf, coll.c_total
+              FROM cand JOIN dl USING (docno) CROSS JOIN qstats CROSS JOIN coll),
+     scored AS (
+       SELECT grid.docno,
+              round(sum(ln(
+                (CAST(coalesce(post.tf, 0) AS DOUBLE) + {mu} * grid.cf / grid.c_total)
+                / (grid.dl + {mu})
+              )), 6) AS score
+       FROM grid LEFT JOIN post
+         ON post.docno = grid.docno AND post.term = grid.term
+       GROUP BY grid.docno
+     ),
+     topk AS (SELECT docno, score FROM scored
+              ORDER BY score DESC, docno LIMIT {top_k})
+SELECT docno, score,
+       CAST(row_number() OVER (ORDER BY score DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 TOP_TERMS_PER_DOC = 3
 
 
@@ -1164,6 +1254,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search_bm25("spark join"),
         note="Okapi BM25 ranking over the warm index (positive-idf "
         "Robertson form, dl/avgdl derived from the cached postings)",
+    ),
+    "search_lm_dirichlet": QuerySpec(
+        fn=lambda s, d: search_lm_dirichlet(s, d, "spark join"),
+        oracle=duck_search_lm_dirichlet("spark join"),
+        note="Dirichlet-smoothed query-likelihood ranking (Zhai/Lafferty "
+        "LM) — full semantics: absent query terms contribute the "
+        "collection prior over the candidate x term grid",
     ),
     "search_rrf_fusion": QuerySpec(
         fn=lambda s, d: search_rrf(s, d, "spark join"),

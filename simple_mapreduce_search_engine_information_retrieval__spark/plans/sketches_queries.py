@@ -208,7 +208,109 @@ FROM kth, t
 """
 
 
+# Portable HyperLogLog (Flajolet et al.): b=6 -> m=64 registers over the
+# same md5 32-bit hash as KMV. Spark's approx_count_distinct is HLL++
+# with an engine-private sketch; this register-level formulation is a
+# pure function of the hashed value set, so the REGISTERS and the
+# estimate are cross-engine deterministic. The harmonic sum is exact in
+# IEEE doubles (64 terms, each a power of two in [2^-27, 1] — 33-bit
+# spread < 53-bit mantissa), so no rounding tolerance is needed.
+# Scale: one max-per-register aggregate (combinable) over the hashed
+# stream + a 64-row single-partition finish. alpha_64 = 0.709 (standard).
+HLL_B = 6
+HLL_M = 1 << HLL_B  # 64
+HLL_W = 32 - HLL_B  # 26 value bits
+HLL_ALPHA = 0.709
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, est_distinct, true_distinct): register-level HyperLogLog over
+    the 3-gram vocabulary, with the small-range linear-counting
+    correction (E <= 2.5m and empty registers present -> m*ln(m/V))."""
+    vocab = doc_terms(spark, sf_dir, _KMV_GRAM).select("term").distinct()
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    hashed = vocab.select(h.alias("h"))
+    two_w = 1 << HLL_W
+    w = (F.col("h") % two_w).cast("long")
+    # rank of the first 1-bit in the W value bits: W - bitlen(w) + 1,
+    # with all-zero w ranking W+1. length(bin(w)) is integer-exact in
+    # both engines (no float log2 at power-of-two boundaries).
+    rank = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin(w)) + 1
+    )
+    regs = (
+        hashed.select(
+            F.floor(F.col("h") / two_w).cast("long").alias("reg"),
+            rank.cast("long").alias("rank"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    # empty registers count as M_j = 0 (harmonic term 2^0)
+    full = (
+        spark.range(HLL_M)
+        .select(F.col("id").alias("reg"))
+        .join(regs, "reg", "left")
+        .select(F.coalesce("m_j", F.lit(0)).alias("m_j"))
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    true_d = vocab.agg(F.count("*").alias("true_distinct"))
+    return agg.crossJoin(true_d).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.round(est, 4).alias("est_distinct"),
+        "true_distinct",
+    )
+
+
+def _duck_hll_registers() -> str:
+    two_w = 1 << HLL_W
+    return f"""
+WITH vocab AS MATERIALIZED (
+       SELECT DISTINCT term FROM ({duck_doc_terms(_KMV_GRAM)})),
+     hashed AS (
+       SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM vocab),
+     regs AS (
+       SELECT CAST(floor(h / {two_w}) AS BIGINT) AS reg,
+              max(CASE WHEN h % {two_w} = 0 THEN {HLL_W + 1}
+                       ELSE {HLL_W} - length(bin(h % {two_w})) + 1 END) AS m_j
+       FROM hashed GROUP BY 1),
+     full_regs AS (
+       SELECT coalesce(regs.m_j, 0) AS m_j
+       FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS reg) g
+       LEFT JOIN regs USING (reg)),
+     agg AS (
+       SELECT sum(power(2e0, -m_j)) AS z,
+              sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
+       FROM full_regs),
+     t AS (SELECT count(*) AS true_distinct FROM vocab)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       round(CASE WHEN ({HLL_ALPHA}e0 * {HLL_M * HLL_M}e0 / z) <= {2.5 * HLL_M}e0
+                       AND v > 0
+                  THEN {HLL_M}e0 * ln({HLL_M}e0 / v)
+                  ELSE {HLL_ALPHA}e0 * {HLL_M * HLL_M}e0 / z END, 4)
+         AS est_distinct,
+       true_distinct
+FROM agg, t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_hll_registers": QuerySpec(
+        fn=hll_registers,
+        oracle=_duck_hll_registers(),
+        note="register-level HyperLogLog (b=6) with linear-counting "
+        "correction — portable md5 hash family makes the registers and "
+        "the estimate cross-engine deterministic; build is one "
+        "combinable max-per-register aggregate",
+    ),
     "sketch_kmv_distinct": QuerySpec(
         fn=kmv_distinct,
         oracle=_duck_kmv_distinct(),

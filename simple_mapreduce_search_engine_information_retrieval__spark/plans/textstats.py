@@ -757,7 +757,88 @@ FROM documents GROUP BY 1
 """
 
 
+# --- PII / identifier scrubbing -------------------------------------
+# The redaction pass every training-data pipeline runs before text
+# reaches a model. The synthetic documents fixture contains no free-text
+# PII (no digits or @ at all), so the operator is exercised over a
+# log-shaped text ASSEMBLED IN-QUERY from relational data (a per-
+# customer order log — the realistic "identifiers leak into free text"
+# case); both engines assemble the identical string, so the oracle is
+# fair. The machinery under test is the real thing: pattern-priority
+# redaction (specific entity pattern before the generic digit-run
+# catch-all), per-row match accounting, and a post-scrub content hash.
+# Scale: one groupBy over orders + a key join to customer; regexes are
+# JVM-side (whole-stage codegen), never per-row Python.
+_CUST_RE = "Customer#[0-9]+"
+_NUM_RE = "[0-9]+"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, n_cust_ids, n_numbers, scrub_hash): redaction
+    accounting over a per-customer order-log line."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    logline = orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv")
+    )
+    lines = cust.join(
+        logline, cust["c_custkey"] == logline["o_custkey"]
+    ).select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" placed orders: "), F.col("keys_csv")
+        ).alias("line"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("line"), _CUST_RE, "[CUST]"), _NUM_RE, "[NUM]"
+    )
+    return lines.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(F.col("line"), F.lit(_CUST_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_cust_ids"),
+        F.size(F.regexp_extract_all(F.col("line"), F.lit(_NUM_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_numbers"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+def _duck_pii_scrub() -> str:
+    return f"""
+WITH logline AS (
+       SELECT o_custkey,
+              string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                AS keys_csv
+       FROM orders GROUP BY o_custkey),
+     lines AS (
+       SELECT c_custkey,
+              c_name || ' placed orders: ' || keys_csv AS line
+       FROM customer JOIN logline ON c_custkey = o_custkey)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(line, '{_CUST_RE}')) AS BIGINT) AS n_cust_ids,
+       CAST(len(regexp_extract_all(line, '{_NUM_RE}')) AS BIGINT) AS n_numbers,
+       md5(regexp_replace(regexp_replace(line, '{_CUST_RE}', '[CUST]', 'g'),
+                          '{_NUM_RE}', '[NUM]', 'g')) AS scrub_hash
+FROM lines
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_pii_scrub": QuerySpec(
+        fn=pii_scrub,
+        oracle=_duck_pii_scrub(),
+        note="identifier/PII redaction machinery (pattern-priority "
+        "replace, match accounting, post-scrub hash) over a log-shaped "
+        "text assembled in-query — the documents fixture has no "
+        "free-text PII, disclosed",
+    ),
     "text_token_counts": QuerySpec(fn=token_counts, oracle=DUCK_TOKEN_COUNTS),
     "corpus_split_assignment": QuerySpec(
         fn=split_assignment,

