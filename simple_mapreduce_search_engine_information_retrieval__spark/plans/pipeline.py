@@ -30,6 +30,7 @@ from .dedup import (
     minhash_near_dups,
 )
 from .corpus import tokenized_docs
+from ..sources.tables import table
 from .textstats import (
     _duck_lang_id,
     _duck_quality,
@@ -488,7 +489,217 @@ SELECT doc_id, n_kept, cum_tokens FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+# --- stratified eval sampling (largest-remainder allocation) ---------
+# Building a fixed-budget eval set that mirrors the corpus mix: the
+# budget is allocated across (lang, source) strata PROPORTIONALLY with
+# the Hamilton largest-remainder method — floor quotas first, the
+# leftover seats to the strata with the largest remainders — in pure
+# integer math (quota = B*n_h DIV N, remainder = B*n_h MOD N), so the
+# allocation is bit-identical in both engines, always sums exactly to
+# the budget, and never drifts with float rounding. Within a stratum
+# docs are picked by md5-rank (deterministic, order-free).
+# Scale: the strata table is dictionary-sized (langs x sources) — its
+# ranking window is single-partition but tiny; the per-doc work is one
+# ranking window partitioned by stratum plus a broadcast of the
+# allocation.
+SAMPLE_BUDGET = 100
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source, n_docs, alloc, sel_hash): per-stratum allocation
+    and an order-free hash of the selected doc_ids."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    strata = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    tot = strata.agg(F.sum("n_docs").alias("n_total"))
+    st = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr(f"CAST(({SAMPLE_BUDGET} * n_docs) DIV n_total AS BIGINT)").alias(
+            "base"
+        ),
+        F.expr(f"CAST(({SAMPLE_BUDGET} * n_docs) % n_total AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    leftover = st.agg((F.lit(SAMPLE_BUDGET) - F.sum("base")).alias("leftover"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    alloc = (
+        st.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    wd = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    picked = (
+        docs.withColumn("rn", F.row_number().over(wd))
+        .join(F.broadcast(alloc.select("lang", "source", "alloc")), ["lang", "source"])
+        .filter(F.col("rn") <= F.col("alloc"))
+    )
+    sel = picked.groupBy("lang", "source").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sel_hash")
+    )
+    return alloc.join(sel, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_docs",
+        "alloc",
+        F.coalesce("sel_hash", F.md5(F.lit(""))).alias("sel_hash"),
+    )
+
+
+def _duck_stratified_sample() -> str:
+    b = SAMPLE_BUDGET
+    return f"""
+WITH docs AS (SELECT doc_id, lang, source FROM documents),
+     strata AS (SELECT lang, source, count(*) AS n_docs
+                FROM docs GROUP BY 1, 2),
+     tot AS (SELECT sum(n_docs) AS n_total FROM strata),
+     st AS (SELECT lang, source, n_docs,
+                   CAST(({b} * n_docs) // n_total AS BIGINT) AS base,
+                   CAST(({b} * n_docs) % n_total AS BIGINT) AS rem
+            FROM strata, tot),
+     l AS (SELECT {b} - sum(base) AS leftover FROM st),
+     alloc AS (SELECT lang, source, n_docs,
+                      CAST(base + CASE WHEN row_number() OVER
+                             (ORDER BY rem DESC, lang, source) <= leftover
+                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+               FROM st, l),
+     ranked AS (SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang, source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM docs),
+     picked AS (SELECT r.lang, r.source, r.doc_id
+                FROM ranked r JOIN alloc a USING (lang, source)
+                WHERE r.rn <= a.alloc),
+     sel AS (SELECT lang, source,
+                    md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                   ORDER BY doc_id)) AS sel_hash
+             FROM picked GROUP BY 1, 2)
+SELECT a.lang, a.source, a.n_docs, a.alloc,
+       coalesce(s.sel_hash, md5('')) AS sel_hash
+FROM alloc a LEFT JOIN sel s USING (lang, source)
+"""
+
+
+# --- deterministic epoch mixing (fractional up/down-sampling) --------
+# The training-stream writer's source-weighting pass: each doc is
+# replicated floor(w) times plus one more with probability frac(w),
+# decided by the doc's own md5 (stateless, reproducible, no RNG state
+# to coordinate across executors) — exactly the sample_mix trick
+# extended from keep/drop to replication. Weights < 1 downsample
+# (w=0.5 keeps ~half), w=0 drops a source entirely. The threshold
+# integers are precomputed in the plan constants, so the per-doc
+# decision is one integer compare fused into the scan; replication is
+# an array_repeat explode — no shuffle until the per-source rollup.
+EPOCH_WEIGHTS = {"src0": 2.5, "src3": 1.5, "src7": 0.5, "src11": 0.0}
+EPOCH_DEFAULT_W = 1.0
+_H32 = 1 << 32
+
+
+def _epoch_reps(w: float) -> tuple[int, int]:
+    """(base replications, 32-bit md5 threshold for the +1)."""
+    base = int(w)
+    thr = int(round((w - base) * _H32))
+    return base, thr
+
+
+def epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_copies, expansion): per-source accounting of
+    the replicated training stream."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base_default, thr_default = _epoch_reps(EPOCH_DEFAULT_W)
+    base_col = F.lit(base_default)
+    thr_col = F.lit(thr_default)
+    for src, w in sorted(EPOCH_WEIGHTS.items()):
+        b, t = _epoch_reps(w)
+        base_col = F.when(F.col("source") == src, b).otherwise(base_col)
+        thr_col = F.when(F.col("source") == src, t).otherwise(thr_col)
+    n = (base_col + F.when(h < thr_col, 1).otherwise(0)).cast("int")
+    copies = docs.select(
+        "source", F.explode(F.array_repeat(F.lit(1), n)).alias("i")
+    )
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    out = copies.groupBy("source").agg(F.count("*").alias("n_copies"))
+    return (
+        per_src.join(out, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_copies", F.lit(0)).cast("long").alias("n_copies"),
+            F.round(
+                F.coalesce("n_copies", F.lit(0)) / F.col("n_docs").cast("double"),
+                4,
+            ).alias("expansion"),
+        )
+    )
+
+
+def _duck_epoch_mix() -> str:
+    base_default, thr_default = _epoch_reps(EPOCH_DEFAULT_W)
+    base_case = " ".join(
+        f"WHEN source = '{src}' THEN {_epoch_reps(w)[0]}"
+        for src, w in sorted(EPOCH_WEIGHTS.items())
+    )
+    thr_case = " ".join(
+        f"WHEN source = '{src}' THEN {_epoch_reps(w)[1]}"
+        for src, w in sorted(EPOCH_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         (CASE {base_case} ELSE {base_default} END)
+         + (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < (CASE {thr_case} ELSE {thr_default} END)
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents),
+     copies AS (SELECT source, unnest(range(n)) AS i FROM d),
+     per_src AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source),
+     out AS (SELECT source, count(*) AS n_copies FROM copies GROUP BY source)
+SELECT p.source, p.n_docs,
+       CAST(coalesce(o.n_copies, 0) AS BIGINT) AS n_copies,
+       round(coalesce(o.n_copies, 0) / CAST(p.n_docs AS DOUBLE), 4) AS expansion
+FROM per_src p LEFT JOIN out o USING (source)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_stratified_sample": QuerySpec(
+        fn=stratified_sample,
+        oracle=_duck_stratified_sample(),
+        note="fixed-budget stratified eval sampling: Hamilton largest-"
+        "remainder allocation in pure integer math (always sums to the "
+        "budget), md5-rank selection within strata",
+    ),
+    "pipeline_epoch_mix": QuerySpec(
+        fn=epoch_mix,
+        oracle=_duck_epoch_mix(),
+        note="deterministic epoch mixing: fractional source up/down-"
+        "sampling via per-doc md5 thresholds (RNG-free, reproducible), "
+        "replication fused into the scan as an array_repeat explode",
+    ),
     "pipeline_sample_mix": QuerySpec(
         fn=sample_mix,
         oracle=_duck_sample_mix(),

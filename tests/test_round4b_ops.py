@@ -94,3 +94,42 @@ def test_incremental_matches_full_run_on_crossing_pairs(spark, sf_dir):
             )
             crossing.add((new, base, r.jaccard))
     assert inc == crossing
+
+
+def test_stratified_sample_allocation_exact(spark):
+    """Largest-remainder allocation sums EXACTLY to the budget and every
+    stratum is within 1 of its exact proportional quota."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        SAMPLE_BUDGET,
+        stratified_sample,
+    )
+
+    rows = stratified_sample(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.alloc for r in rows) == SAMPLE_BUDGET
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        exact = SAMPLE_BUDGET * r.n_docs / n_total
+        assert abs(r.alloc - exact) <= 1, (r.lang, r.source, r.alloc, exact)
+
+
+def test_epoch_mix_respects_weights(spark):
+    """Zero-weight sources vanish, weight-1 sources pass through 1:1,
+    and fractional weights land near their expectation."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        EPOCH_WEIGHTS,
+        EPOCH_DEFAULT_W,
+        epoch_mix,
+    )
+
+    rows = {r.source: r for r in epoch_mix(spark, "/root/testdata/sf0.01").collect()}
+    for src, r in rows.items():
+        w = EPOCH_WEIGHTS.get(src, EPOCH_DEFAULT_W)
+        if w == 0.0:
+            assert r.n_copies == 0
+        elif w == int(w):
+            assert r.n_copies == int(w) * r.n_docs
+        else:
+            assert abs(r.expansion - w) < 0.35, (src, r.expansion, w)
+    # deterministic: a second evaluation is identical
+    again = {r.source: r.n_copies for r in epoch_mix(spark, "/root/testdata/sf0.01").collect()}
+    assert again == {s: r.n_copies for s, r in rows.items()}
