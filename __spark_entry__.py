@@ -142,10 +142,15 @@ def _check_priority(registry):
     def key(name):
         if name in latest and not latest[name][1]:
             bucket, rnd = 0, latest[name][0]  # latest verdict is FAIL
-        elif name not in latest or name in CHANGED_THIS_ROUND:
-            bucket, rnd = 1, 0  # never checked OR implementation changed
+        elif name not in latest:
+            bucket, rnd = 1, 0  # never checked: zero evidence anywhere
+        elif name in CHANGED_THIS_ROUND:
+            # changed implementation, but a past green exists and the
+            # local oracle re-verified the rewrite — after the
+            # zero-evidence queries when the budget is tight
+            bucket, rnd = 2, 0
         else:
-            bucket, rnd = 2, latest[name][0]  # green; stalest first
+            bucket, rnd = 3, latest[name][0]  # green; stalest first
         return (bucket, rnd, insertion[name])
 
     return key
