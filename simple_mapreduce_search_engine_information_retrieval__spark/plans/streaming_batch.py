@@ -215,6 +215,56 @@ def incremental_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_incremental_index(spark, path)
 
 
+def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUP maintenance, driver-checked: split the documents
+    table into 4 doc_id-range files, stream them one file per
+    micro-batch through the foreachBatch probe-and-append job
+    (streaming/jobs.py::incremental_near_dups), then read the
+    accumulated pair store. Must equal the one-shot batch LSH answer
+    (the minhash_near_dups oracle) — the contract that lets a 100 TB
+    dedup index stay fresh per ingest batch instead of re-running the
+    full self-join."""
+    import os
+    import shutil
+
+    from ..sources.tables import table
+    from ..streaming.jobs import incremental_near_dups
+    from .sinks_sources import _out_path
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    split_path = _out_path("neardup_splits", sf_dir)
+    store_path = _out_path("neardup_store", sf_dir)
+    for p in (split_path, store_path):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    (
+        table(spark, sf_dir, "documents")
+        .repartitionByRange(4, "doc_id")
+        .write.parquet(split_path)
+    )
+    docs_stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_path)
+    )
+    incremental_near_dups(spark, docs_stream, store_path)
+    return spark.read.parquet(os.path.join(store_path, "pairs"))
+
+
+def _streaming_near_dup_oracle() -> str:
+    from .dedup import _duck_near_dups
+
+    return _duck_near_dups()
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL custom stateful stream (applyInPandasWithState,
     streaming/jobs.py::user_running_stats) to completion with
@@ -334,6 +384,13 @@ QUERIES: dict[str, QuerySpec] = {
         note="custom stateful operator (applyInPandasWithState) actually "
         "RUN as a stream and drained; final states vs plain batch "
         "aggregate oracle",
+    ),
+    "streaming_near_dup_pairs": QuerySpec(
+        fn=streaming_near_dup_pairs,
+        oracle=_streaming_near_dup_oracle(),
+        note="foreachBatch LSH dedup maintenance: per-micro-batch probe "
+        "against the persisted band/shingle store, accumulated pairs vs "
+        "the one-shot batch minhash_near_dups oracle",
     ),
     "streaming_incremental_index": QuerySpec(
         fn=incremental_index_postings,

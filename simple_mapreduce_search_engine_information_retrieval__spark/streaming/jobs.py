@@ -327,3 +327,125 @@ def read_incremental_index(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("term", "docno")
         .agg(F.sum("tf").alias("tf"))
     )
+
+
+def incremental_near_dups(
+    spark: SparkSession, docs_stream: DataFrame, store_path: str
+) -> None:
+    """Streaming near-dup maintenance: each micro-batch of documents is
+    shingled and MinHash-banded, PROBED against the persisted band
+    store (within-batch self-probe included), verified with exact
+    Jaccard against the persisted shingle store, and then appended to
+    the store — the streaming twin of plans/dedup.py's
+    dedup_incremental_minhash, where the "increment" is a micro-batch.
+
+    Discovered pairs land in <store>/pairs; bands and shingles
+    accumulate in <store>/bands and <store>/shingles (LSM appends, the
+    incremental_index discipline). A pair is discovered exactly once —
+    in the first batch where both members exist (probe side is always
+    the batch; store-store pairs never re-form) — so the accumulated
+    pair set equals the one-shot batch LSH answer in ANY delivery
+    order. Scale: per batch the
+    probe broadcasts the batch-sized band/candidate relations; the
+    stored corpus index is only ever scanned, never reshuffled."""
+    import os
+
+    from ..functions.tokenize import filter_stopwords, kgrams_col, tokens_col
+    from ..plans.dedup import (
+        JACCARD_THRESHOLD,
+        _bands,
+        _signatures_of,
+    )
+
+    bands_p = os.path.join(store_path, "bands")
+    sh_p = os.path.join(store_path, "shingles")
+    pairs_p = os.path.join(store_path, "pairs")
+
+    def probe_and_append(batch: DataFrame, batch_id: int) -> None:
+        # a micro-batch arrives as one file -> one input split; spread
+        # it before the tokenizer or the whole shingle pass runs on a
+        # single core (the same single-split hazard as replicated
+        # fixture reads — see bench.py's index build)
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
+        sh_b = (
+            batch.select(
+                "doc_id",
+                F.explode(
+                    kgrams_col(
+                        filter_stopwords(
+                            tokens_col(F.col("text"), stopworded=False)
+                        ),
+                        3,
+                    )
+                ).alias("shingle"),
+            )
+            .distinct()
+            .localCheckpoint()  # shingles feed 4 consumers below
+        )
+        bands_b = _bands(_signatures_of(sh_b))
+        have_store = os.path.exists(bands_p)
+        if have_store:
+            bands_all = bands_b.unionByName(spark.read.parquet(bands_p))
+            sh_all = sh_b.unionByName(spark.read.parquet(sh_p))
+        else:
+            bands_all, sh_all = bands_b, sh_b
+        cand = (
+            F.broadcast(
+                bands_b.select(
+                    F.col("doc_id").alias("probe_doc"), "band_key"
+                )
+            )
+            .join(bands_all, "band_key")
+            .filter(F.col("doc_id") != F.col("probe_doc"))
+            .select(
+                F.least("probe_doc", "doc_id").alias("doc_a"),
+                F.greatest("probe_doc", "doc_id").alias("doc_b"),
+            )
+            .distinct()
+            # every candidate has >=1 batch member (the probe side is
+            # bands_b) and store-store pairs never appear, so each pair
+            # is discovered in exactly one batch — the first where both
+            # members exist — regardless of delivery order
+        )
+        sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            F.broadcast(cand)
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        pairs = (
+            inter.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("n_inter")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                    ).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        # batch-sized appends: coalesce so the store stays a few files
+        # per batch instead of spraying 32 shards each (the store is
+        # re-read every subsequent batch; at cluster scale size the
+        # coalesce to the increment's real volume)
+        pairs.coalesce(1).write.mode("append").parquet(pairs_p)
+        bands_b.coalesce(2).write.mode("append").parquet(bands_p)
+        sh_b.coalesce(2).write.mode("append").parquet(sh_p)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(probe_and_append)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -133,3 +133,35 @@ def test_epoch_mix_respects_weights(spark):
     # deterministic: a second evaluation is identical
     again = {r.source: r.n_copies for r in epoch_mix(spark, "/root/testdata/sf0.01").collect()}
     assert again == {s: r.n_copies for s, r in rows.items()}
+
+
+def test_streaming_near_dups_equal_batch_answer(spark, sf_dir):
+    """The accumulated streaming pair store equals the one-shot batch
+    LSH answer, and cross-batch pairs (members in different doc_id
+    quartiles) are discovered whenever the batch answer contains them —
+    proving the probe really works against the persisted store, not
+    just within a micro-batch."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.streaming_batch import (
+        streaming_near_dup_pairs,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in streaming_near_dup_pairs(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dups(spark, sf_dir).collect()
+        if r.jaccard >= JACCARD_THRESHOLD
+    }
+    assert got == want
+    ids = sorted(r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect())
+    quartile = {d: i * 4 // len(ids) for i, d in enumerate(ids)}
+    want_cross = {p for p in want if quartile[p[0]] != quartile[p[1]]}
+    got_cross = {p for p in got if quartile[p[0]] != quartile[p[1]]}
+    assert got_cross == want_cross
+    if want_cross:
+        assert len(got_cross) > 0
