@@ -422,6 +422,77 @@ FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 """
 
 
+# Matryoshka-style truncation audit: how much similarity signal
+# survives at each dimension budget. The question every
+# embedding-serving pipeline asks before truncating stored vectors
+# (smaller budget = cheaper ANN index + faster scans); answered here
+# over the dense adjacent-pair line, comparing each pair's truncated
+# cosine to its full-dimension cosine. Error accumulation uses the
+# decimal discipline (both cosines rounded to the 1e-6 grid first, the
+# |diff| summed as DECIMAL) so the mean is partition-order-proof.
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dims, n_pairs, mae, max_abs_err): per budget, the mean and max
+    absolute error of truncated-cosine vs full-cosine over adjacent
+    (vec_id, vec_id+1) pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_a"), F.col("embedding").alias("eb")
+    )
+    full = F.round(_cos(F.col("ea"), F.col("eb")), 6)
+    errs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("dims"),
+                F.abs(
+                    full.cast("decimal(18,6)")
+                    - F.round(
+                        _cos(F.slice("ea", 1, d), F.slice("eb", 1, d)), 6
+                    ).cast("decimal(18,6)")
+                ).alias("err"),
+            )
+            for d in TRUNC_DIMS
+        ]
+    )
+    return (
+        a.join(b, "vec_a")
+        .select(F.explode(errs).alias("e"))
+        .select("e.dims", "e.err")
+        .groupBy("dims")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum("err").cast("double") / F.count("*"), 6
+            ).alias("mae"),
+            F.max("err").cast("double").alias("max_abs_err"),
+        )
+    )
+
+
+def _duck_truncation_quality() -> str:
+    arms = []
+    for d in TRUNC_DIMS:
+        tc = _duck_cos(f"a.embedding[1:{d}]", f"b.embedding[1:{d}]")
+        fc = _duck_cos("a.embedding", "b.embedding")
+        arms.append(
+            f"SELECT CAST({d} AS BIGINT) AS dims, "
+            f"abs(CAST(round({fc}, 6) AS DECIMAL(18,6)) "
+            f"  - CAST(round({tc}, 6) AS DECIMAL(18,6))) AS err "
+            f"FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH errs AS ({union})
+SELECT dims, count(*) AS n_pairs,
+       round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mae,
+       CAST(max(err) AS DOUBLE) AS max_abs_err
+FROM errs GROUP BY dims
+"""
+
+
 # the synthetic embeddings are near-orthogonal random vectors (max
 # pairwise cosine ≈ 0.51) — 0.4 yields a meaningful, non-empty pair set;
 # a real corpus-dedup run would sit at 0.95+
@@ -1039,5 +1110,12 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(
         fn=embedding_near_dups, oracle=DUCK_EMBEDDING_NEAR_DUPS,
         note="cell-bucketed cosine near-dup pairs",
+    ),
+    "embedding_truncation_quality": QuerySpec(
+        fn=truncation_quality,
+        oracle=_duck_truncation_quality(),
+        note="Matryoshka-style truncation audit: per dim budget, "
+        "mae/max of truncated-cosine vs full-cosine over the adjacent "
+        "pair line (decimal error accumulation, order-proof)",
     ),
 }

@@ -165,3 +165,18 @@ def test_streaming_near_dups_equal_batch_answer(spark, sf_dir):
     assert got_cross == want_cross
     if want_cross:
         assert len(got_cross) > 0
+
+
+def test_truncation_quality_decays_monotonically(spark, sf_dir):
+    """More dims -> less truncation error; the full budget is exactly
+    lossless (a built-in self-check of the error formula)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        truncation_quality,
+    )
+
+    rows = {r.dims: r for r in truncation_quality(spark, sf_dir).collect()}
+    dims = sorted(rows)
+    for lo, hi in zip(dims, dims[1:]):
+        assert rows[lo].mae >= rows[hi].mae
+    assert rows[dims[-1]].mae == 0.0
+    assert rows[dims[-1]].max_abs_err == 0.0
