@@ -47,6 +47,7 @@ def _registry():
         "sinks_sources",
         "graph",
         "merge",
+        "layout",
     ):
         try:
             mod = __import__(

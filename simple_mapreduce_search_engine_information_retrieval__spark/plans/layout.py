@@ -1,0 +1,321 @@
+"""Data-layout and scale diagnostics — the ops you run BEFORE a 100 TB job.
+
+Three operators, each answering a question that decides a physical plan:
+
+- ``layout_zorder_files``: would Z-order clustering make data skipping
+  work?  Interleaves two predicate dimensions (user bucket x day bucket)
+  into a Morton key, assigns rows to fixed-size files in z order, and
+  reports each file's bounding box over BOTH dimensions.  Narrow boxes =
+  min/max file statistics prune on either predicate — the Delta/Iceberg
+  OPTIMIZE ZORDER question, answered with exact integer math so the
+  oracle reproduces every file boundary.
+- ``diag_key_skew``: is this join/agg key skewed enough to need salting?
+  Heavy-hitter profile of ``events.user_id`` — top-10 keys with exact
+  ppm share and cumulative share.  This is the measurement behind the
+  salted-postings discipline in ``plans/indexing.py`` (the decision to
+  salt is made from numbers like these, not guessed).
+- ``sketch_quantile_bins``: mergeable single-pass-per-stage quantile
+  estimate (fixed 1000-bin equi-width histogram -> p50/p90/p99 by
+  cumulative threshold).  The histogram is a partial-aggregable
+  ``groupBy`` — the map-side-combinable shape a 1000-executor percentile
+  needs; the error bound is one bin width by construction.  Estimates
+  are emitted in integer micro-units via the repo's half-up
+  ``floor(x*1e6 + 0.5)`` convention so both engines agree bit-for-bit.
+
+Scale notes (all three):
+- The only windows run over bounded relations: the 256-row z-value
+  census, the 10-row heavy-hitter list, the 1000-bin histogram.  The
+  per-row passes are groupBy partial aggregates or broadcast joins of
+  those tiny relations; nothing windows over the corpus.
+- ``layout_zorder_files``'s within-cell ``row_number`` partitions by
+  zval (256 balanced cells by construction — the point of interleaving
+  is that z cells are small and uniform), so the sort is per-cell, not
+  global.
+
+Reference parity: the reference has no layout tooling (its storage is
+whatever ``SequenceFileOutputFormat`` emits, SURVEY §2.1); these are
+north-star additions in the same spirit as the sketches pack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ..sources.tables import table
+
+ZBITS = 4  # 4+4-bit Morton key -> 256 z cells
+ZCELLS = 1 << (2 * ZBITS)
+ROWS_PER_FILE = 1024  # target file size, in rows, for the layout audit
+DAY_NS = 86_400_000_000_000  # one day in nanoseconds (canonical ts unit)
+
+SKEW_TOP = 10
+PPM = 1_000_000
+
+QBINS = 1000
+QUANTS = ((50, 100), (90, 100), (99, 100))  # exact ratios, not floats
+
+
+def _zval_terms(ub: str, db: str, idiv: str) -> str:
+    """Morton interleave of two ZBITS-wide bucket columns as pure
+    integer arithmetic (no dialect-specific bit ops); ``idiv`` is the
+    engine's integer-division operator ('div' Spark, '//' DuckDB)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({ub} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({db} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_id, n_rows, ub_min, ub_max, db_min, db_max, bbox_cells):
+    the per-file two-dimensional bounding boxes a z-ordered rewrite of
+    ``events`` would give its min/max file statistics."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % (1 << ZBITS)).alias("ub"),
+        (F.expr(f"(ts div {DAY_NS}) % {1 << ZBITS}")).alias("db"),
+    )
+    z = ev.select(
+        "event_id", "ub", "db", F.expr(_zval_terms("ub", "db", "div")).alias("zval")
+    )
+    # 256-row census -> exclusive prefix sum (tiny window), broadcast back
+    census = z.groupBy("zval").agg(F.count("*").alias("n"))
+    cum = census.select(
+        "zval",
+        (
+            F.sum("n").over(
+                Window.orderBy("zval").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("n")
+        ).alias("cum_before"),
+    )
+    pos = z.join(F.broadcast(cum), "zval").select(
+        "ub",
+        "db",
+        (
+            F.col("cum_before")
+            + F.row_number().over(
+                Window.partitionBy("zval").orderBy("event_id")
+            )
+            - 1
+        ).alias("gpos"),
+    )
+    return (
+        pos.groupBy(F.expr(f"gpos div {ROWS_PER_FILE}").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ub").alias("ub_min"),
+            F.max("ub").alias("ub_max"),
+            F.min("db").alias("db_min"),
+            F.max("db").alias("db_max"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("ub_max") - F.col("ub_min") + 1)
+                * (F.col("db_max") - F.col("db_min") + 1)
+            ).alias("bbox_cells"),
+        )
+    )
+
+
+DUCK_ZORDER_FILES = f"""
+WITH keyed AS (
+  SELECT event_id,
+         user_id % {1 << ZBITS} AS ub,
+         (epoch_ns(ts) // {DAY_NS}) % {1 << ZBITS} AS db
+  FROM events
+), z AS (
+  SELECT event_id, ub, db, {_zval_terms("ub", "db", "//")} AS zval FROM keyed
+), census AS (
+  SELECT zval, count(*) AS n FROM z GROUP BY zval
+), cum AS (
+  SELECT zval,
+         CAST(sum(n) OVER (ORDER BY zval
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS cum_before
+  FROM census
+), pos AS (
+  SELECT z.ub, z.db,
+         cum.cum_before
+           + row_number() OVER (PARTITION BY z.zval ORDER BY z.event_id) - 1
+           AS gpos
+  FROM z JOIN cum ON z.zval = cum.zval
+)
+SELECT CAST(gpos // {ROWS_PER_FILE} AS BIGINT) AS file_id, count(*) AS n_rows,
+       min(ub) AS ub_min, max(ub) AS ub_max,
+       min(db) AS db_min, max(db) AS db_max,
+       (max(ub) - min(ub) + 1) * (max(db) - min(db) + 1) AS bbox_cells
+FROM pos GROUP BY file_id
+"""
+
+
+def key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, user_id, n_events, share_ppm, cume_ppm, n_keys,
+    total_events): exact heavy-hitter profile of the events join key.
+    GroupBy partial agg -> TakeOrdered {SKEW_TOP}; windows only over the
+    10-row result; totals are a 1-row broadcast."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total_events"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n"), "user_id").limit(SKEW_TOP)
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.expr(f"n * {PPM} div total_events").alias("share_ppm"),
+            F.expr(
+                "sum(n) OVER (ORDER BY n DESC, user_id "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * {PPM} "
+                "div total_events"
+            ).alias("cume_ppm"),
+            "n_keys",
+            "total_events",
+        )
+    )
+
+
+DUCK_KEY_SKEW = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_events, count(*) AS n_keys FROM c
+), top AS (
+  SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT {SKEW_TOP}
+)
+SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+       user_id, n AS n_events,
+       CAST(n * {PPM} // total_events AS BIGINT) AS share_ppm,
+       CAST(sum(n) OVER (ORDER BY n DESC, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * {PPM} // total_events AS BIGINT) AS cume_ppm,
+       n_keys, total_events
+FROM top, t
+"""
+
+
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_pct, threshold_rank, bin_idx, est_micro): histogram-sketch
+    quantiles of events.value.  threshold_rank = ceil(q * total) in
+    integer math; bin_idx = first bin whose cumulative count reaches it;
+    est_micro = the bin's lower edge in half-up micro-units."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("total"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(QBINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * float(QBINS)
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            ).alias("b"),
+            "vmin",
+            "vmax",
+            "total",
+        )
+        .groupBy("b", "vmin", "vmax", "total")
+        .agg(F.count("*").alias("n"))
+    )
+    cum = binned.select(
+        "b",
+        "vmin",
+        "vmax",
+        "total",
+        F.sum("n")
+        .over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cume"),
+    )
+    qs = spark.createDataFrame(
+        [(num, den) for num, den in QUANTS], "q_num long, q_den long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "threshold_rank", F.expr("(total * q_num + q_den - 1) div q_den")
+        )
+        .filter(F.col("cume") >= F.col("threshold_rank"))
+        .groupBy(
+            F.expr("q_num * 100 div q_den").alias("q_pct"), "threshold_rank"
+        )
+        .agg(
+            F.min("b").alias("bin_idx"),
+            F.min("vmin").alias("vmin"),
+            F.min("vmax").alias("vmax"),
+        )
+        .select(
+            "q_pct",
+            "threshold_rank",
+            "bin_idx",
+            F.expr(
+                f"CAST(floor((vmin + bin_idx * (vmax - vmin) / {float(QBINS)})"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("est_micro"),
+        )
+    )
+
+
+def _duck_quantile_bins() -> str:
+    qrows = " UNION ALL ".join(
+        f"SELECT CAST({num} AS BIGINT) AS q_num, CAST({den} AS BIGINT) AS q_den"
+        for num, den in QUANTS
+    )
+    return f"""
+WITH rng AS (
+  SELECT min(value) AS vmin, max(value) AS vmax, count(*) AS total FROM events
+), binned AS (
+  SELECT CAST(least({QBINS - 1},
+               floor((value - vmin) * {float(QBINS)} / (vmax - vmin))) AS BIGINT) AS b,
+         vmin, vmax, total, count(*) AS n
+  FROM events, rng GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT b, vmin, vmax, total,
+         sum(n) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+  FROM binned
+), qs AS ({qrows})
+SELECT q_num * 100 // q_den AS q_pct,
+       (total * q_num + q_den - 1) // q_den AS threshold_rank,
+       min(b) AS bin_idx,
+       CAST(floor((min(vmin) + min(b) * (min(vmax) - min(vmin)) / {float(QBINS)})
+                  * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+FROM cum, qs
+WHERE cume >= (total * q_num + q_den - 1) // q_den
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "layout_zorder_files": QuerySpec(
+        fn=zorder_files,
+        oracle=DUCK_ZORDER_FILES,
+        note="Z-order layout audit: per-file 2-D bounding boxes of a "
+        "Morton-clustered rewrite (256 z cells, windows only over the "
+        "cell census)",
+    ),
+    "diag_key_skew": QuerySpec(
+        fn=key_skew,
+        oracle=DUCK_KEY_SKEW,
+        note="heavy-hitter join-key skew profile: top-10 keys with exact "
+        "ppm / cumulative-ppm share — the measurement behind salting",
+    ),
+    "sketch_quantile_bins": QuerySpec(
+        fn=quantile_bins,
+        oracle=_duck_quantile_bins(),
+        note="mergeable 1000-bin histogram quantiles (p50/p90/p99), "
+        "half-up micro-unit estimates, one-bin-width error bound",
+    ),
+}

@@ -1,0 +1,93 @@
+"""Property + plan-shape tests for the layout/diagnostics pack
+(plans/layout.py). Value oracles run in tests/test_oracle_parity.py;
+these assert the invariants the oracle hash can't express and the
+physical shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+    QBINS,
+    ROWS_PER_FILE,
+    SKEW_TOP,
+    ZBITS,
+    key_skew,
+    quantile_bins,
+    zorder_files,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+    table,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zorder_files_partition_row_counts_and_bounds(spark, sf_dir):
+    """Files are full (ROWS_PER_FILE) except the last; bounding boxes
+    stay inside the bucket domain; total rows = corpus rows."""
+    rows = sorted(zorder_files(spark, sf_dir).collect(), key=lambda r: r.file_id)
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows[:-1]:
+        assert r.n_rows == ROWS_PER_FILE
+    side = 1 << ZBITS
+    for r in rows:
+        assert 0 <= r.ub_min <= r.ub_max < side
+        assert 0 <= r.db_min <= r.db_max < side
+        assert r.bbox_cells == (r.ub_max - r.ub_min + 1) * (
+            r.db_max - r.db_min + 1
+        )
+
+
+def test_zorder_beats_single_dim_clustering(spark):
+    """The point of z-order: mean per-file bbox area is far below the
+    full grid (a single-dim sort would leave one dimension's span at
+    the full 2^ZBITS on every file). Needs enough rows for multiple
+    files — pinned to sf0.01 (10 files; sf0.001 fits in one file and
+    the bbox claim would be vacuous)."""
+    rows = zorder_files(spark, "/root/testdata/sf0.01").collect()
+    grid = (1 << ZBITS) ** 2
+    mean_bbox = sum(r.bbox_cells for r in rows) / len(rows)
+    assert mean_bbox < grid / 2
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    rows = sorted(key_skew(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == SKEW_TOP
+    ns = [r.n_events for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(rows[i].cume_ppm <= rows[i + 1].cume_ppm for i in range(len(rows) - 1))
+    assert rows[-1].cume_ppm <= 1_000_000
+    ev = table(spark, sf_dir, "events")
+    top_key = rows[0].user_id
+    assert ev.filter(F.col("user_id") == top_key).count() == rows[0].n_events
+
+
+def test_quantile_bins_estimates_within_one_bin(spark, sf_dir):
+    """Histogram-sketch estimate vs the exact order statistic: error is
+    bounded by one bin width (the sketch's contract)."""
+    est = {r.q_pct: r for r in quantile_bins(spark, sf_dir).collect()}
+    vals = sorted(
+        r.value for r in table(spark, sf_dir, "events").select("value").collect()
+    )
+    vmin, vmax = vals[0], vals[-1]
+    bin_w = (vmax - vmin) / QBINS
+    for q in (50, 90, 99):
+        exact = vals[est[q].threshold_rank - 1]
+        assert abs(est[q].est_micro / 1e6 - exact) <= bin_w + 1e-9
+
+
+def test_layout_plan_shapes(spark, sf_dir):
+    """Tiny relations broadcast; the heavy side never sorts globally."""
+    spark.catalog.clearCache()
+    zp = _physical(zorder_files(spark, sf_dir))
+    # the 256-row census prefix-sum joins back via broadcast
+    assert "BroadcastHashJoin" in zp or "BroadcastNestedLoopJoin" in zp
+    sp = _physical(key_skew(spark, sf_dir))
+    # top-10 selection is TakeOrdered, not a global Sort of all keys
+    assert "TakeOrderedAndProject" in sp
+    qp = _physical(quantile_bins(spark, sf_dir))
+    assert "BroadcastHashJoin" in qp or "BroadcastNestedLoopJoin" in qp
