@@ -343,6 +343,150 @@ FROM ranked WHERE rk <= {top_k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation harness: P@10 / recall@10 / MRR / NDCG@10
+# of the tf-idf ranking against an exactly-defined gold set (strong
+# conjunctive containment: a doc is relevant iff it contains EVERY query
+# term at tf >= 2 — computable bit-exactly on both engines from the
+# postings; the tf floor keeps the gold set selective enough that the
+# metrics discriminate instead of saturating at 1.0).
+# The float-free trick: DCG weights 1/log2(rank+1) are
+# precomputed ONCE driver-side as half-up micro-units (a 10-entry
+# constant), so DCG/IDCG are integer sums — associative, partition-order
+# -proof — and NDCG is an integer ppm ratio. Queries whose gold set is
+# empty (no doc has all terms) drop out, deterministically on both
+# engines. Plan shape: the gold build is one broadcast-query-side join
+# over the warm postings; metrics join the 10-row-per-query ranking with
+# gold — everything after the postings scan is query-cardinality.
+import math as _math
+
+EVAL_MIN_TF = 2  # gold = docs with every query term at tf >= this
+EVAL_DCG_W = tuple(
+    int(1_000_000 / _math.log2(r + 1) + 0.5) for r in range(1, TOP_K + 1)
+)
+EVAL_IDCG_PS = tuple(
+    sum(EVAL_DCG_W[: i + 1]) for i in range(TOP_K)
+)  # prefix sums: IDCG for |gold| = 1..10 (binary relevance)
+
+
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_gold, hits10, p10_ppm, recall10_ppm, mrr_micro,
+    dcg_micro, idcg_micro, ndcg_ppm) per workload query."""
+    pairs = [
+        (qid, t)
+        for qid, qtext in WORKLOAD.items()
+        for t in sorted(set(tokenize_query(qtext)))
+    ]
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qn = qdf.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    post, _stats, _n_docs = _warm_index(spark, sf_dir, 1)
+    gold = (
+        post.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "docno")
+        .agg(F.count("*").alias("nt"), F.min("tf").alias("min_tf"))
+        .join(F.broadcast(qn), "query_id")
+        .filter((F.col("nt") == F.col("n_terms")) & (F.col("min_tf") >= EVAL_MIN_TF))
+        .select("query_id", "docno")
+    )
+    per_q = gold.groupBy("query_id").agg(F.count("*").alias("n_gold"))
+    warr = F.array(*[F.lit(w) for w in EVAL_DCG_W])
+    psarr = F.array(*[F.lit(p) for p in EVAL_IDCG_PS])
+    hit_agg = (
+        batch_workload(spark, sf_dir)
+        .join(gold, ["query_id", "docno"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("h10"),
+            F.min("rank").alias("first_rank"),
+            F.sum(F.element_at(warr, F.col("rank").cast("int"))).alias("dcg"),
+        )
+    )
+    return (
+        per_q.join(hit_agg, "query_id", "left")
+        .withColumn("hits10", F.coalesce("h10", F.lit(0)))
+        .withColumn("dcg_micro", F.coalesce("dcg", F.lit(0)))
+        .withColumn(
+            "idcg_micro",
+            F.element_at(psarr, F.least(F.lit(TOP_K), F.col("n_gold")).cast("int")),
+        )
+        .select(
+            "query_id",
+            "n_gold",
+            "hits10",
+            F.expr(f"hits10 * 1000000 div {TOP_K}").alias("p10_ppm"),
+            F.expr("hits10 * 1000000 div n_gold").alias("recall10_ppm"),
+            F.expr(
+                "CASE WHEN first_rank IS NULL THEN 0 "
+                "ELSE 1000000 div first_rank END"
+            ).alias("mrr_micro"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("dcg_micro * 1000000 div idcg_micro").alias("ndcg_ppm"),
+        )
+    )
+
+
+def duck_eval_metrics() -> str:
+    from .indexing import duck_postings_flat, duck_term_stats
+
+    pairs = [
+        (qid, t)
+        for qid, qtext in WORKLOAD.items()
+        for t in sorted(set(tokenize_query(qtext)))
+    ]
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    wlist = "[" + ", ".join(str(w) for w in EVAL_DCG_W) + "]"
+    pslist = "[" + ", ".join(str(p) for p in EVAL_IDCG_PS) + "]"
+    return f"""
+WITH post AS ({duck_postings_flat(1)}),
+     stats AS ({duck_term_stats(1)}),
+     n AS (SELECT count(*) AS n_docs FROM documents),
+     q(query_id, term) AS (VALUES {values}),
+     qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+     gold AS (
+       SELECT m.query_id, m.docno
+       FROM (SELECT q.query_id, post.docno, count(*) AS nt,
+                    min(post.tf) AS min_tf
+             FROM post JOIN q USING (term) GROUP BY 1, 2) m
+       JOIN qn USING (query_id)
+       WHERE m.nt = qn.n_terms AND m.min_tf >= {EVAL_MIN_TF}
+     ),
+     per_q AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id),
+     scored AS (
+       SELECT q.query_id, post.docno,
+              round(sum((1 + ln(post.tf)) * log10(n.n_docs / stats.df)), 6) AS score
+       FROM post JOIN q USING (term) JOIN stats USING (term) CROSS JOIN n
+       GROUP BY q.query_id, post.docno
+     ),
+     ranked AS (
+       SELECT query_id, docno,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, docno) AS rk
+       FROM scored
+     ),
+     ha AS (
+       SELECT r.query_id, count(*) AS h10, min(r.rk) AS first_rank,
+              CAST(sum({wlist}[r.rk]) AS BIGINT) AS dcg
+       FROM ranked r JOIN gold g
+         ON r.query_id = g.query_id AND r.docno = g.docno
+       WHERE r.rk <= {TOP_K}
+       GROUP BY r.query_id
+     )
+SELECT per_q.query_id, per_q.n_gold,
+       CAST(coalesce(ha.h10, 0) AS BIGINT) AS hits10,
+       CAST(coalesce(ha.h10, 0) * 1000000 // {TOP_K} AS BIGINT) AS p10_ppm,
+       CAST(coalesce(ha.h10, 0) * 1000000 // per_q.n_gold AS BIGINT)
+         AS recall10_ppm,
+       CAST(CASE WHEN ha.first_rank IS NULL THEN 0
+                 ELSE 1000000 // ha.first_rank END AS BIGINT) AS mrr_micro,
+       CAST(coalesce(ha.dcg, 0) AS BIGINT) AS dcg_micro,
+       CAST({pslist}[least({TOP_K}, per_q.n_gold)] AS BIGINT) AS idcg_micro,
+       CAST(coalesce(ha.dcg, 0) * 1000000
+              // {pslist}[least({TOP_K}, per_q.n_gold)] AS BIGINT) AS ndcg_ppm
+FROM per_q LEFT JOIN ha ON per_q.query_id = ha.query_id
+"""
+
+
 def search_phrase(
     spark: SparkSession, sf_dir: str, phrase: str, *, top_k: int = TOP_K
 ) -> DataFrame:
@@ -1306,6 +1450,15 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_batch_workload(),
         note="whole-workload batch scorer: one index scan for N queries, "
         "per-query top-k via ranking window (query_results contract)",
+    ),
+    "search_eval_metrics": QuerySpec(
+        fn=eval_metrics,
+        oracle=duck_eval_metrics(),
+        note="retrieval-quality harness: P@10/recall@10/MRR/NDCG@10 of "
+        "the tf-idf ranking vs the strong-conjunctive (tf>=2) gold set — "
+        "integer micro-unit DCG weights make NDCG cross-engine exact; on "
+        "this topically-homogeneous fixture precision saturates (top-10 "
+        "all strongly relevant) while n_gold/recall discriminate",
     ),
     "search_compat_df1": QuerySpec(
         fn=lambda s, d: search(s, d, "spark join", df_mode="compat_df1"),

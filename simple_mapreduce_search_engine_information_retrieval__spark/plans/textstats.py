@@ -830,7 +830,91 @@ FROM lines
 """
 
 
+# RAG/embedding chunk preparation: split every document's token stream
+# into fixed-size overlapping windows — the operator that feeds an
+# embedding model (each chunk becomes one vector) or a context-window
+# retriever. Stride < window gives the standard overlap so no phrase is
+# cut at every boundary. The chunk count is exact integer math
+# (1 + ceil(max(n-W,0)/S)) so the last window always reaches the end of
+# the doc and no start position is emitted past it — both engines derive
+# the same chunk set by construction. Plan shape: one pass over the
+# shared tokenized scan, a per-row posexplode (narrow), NO shuffle at
+# all — the ideal 100 TB transform.
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = WINDOW - STRIDE = 16 tokens
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tok, chunk_text): overlapping
+    fixed-stride token windows over the FULL token stream (stopwords
+    kept — chunks feed an embedding model, not the index)."""
+    from .corpus import tokenized_docs
+
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+    t = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "nc", 1 + F.expr(f"(greatest(n - {W}, 0) + {S - 1}) div {S}")
+        )
+    )
+    return (
+        t.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(F.expr(f"sequence(0, (nc - 1) * {S}, {S})")).alias(
+                "chunk_id", "start_tok"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long"),
+            "start_tok",
+            (F.least(F.col("start_tok") + W, F.col("n")) - F.col("start_tok"))
+            .alias("n_tok"),
+            F.array_join(F.expr(f"slice(toks, start_tok + 1, {W})"), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def _duck_chunk_windows() -> str:
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents
+), s AS (
+  SELECT doc_id, toks, n,
+         1 + (greatest(n - {W}, 0) + {S - 1}) // {S} AS nc
+  FROM t WHERE n > 0
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST((nc - 1) * {S} AS BIGINT), {S}))
+           AS start_tok
+  FROM s
+)
+SELECT doc_id,
+       CAST(start_tok // {S} AS BIGINT) AS chunk_id,
+       start_tok,
+       least(start_tok + {W}, n) - start_tok AS n_tok,
+       array_to_string(toks[start_tok + 1 : least(start_tok + {W}, n)], ' ')
+         AS chunk_text
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_windows": QuerySpec(
+        fn=chunk_windows,
+        oracle=_duck_chunk_windows(),
+        note="RAG chunk preparation: fixed-stride overlapping token "
+        "windows (W=64, S=48) — shuffle-free narrow transform over the "
+        "shared tokenized scan",
+    ),
     "text_pii_scrub": QuerySpec(
         fn=pii_scrub,
         oracle=_duck_pii_scrub(),
