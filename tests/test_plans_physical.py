@@ -54,6 +54,25 @@ def test_date_filter_pushdown(spark, sf_dir):
     assert m and "l_shipdate" in m.group(0), plan[:2000]
 
 
+def test_bucketed_index_join_is_colocated(spark, sf_dir, tmp_path):
+    """postings JOIN stats on term: both tables are bucketed(16, term),
+    so the sort-merge join needs NO Exchange on either side — the
+    co-located-join payoff of the bucketed store layout (at 100 TB this
+    is the difference between a full index reshuffle per query batch
+    and none)."""
+    name = index_store.build_index(
+        spark, sf_dir, str(tmp_path / "coidx"), name="t_coidx"
+    )
+    post = spark.table(f"{name}_postings").hint("merge")
+    stats = spark.table(f"{name}_stats").hint("merge")
+    joined = post.join(stats, "term").select("term", "docno", "tf", "df")
+    plan = _physical(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:2000]
+    # and it still computes the right thing
+    assert joined.count() == spark.table(f"{name}_postings").count()
+
+
 def test_indexed_search_pushes_term_filter(spark, sf_dir, tmp_path):
     name = index_store.build_index(
         spark, sf_dir, str(tmp_path / "idx"), name="t_idx"
