@@ -391,8 +391,10 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_q = gold.groupBy("query_id").agg(F.count("*").alias("n_gold"))
     warr = F.array(*[F.lit(w) for w in EVAL_DCG_W])
     psarr = F.array(*[F.lit(p) for p in EVAL_IDCG_PS])
+    # ranked is TOP_K rows per query — broadcast it into gold (which is
+    # corpus-cardinality in the worst case: every doc can be relevant)
     hit_agg = (
-        batch_workload(spark, sf_dir)
+        F.broadcast(batch_workload(spark, sf_dir))
         .join(gold, ["query_id", "docno"])
         .groupBy("query_id")
         .agg(
