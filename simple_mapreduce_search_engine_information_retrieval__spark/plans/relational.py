@@ -875,6 +875,31 @@ _DUCK_PIVOT = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def _events_unpivot(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """unpivot()/melt — the wide→long inverse of the pivot reshape.
+    Roundtrip contract: unpivot(pivot(events)) with the zero-fill rows
+    dropped equals the direct (user_id, event_type) count — asserted by
+    the oracle computing the long form straight from events. Plan: the
+    melt is a narrow per-row explode of the wide columns; the only
+    shuffle is the pivot's own groupBy."""
+    wide = _events_pivot(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        wide.unpivot(
+            ["user_id"], _PIVOT_TYPES, "event_type", "n"
+        )
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", "n")
+    )
+
+
+_DUCK_UNPIVOT = (
+    "SELECT user_id, event_type, count(*) AS n "
+    "FROM events GROUP BY user_id, event_type"
+)
+
+
 def _user_zscores(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """Default plan: the JVM-side window formulation."""
     from ..operators.grouped import user_value_zscores_window
@@ -1010,6 +1035,12 @@ QUERIES: dict[str, QuerySpec] = {
         fn=_events_pivot,
         oracle=_DUCK_PIVOT,
         note="DataFrame pivot() reshape vs FILTER'd-count oracle",
+    ),
+    "events_type_unpivot": QuerySpec(
+        fn=_events_unpivot,
+        oracle=_DUCK_UNPIVOT,
+        note="unpivot()/melt wide-to-long inverse; roundtrip equals the "
+        "direct (user_id, event_type) count",
     ),
     "events_hourly": _events_pair(EVENTS_HOURLY),
     "events_json_props": _events_pair(EVENTS_JSON_PROPS),
