@@ -80,6 +80,38 @@ def test_quantile_bins_estimates_within_one_bin(spark, sf_dir):
         assert abs(est[q].est_micro / 1e6 - exact) <= bin_w + 1e-9
 
 
+def test_morton_interleave_is_a_bijection(spark):
+    """The z-value expression maps the 16x16 bucket grid 1:1 onto
+    0..255, and adjacent buckets differ in one interleaved bit — the
+    property that makes consecutive z ranges spatially local."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        _zval_terms,
+    )
+
+    side = 1 << ZBITS
+    grid = spark.createDataFrame(
+        [(u, d) for u in range(side) for d in range(side)], "ub long, db long"
+    )
+    vals = [
+        r.z for r in grid.selectExpr(f"{_zval_terms('ub', 'db', 'div')} AS z").collect()
+    ]
+    assert sorted(vals) == list(range(side * side))
+
+    def z(u, d):
+        return sum(
+            (((u >> i) & 1) << (2 * i)) | (((d >> i) & 1) << (2 * i + 1))
+            for i in range(ZBITS)
+        )
+
+    got = {
+        (r.ub, r.db): r.z
+        for r in grid.selectExpr(
+            "ub", "db", f"{_zval_terms('ub', 'db', 'div')} AS z"
+        ).collect()
+    }
+    assert all(got[(u, d)] == z(u, d) for u in range(side) for d in range(side))
+
+
 def test_layout_plan_shapes(spark, sf_dir):
     """Tiny relations broadcast; the heavy side never sorts globally."""
     spark.catalog.clearCache()
