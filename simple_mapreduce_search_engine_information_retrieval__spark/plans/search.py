@@ -489,6 +489,110 @@ FROM per_q LEFT JOIN ha ON per_q.query_id = ha.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage retrieval — the RAG serving path: retrieve CHUNKS, not
+# documents. The chunk corpus is text_chunk_windows' output (fixed-
+# stride overlapping token windows); each chunk gets its own postings
+# and df, and the standard tf-idf formula ranks chunks directly, so the
+# top-10 results are the context windows a RAG prompt would splice in.
+# Composition, not new machinery: chunk derivation and the scoring
+# formula are each already oracle-checked; this query chains them on
+# both engines. Plan shape: one pass over the shared tokenized scan →
+# narrow chunk explode → one (chunk, term) groupBy; the query side is a
+# broadcast literal; df/n are dictionary/1-row broadcasts.
+
+
+def search_passages(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, score, rank): top-k chunks by
+    tf-idf over the chunk corpus."""
+    from ..functions.stopwords import STOPWORDS
+    from .textstats import chunk_windows
+
+    terms = sorted(set(tokenize_query(query)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, chunk_id long, start_tok long, score double, rank long"
+        )
+    chunks = chunk_windows(spark, sf_dir)
+    ctoks = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.explode(F.split("chunk_text", " ")).alias("term"),
+    ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    post = ctoks.groupBy("doc_id", "chunk_id", "start_tok", "term").agg(
+        F.count("*").alias("tf")
+    )
+    n_chunks = chunks.count()  # plan-time scalar (chunk census)
+    stats = post.groupBy("term").agg(
+        F.countDistinct("doc_id", "chunk_id").alias("df")
+    )
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    contrib = (1 + F.log(F.col("tf"))) * F.log10(F.lit(n_chunks) / F.col("df"))
+    return (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats.join(F.broadcast(qdf), "term")), "term")
+        .groupBy("doc_id", "chunk_id", "start_tok")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id", "chunk_id")
+        .limit(top_k)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            "score",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("score"), "doc_id", "chunk_id")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+
+
+def duck_search_passages(query: str, *, top_k: int = TOP_K) -> str:
+    from ..functions.stopwords import sql_not_in_stopwords
+    from .textstats import _duck_chunk_windows
+
+    terms = sorted(set(tokenize_query(query)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH chunks AS ({_duck_chunk_windows()}),
+     ctoks AS (
+       SELECT doc_id, chunk_id, start_tok,
+              unnest(string_split(chunk_text, ' ')) AS term
+       FROM chunks
+     ),
+     post AS (
+       SELECT doc_id, chunk_id, start_tok, term, count(*) AS tf
+       FROM ctoks
+       WHERE term <> '' AND {sql_not_in_stopwords("term")}
+       GROUP BY 1, 2, 3, 4
+     ),
+     n AS (SELECT count(*) AS n_chunks FROM chunks),
+     q(term) AS (VALUES {values}),
+     stats AS (
+       SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, chunk_id, term FROM post
+             JOIN q USING (term)) GROUP BY term
+     ),
+     scored AS (
+       SELECT post.doc_id, post.chunk_id, post.start_tok,
+              round(sum((1 + ln(post.tf)) * log10(n.n_chunks / stats.df)), 6)
+                AS score
+       FROM post JOIN q USING (term) JOIN stats USING (term) CROSS JOIN n
+       GROUP BY 1, 2, 3
+     )
+SELECT doc_id, chunk_id, start_tok, score,
+       row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rank
+FROM scored
+ORDER BY score DESC, doc_id, chunk_id LIMIT {top_k}
+"""
+
+
 def search_phrase(
     spark: SparkSession, sf_dir: str, phrase: str, *, top_k: int = TOP_K
 ) -> DataFrame:
@@ -1452,6 +1556,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_batch_workload(),
         note="whole-workload batch scorer: one index scan for N queries, "
         "per-query top-k via ranking window (query_results contract)",
+    ),
+    "search_passages": QuerySpec(
+        fn=lambda s, d: search_passages(s, d, "spark join"),
+        oracle=duck_search_passages("spark join"),
+        note="RAG passage retrieval: tf-idf top-10 over the fixed-stride "
+        "chunk corpus (composition of the oracle-checked chunk windows "
+        "and scoring formula)",
     ),
     "search_eval_metrics": QuerySpec(
         fn=eval_metrics,

@@ -76,6 +76,26 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
     assert set(by_doc) == {d for d, t in toks.items() if t}
 
 
+def test_search_passages_hits_contain_query_terms(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search_passages,
+        tokenize_query,
+    )
+
+    res = search_passages(spark, sf_dir, "spark join").collect()
+    assert 0 < len(res) <= TOP_K
+    assert [r.rank for r in res] == list(range(1, len(res) + 1))
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
+    terms = set(tokenize_query("spark join"))
+    chunks = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_windows(spark, sf_dir).collect()
+    }
+    for r in res:
+        assert terms & set(chunks[(r.doc_id, r.chunk_id)].split())
+
+
 def test_chunk_windows_plan_is_shuffle_free(spark, sf_dir):
     spark.catalog.clearCache()
     plan = chunk_windows(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
