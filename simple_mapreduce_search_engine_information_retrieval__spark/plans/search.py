@@ -1032,6 +1032,71 @@ FROM topk
 """
 
 
+def search_hybrid_rrf(
+    spark: SparkSession, sf_dir: str, query: str, *, top_k: int = TOP_K
+) -> DataFrame:
+    """Hybrid text+vector retrieval — the modern serving default: fuse
+    the BM25 lexical ranking with the embedding-cosine vector ranking
+    (each doc_id has a same-id vector in the embeddings table) by
+    reciprocal-rank fusion. RRF needs only ranks, so the incomparable
+    score scales (BM25 logs vs cosine) never mix — the reason RRF is
+    the standard zero-training hybrid combiner. Both arms are their own
+    oracle-checked top-10s; fusion is exact rational arithmetic.
+    Output (docno, rrf, rank)."""
+    from .similarity import knn_brute_force
+
+    lex = search_bm25(spark, sf_dir, query, top_k=top_k).select(
+        "docno", F.col("rank").alias("rank_lex")
+    )
+    wv = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vec = knn_brute_force(spark, sf_dir).select(
+        F.col("vec_id").alias("docno"),
+        F.row_number().over(wv).cast("long").alias("rank_vec"),
+    )
+    fused = (
+        lex.join(vec, "docno", "full_outer")
+        .select(
+            "docno",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rank_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("docno"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("docno"))
+    return fused.select(
+        "docno", "rrf", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def duck_search_hybrid_rrf(query: str, *, top_k: int = TOP_K) -> str:
+    from .similarity import DUCK_KNN_BRUTE
+
+    return f"""
+WITH a AS ({duck_search_bm25(query, top_k=top_k)}),
+     knn AS ({DUCK_KNN_BRUTE}),
+     b AS (
+       SELECT vec_id AS docno,
+              CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+                AS rank
+       FROM knn
+     ),
+     fused AS (
+       SELECT coalesce(a.docno, b.docno) AS docno,
+              round(coalesce(1e0 / ({RRF_K} + a.rank), 0e0)
+                    + coalesce(1e0 / ({RRF_K} + b.rank), 0e0), 6) AS rrf
+       FROM a FULL OUTER JOIN b ON a.docno = b.docno
+     ),
+     topk AS (SELECT docno, rrf FROM fused ORDER BY rrf DESC, docno LIMIT {top_k})
+SELECT docno, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, docno) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 def search_proximity(
     spark: SparkSession,
     sf_dir: str,
@@ -1556,6 +1621,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_batch_workload(),
         note="whole-workload batch scorer: one index scan for N queries, "
         "per-query top-k via ranking window (query_results contract)",
+    ),
+    "search_hybrid_rrf": QuerySpec(
+        fn=lambda s, d: search_hybrid_rrf(s, d, "spark join"),
+        oracle=duck_search_hybrid_rrf("spark join"),
+        note="hybrid text+vector retrieval: RRF of the BM25 top-10 and "
+        "the embedding-cosine top-10 (same-id doc↔vector fixture "
+        "correspondence) — rank-only fusion, no score-scale mixing",
     ),
     "search_passages": QuerySpec(
         fn=lambda s, d: search_passages(s, d, "spark join"),

@@ -96,6 +96,35 @@ def test_search_passages_hits_contain_query_terms(spark, sf_dir):
         assert terms & set(chunks[(r.doc_id, r.chunk_id)].split())
 
 
+def test_search_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        RRF_K,
+        search_bm25,
+        search_hybrid_rrf,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        knn_brute_force,
+    )
+
+    fused = search_hybrid_rrf(spark, sf_dir, "spark join").collect()
+    assert 0 < len(fused) <= TOP_K
+    assert [r.rank for r in fused] == list(range(1, len(fused) + 1))
+    lex = {r.docno: r.rank for r in search_bm25(spark, sf_dir, "spark join").collect()}
+    vec_rows = sorted(
+        knn_brute_force(spark, sf_dir).collect(),
+        key=lambda r: (-r.cos, r.vec_id),
+    )
+    vec = {r.vec_id: i + 1 for i, r in enumerate(vec_rows)}
+    for r in fused:
+        want = round(
+            (1.0 / (RRF_K + lex[r.docno]) if r.docno in lex else 0.0)
+            + (1.0 / (RRF_K + vec[r.docno]) if r.docno in vec else 0.0),
+            6,
+        )
+        assert r.docno in lex or r.docno in vec
+        assert abs(r.rrf - want) < 1e-9
+
+
 def test_chunk_windows_plan_is_shuffle_free(spark, sf_dir):
     spark.catalog.clearCache()
     plan = chunk_windows(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
