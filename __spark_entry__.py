@@ -112,26 +112,21 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r4: csv rendering (was the r3 FAIL — lands in bucket 0 anyway)
-        "embedding_int8_quantize",
-        # r4: tokenize-once shared scan rewired these plans
-        "pipeline_clean_corpus",
-        "dedup_exact_groups",
-        "dedup_keep_first",
+        # r5: corpus-cardinality broadcast hints dropped + verified-pairs
+        # localCheckpoint (judge r4 #1/#5) rewired the near-dup family
         "dedup_minhash_near_dups",
-        "dedup_simhash",
-        "dedup_adjacent_jaccard",
-        "dedup_duplicate_passages",
-        "pipeline_decontaminate",
-        "dedup_containment_pairs",
+        "dedup_near_dup_groups",
         "dedup_group_representatives",
-        # r4: broadcast-hint / rounding changes
-        "text_quality_by_source",
-        "text_collocations_pmi",
-        "events_value_gmean_udaf",
-        # r3 rewrite (multi-probe data-dependent codebook) whose green
-        # verdict predates the rewrite (advisor r3, "low" #2)
-        "knn_ivf_bucketed",
+        "pipeline_clean_corpus",
+        # r5: trained-IVF build/serve split (memoized codebook+cells)
+        "knn_ivf_trained",
+        # r5: top_k threaded into the vector arm / brute-force signature
+        "search_hybrid_rrf",
+        "knn_cosine_brute_force",
+        # r5: 2-term arity guard (registered query output unchanged)
+        "search_phrase_positional",
+        # r5: Hadoop-FS store detection (ADVICE r4)
+        "streaming_near_dup_pairs",
     }
 )
 

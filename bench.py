@@ -30,6 +30,28 @@ HEADLINE = [
     "search_two_term",
 ]
 
+# The grading driver records only the LAST 2000 chars of stdout; the
+# printed line must always fit that window (the r1-r3 "parsed": null
+# lesson — enforced by tests/test_driver_compat.py).
+CAPTURE_WINDOW = 2000
+N_SLOWEST = 25
+
+
+def render_headline(timings: dict[str, float], scalars: dict) -> str:
+    """The ONE printed JSON line: every scalar plus only the N_SLOWEST
+    slowest queries, so the line fits the driver's capture window no
+    matter how large the registry grows."""
+    ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    slowest = dict(list(ordered.items())[-N_SLOWEST:])
+    return json.dumps(
+        {
+            "queries": slowest,
+            "queries_note": f"{N_SLOWEST} slowest of {len(timings)}; "
+            "full per-query map in BENCH_FULL.json",
+            **scalars,
+        }
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,6 +259,27 @@ def main() -> None:
         print(f"# bench knn_ivfpq_adc_warm failed: {exc!r}", file=sys.stderr)
         timings["knn_ivfpq_adc_warm"] = -1.0
 
+    # Trained-IVF serving against the warm in-session index (Lloyd
+    # codebook + assignments memoized): the registry's knn_ivf_trained
+    # timing stays the COLD build+serve number (training included); this
+    # line is the steady-state serving latency of the same query.
+    try:
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+            knn_ivf_trained,
+        )
+
+        knn_ivf_trained(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # builds + warms the trained-index memo
+        t0 = time.perf_counter()
+        knn_ivf_trained(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["knn_ivf_trained_warm"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench knn_ivf_trained_warm failed: {exc!r}", file=sys.stderr)
+        timings["knn_ivf_trained_warm"] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Index-build throughput vs BASELINE.md (reference: ~0.45 MiB/s for
@@ -315,14 +358,6 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench throughput failed: {exc!r}", file=sys.stderr)
 
-    # The grading driver records only the LAST 2000 chars of stdout and
-    # tries to parse the JSON line from it — a full 176-query map is
-    # ~11 KB, which is why BENCH_r01..r03 all carry "parsed": null.
-    # Fix: the COMPLETE result is written to BENCH_FULL.json (in-repo,
-    # refreshed every bench run) and the printed line carries every
-    # scalar plus only the 25 slowest queries — the ones worth watching
-    # round-over-round — so the whole line fits the tail window and
-    # finally parses driver-side.
     ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     scalars = {
         "sf": sf_val,
@@ -343,17 +378,7 @@ def main() -> None:
             json.dump({"queries": ordered, **scalars}, fh, indent=1)
     except Exception as exc:  # noqa: BLE001 — read-only checkout: line still prints
         print(f"# bench BENCH_FULL.json write failed: {exc!r}", file=sys.stderr)
-    slowest = dict(list(ordered.items())[-25:])
-    print(
-        json.dumps(
-            {
-                "queries": slowest,
-                "queries_note": f"25 slowest of {len(timings)}; "
-                "full per-query map in BENCH_FULL.json",
-                **scalars,
-            }
-        )
-    )
+    print(render_headline(timings, scalars))
 
 
 if __name__ == "__main__":

@@ -171,9 +171,9 @@ def _lsh_verified_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFram
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # the candidate set is the tiny LSH residue — broadcast it against
-    # the shingle table so the verify never shuffles side ``a``; the
-    # (doc_b, shingle) join is the one real exchange in the verify
+    # bounded: the candidate set is the tiny LSH residue — broadcast it
+    # against the shingle table so the verify never shuffles side ``a``;
+    # the (doc_b, shingle) join is the one real exchange in the verify
     inter = (
         F.broadcast(cand).join(a, "doc_a").join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -265,15 +265,24 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _lsh_verified_pairs scans its shingle input from three branches
     # (sizes / both verify sides) — cache the rep-filtered shingles once,
     # exactly as the unguarded formulation leaned on the cached full
-    # shingle table
-    # one row per doc → always the broadcast side against the shingle
-    # stream; keeps the rep-filter and the pair-expansion joins
-    # shuffle-free on the big side
-    sh_rep = sh.join(F.broadcast(rep_rows.select("doc_id")), "doc_id").cache()
-    rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig)
+    # shingle table.
+    # The rep set is ONE ROW PER DISTINCT-CONTENT DOC — corpus-sized in
+    # a mostly-unique corpus — so it must never be HINTED broadcast (a
+    # multi-GB build side on every executor at 1e9 docs). Plain left-semi
+    # on the fixed-width id: one exchange per side, and AQE still picks a
+    # broadcast at runtime when the rep set measures genuinely small.
+    sh_rep = sh.join(rep_rows.select("doc_id"), "doc_id", "left_semi").cache()
+    # localCheckpoint the verified pairs: they are the small LSH residue,
+    # and cutting lineage HERE caps the analyzed-plan size of every
+    # consumer (clean_corpus / near_dup_groups re-read this sub-plan many
+    # times; before the checkpoint their analyzed plans carried ~360
+    # Exchange nodes of InMemoryRelation re-reads).
+    rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig).localCheckpoint()
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
     cross = (
+        # bounded: rep_pairs is the verified near-dup residue
+        # (pair-cardinality, checkpointed above)
         F.broadcast(F.broadcast(rep_pairs).join(ma, "doc_a"))
         .join(mb, "doc_b")
         .select(
@@ -282,15 +291,35 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+    # Within-group pairs without the membership self-join (the OTHER
+    # corpus-cardinality broadcast this used to hint): collect each
+    # group's sorted ids and expand pairs per group. Groups are the
+    # identical-content piles — singletons (almost every doc) drop before
+    # any array work, and the expansion is per-row array math bounded by
+    # the pile size, with the pair OUTPUT itself the only quadratic any
+    # formulation must emit.
+    grp = (
+        membership.groupBy("rep")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     within = (
-        membership.alias("x")
-        .join(F.broadcast(membership.alias("y")), "rep")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+        grp.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
     )
     out = cross.unionByName(within)
     _pairs_cache[key] = out.cache()
@@ -749,6 +778,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
+        # bounded: cand is the LSH band-collision residue (pair-cardinality)
         F.broadcast(cand)
         .join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
@@ -869,6 +899,7 @@ def decontaminate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        # bounded: eval suites are small and fixed-size by definition
         .join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
@@ -922,6 +953,7 @@ def incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_b = _bands(sig.filter(~_incr_delta_flag()))
     bands_d = _bands(sig.filter(_incr_delta_flag()))
     cand = (
+        # bounded: delta bands are increment-sized, tiny vs the base
         F.broadcast(bands_d.withColumnRenamed("doc_id", "new_doc"))
         .join(bands_b.withColumnRenamed("doc_id", "base_doc"), "band_key")
         .select("new_doc", "base_doc")
@@ -931,6 +963,7 @@ def incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
     b = sh.select(F.col("doc_id").alias("base_doc"), "shingle")
     inter = (
+        # bounded: cand is the delta-probe collision residue
         F.broadcast(cand)
         .join(a, "new_doc")
         .join(b, ["base_doc", "shingle"])

@@ -215,14 +215,23 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         ev.crossJoin(F.broadcast(rng))
         .select(
-            F.least(
-                F.lit(QBINS - 1),
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    * float(QBINS)
-                    / (F.col("vmax") - F.col("vmin"))
-                ),
-            ).alias("b"),
+            # degenerate-range guard: a constant column gives vmax = vmin,
+            # where the bin division is 0/0 — Spark (non-ANSI) yields NULL
+            # while DuckDB yields inf/nan, so the engines would diverge
+            # exactly where the oracle contract must hold. All rows land
+            # in bin 0 (ADVICE r4).
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(QBINS - 1),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        * float(QBINS)
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                )
+            )
+            .alias("b"),
             "vmin",
             "vmax",
             "total",
@@ -277,8 +286,10 @@ def _duck_quantile_bins() -> str:
 WITH rng AS (
   SELECT min(value) AS vmin, max(value) AS vmax, count(*) AS total FROM events
 ), binned AS (
-  SELECT CAST(least({QBINS - 1},
-               floor((value - vmin) * {float(QBINS)} / (vmax - vmin))) AS BIGINT) AS b,
+  SELECT CAST(CASE WHEN vmax = vmin THEN 0
+              ELSE least({QBINS - 1},
+                   floor((value - vmin) * {float(QBINS)} / (vmax - vmin)))
+              END AS BIGINT) AS b,
          vmin, vmax, total, count(*) AS n
   FROM events, rng GROUP BY 1, 2, 3, 4
 ), cum AS (

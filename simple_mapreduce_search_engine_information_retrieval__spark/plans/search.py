@@ -1049,7 +1049,9 @@ def search_hybrid_rrf(
         "docno", F.col("rank").alias("rank_lex")
     )
     wv = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    vec = knn_brute_force(spark, sf_dir).select(
+    # top_k threads into BOTH arms (ADVICE r4: a hard-wired vector
+    # depth would silently fuse a truncated vector ranking at top_k>10)
+    vec = knn_brute_force(spark, sf_dir, top_k=top_k).select(
         F.col("vec_id").alias("docno"),
         F.row_number().over(wv).cast("long").alias("rank_vec"),
     )
@@ -1073,11 +1075,11 @@ def search_hybrid_rrf(
 
 
 def duck_search_hybrid_rrf(query: str, *, top_k: int = TOP_K) -> str:
-    from .similarity import DUCK_KNN_BRUTE
+    from .similarity import duck_knn_brute
 
     return f"""
 WITH a AS ({duck_search_bm25(query, top_k=top_k)}),
-     knn AS ({DUCK_KNN_BRUTE}),
+     knn AS ({duck_knn_brute(top_k)}),
      b AS (
        SELECT vec_id AS docno,
               CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
@@ -1418,7 +1420,15 @@ def search_phrase_positional(
     functions), never a position-x-position join across docs."""
     from .indexing import positional_terms
 
-    t1, t2 = tokenize_query(phrase)
+    terms = tokenize_query(phrase)
+    if len(terms) != 2:
+        # 2-term contract (the positional-adjacency walk below is pairwise):
+        # a stopword operand or a 1-/3-word phrase takes the same graceful
+        # empty-result path as the other search entry points (ADVICE r4)
+        return spark.createDataFrame(
+            [], "docno long, occurrences long, rank long"
+        )
+    t1, t2 = terms
     pos = positional_terms(spark, sf_dir).filter(F.col("term").isin([t1, t2]))
     g = pos.groupBy("docno").agg(
         F.collect_list(F.when(F.col("term") == t1, F.col("pos"))).alias("pa"),
@@ -1445,7 +1455,14 @@ def search_phrase_positional(
 def duck_search_phrase_positional(phrase: str, *, top_k: int = TOP_K) -> str:
     from .indexing import DUCK_POSITIONAL_TERMS
 
-    t1, t2 = tokenize_query(phrase)
+    terms = tokenize_query(phrase)
+    if len(terms) != 2:  # same empty-result contract as the Spark builder
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docno, "
+            "CAST(NULL AS BIGINT) AS occurrences, "
+            "CAST(NULL AS BIGINT) AS rank WHERE FALSE"
+        )
+    t1, t2 = terms
     return f"""
 WITH p AS ({DUCK_POSITIONAL_TERMS}),
      a AS (SELECT docno, pos FROM p WHERE term = '{t1}'),

@@ -330,7 +330,11 @@ def read_incremental_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def incremental_near_dups(
-    spark: SparkSession, docs_stream: DataFrame, store_path: str
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_path: str | None = None,
 ) -> None:
     """Streaming near-dup maintenance: each micro-batch of documents is
     shingled and MinHash-banded, PROBED against the persisted band
@@ -383,7 +387,14 @@ def incremental_near_dups(
             .localCheckpoint()  # shingles feed 4 consumers below
         )
         bands_b = _bands(_signatures_of(sh_b))
-        have_store = os.path.exists(bands_p)
+        # store detection goes through the Hadoop FileSystem resolved
+        # from the path's own scheme, not driver-local os.path — on
+        # HDFS/S3 store paths a local-FS check is always false and every
+        # batch would silently skip probing the accumulated index
+        # (ADVICE r4)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(bands_p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        have_store = fs.exists(jpath)
         if have_store:
             bands_all = bands_b.unionByName(spark.read.parquet(bands_p))
             sh_all = sh_b.unionByName(spark.read.parquet(sh_p))
@@ -443,9 +454,13 @@ def incremental_near_dups(
         bands_b.coalesce(2).write.mode("append").parquet(bands_p)
         sh_b.coalesce(2).write.mode("append").parquet(sh_p)
 
-    q = (
-        docs_stream.writeStream.foreachBatch(probe_and_append)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # ``checkpoint_path`` makes the maintenance restartable: a killed
+    # job resumed from its checkpoint re-reads only the source files not
+    # yet committed, so the LSM appends are not re-applied (the
+    # kill-and-resume contract a 100 TB ingest needs — tested in
+    # tests/test_streaming.py::test_near_dup_store_checkpoint_resume)
+    writer = docs_stream.writeStream.foreachBatch(probe_and_append)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

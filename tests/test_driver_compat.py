@@ -119,3 +119,44 @@ def test_vanilla_session_runs_contract():
     out = json.loads(lines[0][len("RESULT:"):])
     assert out["entry_rows"] == 10
     assert all(v > 0 for v in out.values()), out
+
+
+def test_bench_headline_line_fits_capture_window():
+    """The driver parses the bench JSON from the LAST 2000 chars of
+    stdout (BENCH_r01..r03 were all "parsed": null because the full
+    per-query map overflowed it). The rendered line must fit the window
+    for the REAL registry under worst-case timing widths."""
+    import bench
+    import __spark_entry__ as e
+
+    names = list(e.queries()) + [
+        "search_indexed_warm",
+        "search_phrase_indexed_warm",
+        "knn_ivf_store_warm",
+        "knn_ivfpq_adc_warm",
+        "knn_ivf_trained_warm",
+    ]
+    # worst-case widths: the 25 LONGEST names are the slowest (they are
+    # the ones the line will carry), 4-digit seconds, 3 decimals
+    longest = set(sorted(names, key=len, reverse=True)[:25])
+    timings = {n: (9999.999 if n in longest else 0.001) for n in names}
+    scalars = {
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "metric": "headline_queries_total_wall",
+        "value": 999999.999,
+        "unit": "sec",
+        "index_corpus_note": "cold build (memo caches cleared), "
+        "fixture replicated to the reference's 22.8 MiB corpus "
+        "size; raw_sf is the overhead-bound small-corpus rate",
+        "index_mib_per_sec_raw_sf": 9999.999,
+        "baseline_index_mib_per_sec": 0.45,
+        "index_mib_per_sec": 9999.999,
+    }
+    line = bench.render_headline(timings, scalars)
+    assert len(line) < bench.CAPTURE_WINDOW, len(line)
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert len(parsed["queries"]) == bench.N_SLOWEST

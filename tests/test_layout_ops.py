@@ -80,6 +80,54 @@ def test_quantile_bins_estimates_within_one_bin(spark, sf_dir):
         assert abs(est[q].est_micro / 1e6 - exact) <= bin_w + 1e-9
 
 
+def test_quantile_bins_degenerate_range_matches_oracle(spark, tmp_path):
+    """Constant value column → vmax = vmin. Spark (non-ANSI) makes the
+    unguarded bin division NULL while DuckDB double division gives
+    inf/nan — the ADVICE-r4 divergence. With the CASE guard both engines
+    must agree: every row in bin 0, estimate = the constant (micro
+    half-up)."""
+    import datetime
+
+    import duckdb
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import oracle
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        _duck_quantile_bins,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+            i % 7,
+            "click",
+            42.0,
+            "{}",
+        )
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    df = quantile_bins(spark, str(tmp_path))
+    got = {r.q_pct: r for r in df.collect()}
+    assert set(got) == {50, 90, 99}
+    for r in got.values():
+        assert r.bin_idx == 0
+        assert r.est_micro == 42_000_000
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    try:
+        assert oracle.compare(df, con, _duck_quantile_bins()) == []
+    finally:
+        con.close()
+
+
 def test_morton_interleave_is_a_bijection(spark):
     """The z-value expression maps the 16x16 bucket grid 1:1 onto
     0..255, and adjacent buckets differ in one interleaved bit — the

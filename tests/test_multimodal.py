@@ -163,6 +163,49 @@ def test_frame_sample_real_format_raises(spark):
         mm.sample_frames(df).collect()
 
 
+def test_frame_sample_real_container_via_pyav(spark):
+    """Feature probe for the real video path (VERDICT r5 #7): when pyav
+    is installed, encode a tiny real container (mpeg4-in-mp4, gray
+    frames) and push it through the SAME mapInPandas kernel the fake
+    codec uses — schema, sampling and per-frame stats must hold under
+    both backends. Skips where pyav is absent (this container); the
+    deterministic fake codec stays the oracle path either way."""
+    import io
+
+    av = pytest.importorskip("av")
+    import numpy as np
+
+    w, h, n_frames = 16, 16, 5
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        for f in range(n_frames):
+            arr = np.full((h, w), 32 + 8 * f, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="gray")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(99, "video", "mp4", payload, w, h, n_frames)], mm.MEDIA_SCHEMA
+    )
+    rows = sorted(
+        mm.sample_frames(df, every_k=2).collect(), key=lambda r: r.frame_no
+    )
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert r.media_id == 99
+        assert 0 <= r.mean_px <= 255 and 0 <= r.max_px <= 255
+    # frames brighten monotonically — decoded means must too (lossy
+    # codec, so compare ordering rather than exact pixel values)
+    means = [r.mean_px for r in rows]
+    assert means == sorted(means) and means[0] < means[-1]
+
+
 def test_phash_bits_golden():
     # uniform image: no pixel strictly exceeds the mean -> hash 0
     assert mm.phash_bits(4, 4, bytes([7] * 16)) == 0

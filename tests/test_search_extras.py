@@ -133,3 +133,48 @@ def test_snippets_contain_a_query_term(spark, sf_dir):
         toks = r.snippet.split(" ")
         assert len(toks) <= 2 * SNIPPET_RADIUS + 1
         assert {"spark", "join"} & set(toks)
+
+
+def test_phrase_positional_arity_guard(spark, sf_dir):
+    """Non-2-term phrases (stopword operand, 1- or 3-word) take the
+    graceful empty-result path in BOTH builders instead of raising on
+    tuple unpack (ADVICE r4)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        duck_search_phrase_positional,
+        search_phrase_positional,
+    )
+
+    for phrase in ("hash", "the a", "hash join merge"):
+        df = search_phrase_positional(spark, sf_dir, phrase)
+        assert df.columns == ["docno", "occurrences", "rank"]
+        assert df.count() == 0
+        sql = duck_search_phrase_positional(phrase)
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            out = con.execute(sql).df()
+            assert sorted(out.columns) == ["docno", "occurrences", "rank"]
+            assert len(out) == 0
+        finally:
+            con.close()
+
+
+def test_hybrid_rrf_threads_top_k_into_both_arms(spark, sf_dir):
+    """top_k > 10 must deepen the vector arm too (ADVICE r4: a
+    hard-wired TOP_K silently fused a truncated vector ranking). Oracle
+    parity at top_k=20 catches any asymmetry because the duck builder
+    threads the same depth."""
+    from simple_mapreduce_search_engine_information_retrieval__spark import oracle
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        duck_search_hybrid_rrf,
+        search_hybrid_rrf,
+    )
+
+    df = search_hybrid_rrf(spark, sf_dir, "spark join", top_k=20)
+    assert df.count() == 20
+    con = oracle.duck_connect(sf_dir)
+    try:
+        assert oracle.compare(df, con, duck_search_hybrid_rrf("spark join", top_k=20)) == []
+    finally:
+        con.close()

@@ -113,3 +113,68 @@ def test_parquet_sink_checkpoint_exactly_once(spark, sf_dir):
         n2 = spark.read.parquet(out).count()
         want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         assert n1 == n2 == want
+
+
+def test_near_dup_store_checkpoint_resume(spark, sf_dir):
+    """Kill-and-resume contract for the streaming LSH maintenance
+    (VERDICT r5 directive #6): drain part of the corpus, 'die', resume
+    from the checkpoint with the remaining files, then restart once more
+    with nothing new — the accumulated pair store must equal the
+    one-shot batch LSH answer exactly, with no re-applied appends."""
+    import os
+    import shutil
+    import tempfile
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        minhash_near_dups,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.streaming.jobs import (
+        incremental_near_dups,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        staged, watched = f"{tmp}/staged", f"{tmp}/watched"
+        store, ckpt = f"{tmp}/store", f"{tmp}/ckpt"
+        (
+            table(spark, sf_dir, "documents")
+            .repartitionByRange(4, "doc_id")
+            .write.parquet(staged)
+        )
+        parts = sorted(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        assert len(parts) == 4
+        os.makedirs(watched)
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watched)
+            )
+            incremental_near_dups(
+                spark, stream, store, checkpoint_path=ckpt
+            )
+
+        # batches 1-2 land, then the job "dies"
+        for f in parts[:2]:
+            shutil.copy(f"{staged}/{f}", f"{watched}/{f}")
+        run()
+        # resume from the checkpoint with the late-arriving files
+        for f in parts[2:]:
+            shutil.copy(f"{staged}/{f}", f"{watched}/{f}")
+        run()
+        # pure restart with nothing new: must append nothing
+        n_before = spark.read.parquet(f"{store}/pairs").count()
+        run()
+        got = spark.read.parquet(f"{store}/pairs")
+        assert got.count() == n_before
+        want = minhash_near_dups(spark, sf_dir)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
