@@ -125,6 +125,9 @@ CHANGED_THIS_ROUND = frozenset(
         "knn_cosine_brute_force",
         # r5: 2-term arity guard (registered query output unchanged)
         "search_phrase_positional",
+        # r5: display join now broadcasts the top-k result side, never
+        # the corpus-cardinality docno mapping
+        "search_with_docids",
         # r5: Hadoop-FS store detection (ADVICE r4)
         "streaming_near_dup_pairs",
     }

@@ -243,9 +243,13 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"_fp{j}")
         for j in range(4)
     ]
-    # One row per doc, referenced by five downstream branches (rep
-    # signatures / both expansion sides / within-group self-join) —
-    # cache it.
+    # One row per doc (fixed width), referenced by five downstream
+    # branches (rep signatures / rep filter / both expansion sides /
+    # group expansion) — localCheckpoint it: same materialization a
+    # cache would do on first use, but it also TRUNCATES the tokenize→
+    # shingle→aggregate lineage out of every consumer branch, keeping
+    # the near-dup family's analyzed plans in the single digits of
+    # Exchanges instead of re-embedding the corpus sub-plan per branch.
     membership = (
         sh.groupBy("doc_id")
         .agg(
@@ -258,7 +262,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_fp0", "_fp1", "_fp2", "_fp3", "_fpn")
         .select("*", F.min("doc_id").over(fp_w).alias("rep"))
-        .cache()
+        .localCheckpoint()
     )
     rep_rows = membership.filter(F.col("doc_id") == F.col("rep"))
     rep_sig = rep_rows.select("doc_id", *[f"h{i}" for i in range(N_HASHES)])

@@ -161,6 +161,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = lens.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
+    # bounded: 1-row global bounds
     bl = lens.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         "n_tokens",
@@ -178,6 +179,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", F.coalesce(F.sum("bt").over(wb), F.lit(0)).cast("long").alias("boff")
     )
     with_start = (
+        # bounded: per-bucket offsets (bucket table, dictionary-sized)
         bl.join(F.broadcast(boff), "b")
         .select(
             "doc_id",
@@ -307,6 +309,7 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("hi"),
         F.count("*").alias("n"),
     )
+    # bounded: 1-row global bounds
     bl = lens.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
         "n_tokens",
@@ -320,6 +323,7 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     boff = bcnt.select(
         "b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).cast("long").alias("boff")
     )
+    # bounded: per-bucket offsets (bucket table, dictionary-sized)
     ranked = bl.join(F.broadcast(boff), "b").select(
         "doc_id", "n_tokens", "n", (F.col("boff") + local).alias("r")
     )
@@ -461,6 +465,7 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
+        # bounded: per-score buckets (score domain, dictionary-sized)
         base.join(F.broadcast(buckets), "score")
         .select(
             "doc_id",
@@ -511,6 +516,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     strata = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
     tot = strata.agg(F.sum("n_docs").alias("n_total"))
+    # bounded: 1-row total
     st = strata.crossJoin(F.broadcast(tot)).select(
         "lang",
         "source",
@@ -525,6 +531,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftover = st.agg((F.lit(SAMPLE_BUDGET) - F.sum("base")).alias("leftover"))
     wr = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
     alloc = (
+        # bounded: 1-row leftover budget
         st.crossJoin(F.broadcast(leftover))
         .withColumn("rk", F.row_number().over(wr))
         .select(
@@ -544,6 +551,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = (
         docs.withColumn("rn", F.row_number().over(wd))
+        # bounded: (lang, source) strata allocation table
         .join(F.broadcast(alloc.select("lang", "source", "alloc")), ["lang", "source"])
         .filter(F.col("rn") <= F.col("alloc"))
     )

@@ -187,12 +187,14 @@ def search_with_docids(
     res = search(spark, sf_dir, query, **kw)
     mapping = docno_mapping(spark, sf_dir)
     # our corpus uses doc_id == docno; the reference's mapping is keyed by
-    # its own 1-based docno — join on the docid rendering of docno
+    # its own 1-based docno — join on the docid rendering of docno.
+    # bounded: broadcast the TOP-K result (10 rows) against the mapping —
+    # the mapping is one row per doc (corpus-cardinality), so it is the
+    # probe side and never moves; the reference's DistributedCache of the
+    # whole mapping (J1) inverts at scale.
     return (
-        res.join(
-            F.broadcast(mapping),
-            res["docno"] == mapping["docid"].cast("long"),
-        )
+        F.broadcast(res)
+        .join(mapping, res["docno"] == mapping["docid"].cast("long"))
         .select(res["docno"], mapping["docid"], res["score"], res["rank"])
     )
 

@@ -209,6 +209,7 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     return (
+        # bounded: customer dim table (dimension, not corpus)
         events.join(F.broadcast(dim), "user_id")
         .groupBy("segment", "event_type")
         .agg(
@@ -401,6 +402,7 @@ def incremental_near_dups(
         else:
             bands_all, sh_all = bands_b, sh_b
         cand = (
+            # bounded: probe side is the micro-batch's own bands
             F.broadcast(
                 bands_b.select(
                     F.col("doc_id").alias("probe_doc"), "band_key"
@@ -422,6 +424,7 @@ def incremental_near_dups(
         a = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
+            # bounded: cand is the batch-probe collision residue
             F.broadcast(cand)
             .join(a, "doc_a")
             .join(b, ["doc_b", "shingle"])

@@ -238,17 +238,22 @@ def test_dedup_broadcast_hints_are_all_bounded():
 
     from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
         dedup,
+        pipeline,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.streaming import (
+        jobs,
     )
 
-    lines = inspect.getsource(dedup).splitlines()
     unmarked = []
-    for i, ln in enumerate(lines):
-        if "F.broadcast(" not in ln:
-            continue
-        context = "\n".join(lines[max(0, i - 5) : i + 1])
-        if "# bounded:" not in context:
-            unmarked.append((i + 1, ln.strip()))
-    assert not unmarked, f"unmarked broadcast hints in dedup.py: {unmarked}"
+    for mod in (dedup, pipeline, jobs):
+        lines = inspect.getsource(mod).splitlines()
+        for i, ln in enumerate(lines):
+            if "F.broadcast(" not in ln:
+                continue
+            context = "\n".join(lines[max(0, i - 5) : i + 1])
+            if "# bounded:" not in context:
+                unmarked.append((mod.__name__, i + 1, ln.strip()))
+    assert not unmarked, f"unmarked broadcast hints: {unmarked}"
 
 
 def test_minhash_near_dups_plan_is_capped(spark, sf_dir):
@@ -265,6 +270,22 @@ def test_minhash_near_dups_plan_is_capped(spark, sf_dir):
     for df in (minhash_near_dups(spark, sf_dir), clean_corpus(spark, sf_dir)):
         plan = _physical(df)
         assert plan.count("Exchange") < 50, plan[:3000]
+
+
+def test_search_with_docids_broadcasts_result_not_mapping(spark, sf_dir):
+    """The display join must broadcast the 10-row RESULT side; the docno
+    mapping is corpus-cardinality and must stay the probe side (the
+    r4-flagged hint class — a mapping broadcast is an executor OOM at
+    1e9 docs)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search_with_docids,
+    )
+
+    plan = _physical(search_with_docids(spark, sf_dir, "spark join"))
+    top_join = next(
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "docid" in ln
+    )
+    assert "BuildLeft" in top_join, top_join  # res side (left) is the build
 
 
 def test_cdc_chunks_shuffles_hashes_not_text(spark, sf_dir):
