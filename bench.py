@@ -238,6 +238,43 @@ def main() -> None:
         print(f"# bench knn_ivf_store failed: {exc!r}", file=sys.stderr)
         timings["knn_ivf_store_warm"] = -1.0
 
+    # IVFADC serving against the PREBUILT on-disk store (codes + vectors
+    # partitioned by cell, codebooks persisted): build untimed, warm-up,
+    # time the probe -> code-only ADC scan -> re-rank. The object-store
+    # twin of knn_ivfpq_adc_warm.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+            QUERY_VEC_ID,
+            query_ivfpq_store,
+            write_ivfpq_store,
+        )
+
+        pq_dir = tempfile.mkdtemp(prefix="smse_bench_ivfpq_")
+        write_ivfpq_store(spark, sf_dir, pq_dir)
+        qvec = list(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .head()
+            .embedding
+        )
+        query_ivfpq_store(
+            spark, pq_dir, qvec, exclude_vec_id=QUERY_VEC_ID
+        ).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        query_ivfpq_store(
+            spark, pq_dir, qvec, exclude_vec_id=QUERY_VEC_ID
+        ).write.format("noop").mode("overwrite").save()
+        timings["knn_ivfpq_store_warm"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(pq_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench knn_ivfpq_store failed: {exc!r}", file=sys.stderr)
+        timings["knn_ivfpq_store_warm"] = -1.0
+
     # IVF-PQ ADC serving against the warm in-session index (cells +
     # codes + codebooks memoized): the registry's knn_ivfpq_adc timing
     # stays the COLD composed number (index derivation included); this

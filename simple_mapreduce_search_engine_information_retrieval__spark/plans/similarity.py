@@ -420,6 +420,117 @@ def query_ivf_store(
     )
 
 
+def write_ivfpq_store(
+    spark: SparkSession, sf_dir: str, out_path: str, *, trained: bool = False
+) -> None:
+    """Persist the full IVFADC serving layout — the on-disk twin of the
+    in-session `_warm_adc_index` memo (the 100 TB shape: the index lives
+    in object storage, any session serves from it):
+
+    - ``centroids/``  coarse IVF codebook (K rows, read at planning time)
+    - ``pq_seeds/``   PQ codebook source (PQ_K rows, builds query LUTs)
+    - ``codes/``      (vec_id, code0..code{M-1}) PARTITIONED BY cell —
+      the ADC scan reads only the probed cells' code files (~PQ_M small
+      ints per row), so the ~100x scan-byte reduction of ADC composes
+      with partition pruning
+    - ``vectors/``    (vec_id, embedding) partitioned by cell — the
+      exact re-rank join reads only probed partitions too
+
+    Build cost: the same passes the in-session memo pays once, plus the
+    partitioned writes."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids_trained(emb) if trained else _ivf_centroids(emb)
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    _pq_seeds(emb).write.mode("overwrite").parquet(f"{out_path}/pq_seeds")
+    cells = _ivf_cells(_ivf_pairs(emb, cents))
+    codes = pq_codes(spark, sf_dir)
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/codes")
+    )
+    (
+        emb.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/vectors")
+    )
+
+
+def query_ivfpq_store(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    *,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVFADC serving against the persisted store: probe-planning over
+    the K-row codebook (driver-side, static IN-list → partition
+    pruning), code-only ADC scan of the probed cells, exact cosine
+    re-rank of the ADC_RERANK shortlist read from the probed vector
+    partitions only. Output (vec_id, adist, cos, rank) — identical to
+    the in-session `knn_ivfpq_adc` given the same query vector
+    (equality asserted in tests/test_ann_recall.py)."""
+    from pyspark.sql import Window
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = [
+        r.cent_id
+        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    seeds = spark.read.parquet(f"{path}/pq_seeds")
+    cand = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probes)
+    )
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    for m in range(PQ_M):
+        # bounded: PQ_K-row LUT of subspace distances to the query
+        lut = seeds.select(
+            F.col("cent_id").alias(f"code{m}"),
+            _sq_dist(
+                F.slice("cvec", m * PQ_SUB + 1, PQ_SUB),
+                F.slice(q, m * PQ_SUB + 1, PQ_SUB),
+            ).alias(f"d{m}"),
+        )
+        cand = cand.join(F.broadcast(lut), f"code{m}")
+    adist = sum(F.col(f"d{m}") for m in range(PQ_M))
+    shortlist = (
+        cand.select("vec_id", adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(ADC_RERANK)
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probes)
+    )
+    rr = (
+        # bounded: the ADC shortlist is ADC_RERANK rows by construction
+        F.broadcast(shortlist)
+        .join(vecs, "vec_id")
+        .select(
+            "vec_id",
+            F.round("adist", 6).alias("adist"),
+            F.round(_cos(F.col("embedding"), q), 6).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rr.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(top_k)
+        .select(
+            "vec_id", "adist", "cos",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+
+
 def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid L2 norm + member count — the aggregate shape of
     embedding analytics (explode dims → two-level agg; dim-major shuffle

@@ -153,3 +153,43 @@ def test_int8_quantize_roundtrip_error(spark):
         | (F.col("max_err") > F.col("s") / 2 + 1e-12)
     ).count()
     assert bad == 0
+
+
+def test_ivfpq_store_roundtrip_equals_in_session_adc(spark, tmp_path):
+    """The persisted IVFADC layout must serve the IDENTICAL answer as
+    the in-session warm index: write the store, query it with vec 0's
+    embedding, compare row-for-row with knn_ivfpq_adc. Also assert the
+    code scan actually partition-prunes (reads probed cells only)."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        NPROBE,
+        QUERY_VEC_ID,
+        knn_ivfpq_adc,
+        query_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "ivfpq")
+    write_ivfpq_store(spark, sf, store)
+    qvec = list(
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .head()
+        .embedding
+    )
+    got = query_ivfpq_store(
+        spark, store, qvec, exclude_vec_id=QUERY_VEC_ID
+    )
+    want = knn_ivfpq_adc(spark, sf)
+    g = sorted(got.collect(), key=lambda r: r.rank)
+    w = sorted(want.collect(), key=lambda r: r.rank)
+    assert [tuple(r) for r in g] == [tuple(r) for r in w]
+    # partition pruning: the code scan's plan must carry <= NPROBE
+    # partition directories, not the full cell fan-out
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"partition values|PartitionFilters: \[[^\]]*", plan)
+    assert m is not None and "cell" in m.group(0), plan[:2000]

@@ -134,6 +134,7 @@ def test_bench_headline_line_fits_capture_window():
         "search_phrase_indexed_warm",
         "knn_ivf_store_warm",
         "knn_ivfpq_adc_warm",
+        "knn_ivfpq_store_warm",
         "knn_ivf_trained_warm",
     ]
     # worst-case widths: the 25 LONGEST names are the slowest (they are
