@@ -1414,30 +1414,47 @@ WHERE docno NOT IN (SELECT docno FROM post WHERE term IN ({not_l}))
 def search_phrase_positional(
     spark: SparkSession, sf_dir: str, phrase: str, *, top_k: int = TOP_K
 ) -> DataFrame:
-    """(docno, occurrences, rank) for an exact 2-word phrase, matched by
-    position adjacency. One corpus scan: the positional stream filters
-    to the two terms before the per-doc aggregation, so the shuffle
-    carries only those terms' occurrence rows; the adjacency check runs
-    per doc on the collected position arrays (JVM higher-order
-    functions), never a position-x-position join across docs."""
+    """(docno, occurrences, rank) for an exact phrase of ANY length >= 2,
+    matched by position adjacency (the standard positional-index phrase
+    walk: an occurrence is a position p with term_i at p+i for every i).
+    One corpus scan: the positional stream filters to the phrase terms
+    before the per-doc aggregation, so the shuffle carries only those
+    terms' occurrence rows; the adjacency check runs per doc on the
+    collected position arrays (JVM higher-order functions), never a
+    position-x-position join across docs. Phrases that tokenize to <2
+    terms (a stopword operand, a single word) take the graceful
+    empty-result path of the other search entry points (ADVICE r4)."""
+    import functools
+
     from .indexing import positional_terms
 
     terms = tokenize_query(phrase)
-    if len(terms) != 2:
-        # 2-term contract (the positional-adjacency walk below is pairwise):
-        # a stopword operand or a 1-/3-word phrase takes the same graceful
-        # empty-result path as the other search entry points (ADVICE r4)
+    if len(terms) < 2:
         return spark.createDataFrame(
             [], "docno long, occurrences long, rank long"
         )
-    t1, t2 = terms
-    pos = positional_terms(spark, sf_dir).filter(F.col("term").isin([t1, t2]))
+    pos = positional_terms(spark, sf_dir).filter(F.col("term").isin(terms))
+    # one position array per PHRASE SLOT (repeated terms get one array
+    # per slot, each carrying that term's full position list)
     g = pos.groupBy("docno").agg(
-        F.collect_list(F.when(F.col("term") == t1, F.col("pos"))).alias("pa"),
-        F.collect_list(F.when(F.col("term") == t2, F.col("pos"))).alias("pb"),
+        *[
+            F.collect_list(F.when(F.col("term") == t, F.col("pos"))).alias(
+                f"p{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
     )
     occ = F.size(
-        F.filter(F.col("pa"), lambda x: F.array_contains(F.col("pb"), x + 1))
+        F.filter(
+            F.col("p0"),
+            lambda x: functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.array_contains(F.col(f"p{i}"), x + i)
+                    for i in range(1, len(terms))
+                ],
+            ),
+        )
     ).cast("long")
     d = g.select("docno", occ.alias("occurrences")).filter(
         F.col("occurrences") > 0
@@ -1458,20 +1475,26 @@ def duck_search_phrase_positional(phrase: str, *, top_k: int = TOP_K) -> str:
     from .indexing import DUCK_POSITIONAL_TERMS
 
     terms = tokenize_query(phrase)
-    if len(terms) != 2:  # same empty-result contract as the Spark builder
+    if len(terms) < 2:  # same empty-result contract as the Spark builder
         return (
             "SELECT CAST(NULL AS BIGINT) AS docno, "
             "CAST(NULL AS BIGINT) AS occurrences, "
             "CAST(NULL AS BIGINT) AS rank WHERE FALSE"
         )
-    t1, t2 = terms
+    slots = ",\n     ".join(
+        f"a{i} AS (SELECT docno, pos FROM p WHERE term = '{t}')"
+        for i, t in enumerate(terms)
+    )
+    joins = " ".join(
+        f"JOIN a{i} ON a{i}.docno = a0.docno AND a{i}.pos = a0.pos + {i}"
+        for i in range(1, len(terms))
+    )
     return f"""
 WITH p AS ({DUCK_POSITIONAL_TERMS}),
-     a AS (SELECT docno, pos FROM p WHERE term = '{t1}'),
-     b AS (SELECT docno, pos FROM p WHERE term = '{t2}'),
-     d AS (SELECT a.docno, CAST(count(*) AS BIGINT) AS occurrences
-           FROM a JOIN b ON a.docno = b.docno AND b.pos = a.pos + 1
-           GROUP BY a.docno),
+     {slots},
+     d AS (SELECT a0.docno, CAST(count(*) AS BIGINT) AS occurrences
+           FROM a0 {joins}
+           GROUP BY a0.docno),
      topk AS (SELECT docno, occurrences FROM d
               ORDER BY occurrences DESC, docno LIMIT {top_k})
 SELECT docno, occurrences,

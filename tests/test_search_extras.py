@@ -136,15 +136,15 @@ def test_snippets_contain_a_query_term(spark, sf_dir):
 
 
 def test_phrase_positional_arity_guard(spark, sf_dir):
-    """Non-2-term phrases (stopword operand, 1- or 3-word) take the
-    graceful empty-result path in BOTH builders instead of raising on
-    tuple unpack (ADVICE r4)."""
+    """Phrases that tokenize below the 2-term minimum (stopword operand,
+    single word) take the graceful empty-result path in BOTH builders
+    instead of raising (ADVICE r4)."""
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
         duck_search_phrase_positional,
         search_phrase_positional,
     )
 
-    for phrase in ("hash", "the a", "hash join merge"):
+    for phrase in ("hash", "the a"):
         df = search_phrase_positional(spark, sf_dir, phrase)
         assert df.columns == ["docno", "occurrences", "rank"]
         assert df.count() == 0
@@ -178,3 +178,58 @@ def test_hybrid_rrf_threads_top_k_into_both_arms(spark, sf_dir):
         assert oracle.compare(df, con, duck_search_hybrid_rrf("spark join", top_k=20)) == []
     finally:
         con.close()
+
+
+def test_phrase_positional_n_term_matches_oracle(spark, sf_dir):
+    """The generalized positional phrase walk (round 5): 3- and 4-term
+    phrases verified against the DuckDB adjacency-join oracle at
+    sf0.001, plus a brute-force cross-check on raw token streams for
+    the 3-term case."""
+    from simple_mapreduce_search_engine_information_retrieval__spark import oracle
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        duck_search_phrase_positional,
+        search_phrase_positional,
+    )
+
+    con = oracle.duck_connect(sf_dir)
+    try:
+        for phrase in ("hash join merge", "big data hash join"):
+            df = search_phrase_positional(spark, sf_dir, phrase)
+            assert (
+                oracle.compare(
+                    df, con, duck_search_phrase_positional(phrase)
+                )
+                == []
+            ), phrase
+    finally:
+        con.close()
+    # brute force: count adjacent triples in the tokenized streams
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.corpus import (
+        tokenized_docs,
+    )
+
+    toks = {
+        r.doc_id: list(r.kept)
+        for r in tokenized_docs(spark, sf_dir).select("doc_id", "kept").collect()
+    }
+    want = {}
+    tgt = ("hash", "join", "merge")
+    for d, ts in toks.items():
+        n = sum(
+            1
+            for i in range(len(ts) - 2)
+            if tuple(ts[i : i + 3]) == tgt
+        )
+        if n:
+            want[d] = n
+    got = {
+        r.docno: r.occurrences
+        for r in search_phrase_positional(spark, sf_dir, "hash join merge")
+        .collect()
+    }
+    # the query returns top-k; every returned row must match brute force,
+    # and if fewer than k docs match overall the sets must be equal
+    for d, n in got.items():
+        assert want.get(d) == n
+    if len(want) <= 10:
+        assert got == want
