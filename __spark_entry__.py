@@ -118,8 +118,14 @@ CHANGED_THIS_ROUND = frozenset(
         "dedup_near_dup_groups",
         "dedup_group_representatives",
         "pipeline_clean_corpus",
-        # r5: trained-IVF build/serve split (memoized codebook+cells)
+        # r5: trained-IVF build/serve split (memoized codebook+cells) +
+        # shared _ivf_serve plan + shared embeddings cache
         "knn_ivf_trained",
+        "knn_ivf_bucketed",
+        "knn_ivfpq_adc",
+        # r5: degenerate-range CASE guard in both builders (never-checked
+        # anyway — listed for the rewrite-detection discipline)
+        "sketch_quantile_bins",
         # r5: top_k threaded into the vector arm / brute-force signature
         "search_hybrid_rrf",
         "knn_cosine_brute_force",

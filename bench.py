@@ -146,134 +146,96 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# bench {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
-    # serving path: queries against the PREBUILT bucketed index store —
-    # latency decoupled from index build (the reference REPL shape:
-    # IntDocVectorsForwardIndex queries a built index, never the corpus).
-    # Build untimed, one warm-up lookup, then time the lookup.
-    try:
+    # Store-serving lines: each builds a PREBUILT on-disk store untimed,
+    # runs one warm-up query, then times the query — latency decoupled
+    # from the build (the reference REPL shape: queries hit a built
+    # index, never the corpus). The tmp store is removed in a finally so
+    # a failing run cannot leak it.
+    def _store_serving(name: str, prefix: str, build, query) -> None:
         import shutil
         import tempfile
 
-        from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
-            build_index,
-            search_indexed,
-        )
+        d = tempfile.mkdtemp(prefix=prefix)
+        try:
+            build(d)
+            query(d).write.format("noop").mode("overwrite").save()  # warm-up
+            t0 = time.perf_counter()
+            query(d).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# bench {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
-        idx_dir = tempfile.mkdtemp(prefix="smse_bench_index_")
-        build_index(spark, sf_dir, idx_dir, name="smse_bench_index")
-        terms = ["spark", "join"]
-        search_indexed(spark, terms, name="smse_bench_index").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        t0 = time.perf_counter()
-        search_indexed(spark, terms, name="smse_bench_index").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["search_indexed_warm"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(idx_dir, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# bench search_indexed failed: {exc!r}", file=sys.stderr)
-        timings["search_indexed_warm"] = -1.0
-    # phrase serving: same decoupling for the word-2-gram index — a phrase
-    # is ONE term in the k=2 store, so serving is the identical pushed-down
-    # `term IN` lookup (build untimed, warm-up, time the lookup).
     try:
-        import shutil
-        import tempfile
-
-        from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
-            build_index,
-            search_indexed,
-        )
-
-        idx_dir = tempfile.mkdtemp(prefix="smse_bench_index2_")
-        build_index(spark, sf_dir, idx_dir, k=2, name="smse_bench_index2")
-        grams = ["spark join"]
-        search_indexed(spark, grams, name="smse_bench_index2").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        t0 = time.perf_counter()
-        search_indexed(spark, grams, name="smse_bench_index2").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["search_phrase_indexed_warm"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(idx_dir, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# bench search_phrase_indexed failed: {exc!r}", file=sys.stderr)
-        timings["search_phrase_indexed_warm"] = -1.0
-
-    # ANN serving: multi-probe lookup against the PREBUILT partitioned
-    # IVF store (build untimed, warm-up, time the probe) — the
-    # vector-search twin of search_indexed_warm.
-    try:
-        import shutil
-        import tempfile
-
         from pyspark.sql import functions as F
 
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+            build_index,
+            search_indexed,
+        )
         from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
             QUERY_VEC_ID,
             query_ivf_store,
-            write_ivf_store,
-        )
-
-        ivf_dir = tempfile.mkdtemp(prefix="smse_bench_ivf_")
-        write_ivf_store(spark, sf_dir, ivf_dir)
-        qvec = list(
-            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-            .filter(F.col("vec_id") == QUERY_VEC_ID)
-            .head()
-            .embedding
-        )
-        query_ivf_store(spark, ivf_dir, qvec).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        t0 = time.perf_counter()
-        query_ivf_store(spark, ivf_dir, qvec).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["knn_ivf_store_warm"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(ivf_dir, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# bench knn_ivf_store failed: {exc!r}", file=sys.stderr)
-        timings["knn_ivf_store_warm"] = -1.0
-
-    # IVFADC serving against the PREBUILT on-disk store (codes + vectors
-    # partitioned by cell, codebooks persisted): build untimed, warm-up,
-    # time the probe -> code-only ADC scan -> re-rank. The object-store
-    # twin of knn_ivfpq_adc_warm.
-    try:
-        import shutil
-        import tempfile
-
-        from pyspark.sql import functions as F
-
-        from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
-            QUERY_VEC_ID,
             query_ivfpq_store,
+            write_ivf_store,
             write_ivfpq_store,
         )
 
-        pq_dir = tempfile.mkdtemp(prefix="smse_bench_ivfpq_")
-        write_ivfpq_store(spark, sf_dir, pq_dir)
         qvec = list(
             spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
             .filter(F.col("vec_id") == QUERY_VEC_ID)
             .head()
             .embedding
         )
-        query_ivfpq_store(
-            spark, pq_dir, qvec, exclude_vec_id=QUERY_VEC_ID
-        ).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        query_ivfpq_store(
-            spark, pq_dir, qvec, exclude_vec_id=QUERY_VEC_ID
-        ).write.format("noop").mode("overwrite").save()
-        timings["knn_ivfpq_store_warm"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(pq_dir, ignore_errors=True)
+        _store_serving(
+            "search_indexed_warm",
+            "smse_bench_index_",
+            lambda d: build_index(spark, sf_dir, d, name="smse_bench_index"),
+            lambda d: search_indexed(
+                spark, ["spark", "join"], name="smse_bench_index"
+            ),
+        )
+        # phrase serving: a phrase is ONE term in the k=2 store, so
+        # serving is the identical pushed-down `term IN` lookup
+        _store_serving(
+            "search_phrase_indexed_warm",
+            "smse_bench_index2_",
+            lambda d: build_index(
+                spark, sf_dir, d, k=2, name="smse_bench_index2"
+            ),
+            lambda d: search_indexed(
+                spark, ["spark join"], name="smse_bench_index2"
+            ),
+        )
+        # ANN serving: multi-probe lookup against the partitioned IVF
+        # store — the vector-search twin of search_indexed_warm
+        _store_serving(
+            "knn_ivf_store_warm",
+            "smse_bench_ivf_",
+            lambda d: write_ivf_store(spark, sf_dir, d),
+            lambda d: query_ivf_store(spark, d, qvec),
+        )
+        # IVFADC serving: probe -> code-only ADC scan -> re-rank against
+        # the persisted codes/vectors-by-cell layout
+        _store_serving(
+            "knn_ivfpq_store_warm",
+            "smse_bench_ivfpq_",
+            lambda d: write_ivfpq_store(spark, sf_dir, d),
+            lambda d: query_ivfpq_store(
+                spark, d, qvec, exclude_vec_id=QUERY_VEC_ID
+            ),
+        )
     except Exception as exc:  # noqa: BLE001
-        print(f"# bench knn_ivfpq_store failed: {exc!r}", file=sys.stderr)
-        timings["knn_ivfpq_store_warm"] = -1.0
+        print(f"# bench store-serving setup failed: {exc!r}", file=sys.stderr)
+        for name in (
+            "search_indexed_warm",
+            "search_phrase_indexed_warm",
+            "knn_ivf_store_warm",
+            "knn_ivfpq_store_warm",
+        ):
+            timings.setdefault(name, -1.0)
 
     # IVF-PQ ADC serving against the warm in-session index (cells +
     # codes + codebooks memoized): the registry's knn_ivfpq_adc timing

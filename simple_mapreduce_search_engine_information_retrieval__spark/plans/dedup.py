@@ -250,6 +250,13 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle→aggregate lineage out of every consumer branch, keeping
     # the near-dup family's analyzed plans in the single digits of
     # Exchanges instead of re-embedding the corpus sub-plan per branch.
+    # Durability trade-off (deliberate): localCheckpoint blocks live in
+    # executor storage only, so a lost executor loses the truncated
+    # lineage with them — fine for a single-node session; a cluster with
+    # spot/decommissioning executors should use reliable checkpointing
+    # (sc.setCheckpointDir on DFS + .checkpoint()) — same plan shape,
+    # durable blocks. Eager by design: the driver/bench always execute
+    # the result, so the build job is paid exactly once either way.
     membership = (
         sh.groupBy("doc_id")
         .agg(
@@ -295,35 +302,33 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    # Within-group pairs without the membership self-join (the OTHER
-    # corpus-cardinality broadcast this used to hint): collect each
-    # group's sorted ids and expand pairs per group. Groups are the
-    # identical-content piles — singletons (almost every doc) drop before
-    # any array work, and the expansion is per-row array math bounded by
-    # the pile size, with the pair OUTPUT itself the only quadratic any
-    # formulation must emit.
+    # Within-group pairs without the membership self-join's former
+    # corpus-cardinality broadcast hint: filter to MULTI-member groups
+    # first (singletons — almost every doc in a mostly-unique corpus —
+    # drop before any join), then self-join the surviving rows on rep.
+    # The join STREAMS each pile's quadratic pair output through the
+    # iterator instead of materializing it: an array-expansion
+    # formulation (collect the pile, build all n(n-1)/2 pair structs in
+    # one value, explode) holds a 100k-clone pile's ~5e9 structs in a
+    # single row — an executor OOM; the join emits the same rows
+    # incrementally, and the pair OUTPUT itself is the only quadratic
+    # any formulation must emit. Both branches reuse the groupBy's rep
+    # partitioning, so no extra exchange on the big side.
     grp = (
         membership.groupBy("rep")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
     )
+    multi = membership.select("rep", "doc_id").join(grp.select("rep"), "rep")
     within = (
-        grp.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        multi.alias("x")
+        .join(multi.alias("y"), "rep")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
         )
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
     )
     out = cross.unionByName(within)
     _pairs_cache[key] = out.cache()

@@ -212,72 +212,12 @@ def _ivf_cells(pairs: DataFrame) -> DataFrame:
     )
 
 
-def knn_ivf_bucketed(
-    spark: SparkSession, sf_dir: str, cents: DataFrame | None = None
-) -> DataFrame:
-    """ANN: multi-probe IVF — score only vectors assigned to the query's
-    NPROBE nearest cells. May differ from brute force (that is the
-    approximation); deterministic given the data. ``cents`` overrides the
-    codebook (tests compare the trained codebook against raw seeds)."""
-    emb = table(spark, sf_dir, "embeddings")
-    if cents is None:
-        cents = _ivf_centroids(emb)
-    pairs = _ivf_pairs(emb, cents)
-    cells = _ivf_cells(pairs)
-    probes = (
-        pairs.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .orderBy(F.desc("sim"), F.asc("cent_id"))
-        .limit(NPROBE)
-        .select(F.col("cent_id").alias("cell"))
-    )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
-    )
-    return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(cells, "vec_id")
-        .join(F.broadcast(probes), "cell")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "cell",
-            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
-
-
-# Warm trained-IVF memo (same contract as _warm_adc_index): training —
-# seeds + one Lloyd pass + full assignment — is a BUILD-time op a serving
-# engine runs once and persists (write_ivf_store(trained=True)); only the
-# probe + scored cell scan is query work. Memoize codebook + assignments
-# per (session, sf_dir) so repeated queries pay serving latency, not a
-# from-scratch retrain (judge r4: the cold composed plan re-derived the
-# training every run — a bench-hygiene gap, fixed here).
-_warm_trained: dict = register_cache({})
-
-
-def _warm_trained_index(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _warm_trained:
-        emb = table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        ).cache()
-        cents = _ivf_centroids_trained(emb).cache()
-        cells = _ivf_cells(_ivf_pairs(emb, cents)).cache()
-        _warm_trained[key] = (emb, cents, cells)
-    return _warm_trained[key]
-
-
-def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """knn_ivf_bucketed with the Lloyd-TRAINED codebook — the scale path
-    for a real clustered corpus, kept oracle-checked; see _ivf_centroids
-    for why it is not the fixture default. Serves from the memoized
-    trained index (codebook + assignments); the first call per session
-    builds it, exactly like the ADC index."""
-    emb, cents, cells = _warm_trained_index(spark, sf_dir)
-    # probe planning touches only the 1-row query x K-row codebook
+def _ivf_serve(emb: DataFrame, cents: DataFrame, cells: DataFrame) -> DataFrame:
+    """The multi-probe IVF serving plan shared by the sampled and
+    trained codebooks: probe planning touches only the 1-row query x
+    K-row codebook, then the scored scan reads only the probed cells.
+    One definition so tie-breaking/rounding cannot diverge between the
+    two variants (each holds its own value oracle)."""
     probes = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .crossJoin(F.broadcast(cents))
@@ -302,6 +242,66 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+def knn_ivf_bucketed(
+    spark: SparkSession, sf_dir: str, cents: DataFrame | None = None
+) -> DataFrame:
+    """ANN: multi-probe IVF — score only vectors assigned to the query's
+    NPROBE nearest cells. May differ from brute force (that is the
+    approximation); deterministic given the data. ``cents`` overrides the
+    codebook (tests compare the trained codebook against raw seeds)."""
+    emb = table(spark, sf_dir, "embeddings")
+    if cents is None:
+        cents = _ivf_centroids(emb)
+    cells = _ivf_cells(_ivf_pairs(emb, cents))
+    return _ivf_serve(emb, cents, cells)
+
+
+# Shared cached-embeddings memo: BOTH warm indexes (trained IVF, ADC)
+# read the same (vec_id, embedding) projection — one cache entry, not
+# one per index, so warming both does not double the footprint.
+_emb_cache: dict = register_cache({})
+
+
+def _emb_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _emb_cache:
+        _emb_cache[key] = (
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+        )
+    return _emb_cache[key]
+
+
+# Warm trained-IVF memo (same contract as _warm_adc_index): training —
+# seeds + one Lloyd pass + full assignment — is a BUILD-time op a serving
+# engine runs once and persists (write_ivf_store(trained=True)); only the
+# probe + scored cell scan is query work. Memoize codebook + assignments
+# per (session, sf_dir) so repeated queries pay serving latency, not a
+# from-scratch retrain (judge r4: the cold composed plan re-derived the
+# training every run — a bench-hygiene gap, fixed here).
+_warm_trained: dict = register_cache({})
+
+
+def _warm_trained_index(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _warm_trained:
+        emb = _emb_cached(spark, sf_dir)
+        cents = _ivf_centroids_trained(emb).cache()
+        cells = _ivf_cells(_ivf_pairs(emb, cents)).cache()
+        _warm_trained[key] = (emb, cents, cells)
+    return _warm_trained[key]
+
+
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf_bucketed with the Lloyd-TRAINED codebook — the scale path
+    for a real clustered corpus, kept oracle-checked; see _ivf_centroids
+    for why it is not the fixture default. Serves from the memoized
+    trained index (codebook + assignments) through the SAME _ivf_serve
+    plan as the sampled variant; the first call per session builds the
+    index, exactly like the ADC memo."""
+    emb, cents, cells = _warm_trained_index(spark, sf_dir)
+    return _ivf_serve(emb, cents, cells)
 
 
 DUCK_KNN_IVF = f"""
@@ -1038,7 +1038,7 @@ _warm_adc: dict = register_cache({})
 def _warm_adc_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _warm_adc:
-        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+        emb = _emb_cached(spark, sf_dir)
         # the codebooks are part of the index — a serving engine loads
         # them WITH the cells/codes, it does not re-derive them per query
         cents = _ivf_centroids(emb).cache()

@@ -256,7 +256,9 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(split_path)
     )
     incremental_near_dups(spark, docs_stream, store_path)
-    return spark.read.parquet(os.path.join(store_path, "pairs"))
+    return spark.read.parquet(os.path.join(store_path, "pairs")).select(
+        "doc_a", "doc_b", "jaccard"  # drop the batch=<id> partition col
+    )
 
 
 def _streaming_near_dup_oracle() -> str:

@@ -345,8 +345,10 @@ def incremental_near_dups(
     dedup_incremental_minhash, where the "increment" is a micro-batch.
 
     Discovered pairs land in <store>/pairs; bands and shingles
-    accumulate in <store>/bands and <store>/shingles (LSM appends, the
-    incremental_index discipline). A pair is discovered exactly once —
+    accumulate in <store>/bands and <store>/shingles (LSM-style
+    batch=<id> partitions, one per micro-batch — each batch overwrites
+    only its own partition, so a replayed batch is idempotent).
+    A pair is discovered exactly once —
     in the first batch where both members exist (probe side is always
     the batch; store-store pairs never re-form) — so the accumulated
     pair set equals the one-shot batch LSH answer in ANY delivery
@@ -397,8 +399,20 @@ def incremental_near_dups(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         have_store = fs.exists(jpath)
         if have_store:
-            bands_all = bands_b.unionByName(spark.read.parquet(bands_p))
-            sh_all = sh_b.unionByName(spark.read.parquet(sh_p))
+            # exclude the CURRENT batch's partition: after a mid-batch
+            # crash the store may hold this batch's partially-committed
+            # output, and replaying against it would double-count the
+            # batch's own shingles in the size lookups (wrong Jaccard).
+            # Committed batches are strictly smaller ids.
+            prev = F.col("batch") < batch_id
+            bands_all = bands_b.unionByName(
+                spark.read.parquet(bands_p)
+                .where(prev)
+                .select("doc_id", "band_key")
+            )
+            sh_all = sh_b.unionByName(
+                spark.read.parquet(sh_p).where(prev).select("doc_id", "shingle")
+            )
         else:
             bands_all, sh_all = bands_b, sh_b
         cand = (
@@ -449,19 +463,33 @@ def incremental_near_dups(
             )
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
-        # batch-sized appends: coalesce so the store stays a few files
+        # batch-sized writes: coalesce so the store stays a few files
         # per batch instead of spraying 32 shards each (the store is
         # re-read every subsequent batch; at cluster scale size the
-        # coalesce to the increment's real volume)
-        pairs.coalesce(1).write.mode("append").parquet(pairs_p)
-        bands_b.coalesce(2).write.mode("append").parquet(bands_p)
-        sh_b.coalesce(2).write.mode("append").parquet(sh_p)
+        # coalesce to the increment's real volume). Each batch OVERWRITES
+        # its own batch=<id> partition instead of appending to a flat
+        # dir: replaying a killed half-committed batch rewrites exactly
+        # its own partition, which together with the `batch < batch_id`
+        # store-read filter above makes the foreachBatch idempotent by
+        # batch id — the exactly-once contract, not just at-least-once.
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_p}/batch={batch_id}"
+        )
+        bands_b.coalesce(2).write.mode("overwrite").parquet(
+            f"{bands_p}/batch={batch_id}"
+        )
+        sh_b.coalesce(2).write.mode("overwrite").parquet(
+            f"{sh_p}/batch={batch_id}"
+        )
 
     # ``checkpoint_path`` makes the maintenance restartable: a killed
-    # job resumed from its checkpoint re-reads only the source files not
-    # yet committed, so the LSM appends are not re-applied (the
-    # kill-and-resume contract a 100 TB ingest needs — tested in
-    # tests/test_streaming.py::test_near_dup_store_checkpoint_resume)
+    # job resumes at the first uncommitted batch, and because every
+    # batch (re)writes only its own batch=<id> store partition and the
+    # probe reads only strictly-earlier partitions, a replayed
+    # half-committed batch converges to the same store — exactly-once,
+    # including mid-batch kills (tested in tests/test_streaming.py::
+    # test_near_dup_store_checkpoint_resume, which also replays a batch
+    # by deleting its checkpoint commit marker)
     writer = docs_stream.writeStream.foreachBatch(probe_and_append)
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)

@@ -162,6 +162,11 @@ def test_near_dup_store_checkpoint_resume(spark, sf_dir):
                 spark, stream, store, checkpoint_path=ckpt
             )
 
+        def pairs_df():
+            return spark.read.parquet(f"{store}/pairs").select(
+                "doc_a", "doc_b", "jaccard"
+            )
+
         # batches 1-2 land, then the job "dies"
         for f in parts[:2]:
             shutil.copy(f"{staged}/{f}", f"{watched}/{f}")
@@ -170,10 +175,26 @@ def test_near_dup_store_checkpoint_resume(spark, sf_dir):
         for f in parts[2:]:
             shutil.copy(f"{staged}/{f}", f"{watched}/{f}")
         run()
-        # pure restart with nothing new: must append nothing
-        n_before = spark.read.parquet(f"{store}/pairs").count()
+        # pure restart with nothing new: must change nothing
+        n_before = pairs_df().count()
         run()
-        got = spark.read.parquet(f"{store}/pairs")
+        assert pairs_df().count() == n_before
+        # MID-BATCH kill: forge the crash window where the last batch's
+        # store partitions are written but its checkpoint commit marker
+        # is not — delete the marker so resume REPLAYS that batch over
+        # its own half/fully-committed output. Batch-scoped overwrite +
+        # the batch< filter must make the replay idempotent.
+        commits = sorted(
+            f
+            for f in os.listdir(f"{ckpt}/commits")
+            if not f.startswith(".")
+        )
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # Hadoop local-FS shadow
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        got = pairs_df()
         assert got.count() == n_before
         want = minhash_near_dups(spark, sf_dir)
         assert got.exceptAll(want).count() == 0
