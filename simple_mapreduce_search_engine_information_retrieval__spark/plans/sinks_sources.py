@@ -42,7 +42,12 @@ _WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehous
 
 def _out_path(kind: str, sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.abspath(os.path.join(_WAREHOUSE, "roundtrip", kind, sf_name))
+    # pid-scoped so two local processes running the same (kind, sf) —
+    # e.g. bench and the test suite — never race on one write path; a
+    # real deployment writes to job-unique locations anyway
+    return os.path.abspath(
+        os.path.join(_WAREHOUSE, "roundtrip", f"pid{os.getpid()}", kind, sf_name)
+    )
 
 
 _TSV_SCHEMA = StructType(
