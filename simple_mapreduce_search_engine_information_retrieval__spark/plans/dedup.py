@@ -289,6 +289,10 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times; before the checkpoint their analyzed plans carried ~360
     # Exchange nodes of InMemoryRelation re-reads).
     rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig).localCheckpoint()
+    # the eager checkpoint just materialized everything that reads
+    # sh_rep — release it now instead of pinning a shingle-sized cache
+    # for the session (it is a local, not a registered memo)
+    sh_rep.unpersist()
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
     cross = (

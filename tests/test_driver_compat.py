@@ -136,6 +136,7 @@ def test_bench_headline_line_fits_capture_window():
         "knn_ivfpq_adc_warm",
         "knn_ivfpq_store_warm",
         "knn_ivf_trained_warm",
+        "dedup_minhash_build_cold",
     ]
     # worst-case widths: the 25 LONGEST names are the slowest (they are
     # the ones the line will carry), 4-digit seconds, 3 decimals
