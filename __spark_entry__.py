@@ -112,30 +112,12 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r5: corpus-cardinality broadcast hints dropped + verified-pairs
-        # localCheckpoint (judge r4 #1/#5) rewired the near-dup family
+        # r6: outer membership-expansion broadcast hint dropped, lazy
+        # localCheckpoints, sh_rep transient cache removed (ADVICE r5)
         "dedup_minhash_near_dups",
         "dedup_near_dup_groups",
         "dedup_group_representatives",
         "pipeline_clean_corpus",
-        # r5: trained-IVF build/serve split (memoized codebook+cells) +
-        # shared _ivf_serve plan + shared embeddings cache
-        "knn_ivf_trained",
-        "knn_ivf_bucketed",
-        "knn_ivfpq_adc",
-        # r5: degenerate-range CASE guard in both builders (never-checked
-        # anyway — listed for the rewrite-detection discipline)
-        "sketch_quantile_bins",
-        # r5: top_k threaded into the vector arm / brute-force signature
-        "search_hybrid_rrf",
-        "knn_cosine_brute_force",
-        # r5: 2-term arity guard (registered query output unchanged)
-        "search_phrase_positional",
-        # r5: display join now broadcasts the top-k result side, never
-        # the corpus-cardinality docno mapping
-        "search_with_docids",
-        # r5: Hadoop-FS store detection (ADVICE r4)
-        "streaming_near_dup_pairs",
     }
 )
 

@@ -279,8 +279,6 @@ def main() -> None:
         print(f"# bench knn_ivf_trained_warm failed: {exc!r}", file=sys.stderr)
         timings["knn_ivf_trained_warm"] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-
     # Index-build throughput vs BASELINE.md (reference: ~0.45 MiB/s for
     # the full inverted-index build of its 22.8 MiB corpus). Honesty
     # notes (round 4): (a) memo caches are CLEARED first — Spark's cache
@@ -376,6 +374,12 @@ def main() -> None:
         )
     except Exception as exc:  # noqa: BLE001
         print(f"# bench throughput failed: {exc!r}", file=sys.stderr)
+
+    # Total AFTER every timed line (including the cold near-dup build
+    # appended above) so `value` always equals the sum of `queries` —
+    # the r5 ADVICE caught the total being computed one append too
+    # early, which made BENCH_FULL's value disagree with its own map.
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     scalars = {

@@ -255,8 +255,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage with them — fine for a single-node session; a cluster with
     # spot/decommissioning executors should use reliable checkpointing
     # (sc.setCheckpointDir on DFS + .checkpoint()) — same plan shape,
-    # durable blocks. Eager by design: the driver/bench always execute
-    # the result, so the build job is paid exactly once either way.
+    # durable blocks. LAZY (eager=False, r5 ADVICE): constructing this
+    # DataFrame — e.g. for .explain()/plan audit — must not launch the
+    # build as a side effect; the memo means the first real action still
+    # materializes it exactly once, and the returned plan is the same
+    # truncated LogicalRDD either way.
     membership = (
         sh.groupBy("doc_id")
         .agg(
@@ -269,36 +272,43 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_fp0", "_fp1", "_fp2", "_fp3", "_fpn")
         .select("*", F.min("doc_id").over(fp_w).alias("rep"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rep_rows = membership.filter(F.col("doc_id") == F.col("rep"))
     rep_sig = rep_rows.select("doc_id", *[f"h{i}" for i in range(N_HASHES)])
-    # _lsh_verified_pairs scans its shingle input from three branches
-    # (sizes / both verify sides) — cache the rep-filtered shingles once,
-    # exactly as the unguarded formulation leaned on the cached full
-    # shingle table.
     # The rep set is ONE ROW PER DISTINCT-CONTENT DOC — corpus-sized in
     # a mostly-unique corpus — so it must never be HINTED broadcast (a
     # multi-GB build side on every executor at 1e9 docs). Plain left-semi
     # on the fixed-width id: one exchange per side, and AQE still picks a
     # broadcast at runtime when the rep set measures genuinely small.
-    sh_rep = sh.join(rep_rows.select("doc_id"), "doc_id", "left_semi").cache()
+    # _lsh_verified_pairs scans this from three branches (sizes / both
+    # verify sides); each branch re-probes the SESSION-CACHED shingle
+    # table (`sh`) with the cheap semi-join rather than pinning a second
+    # shingle-sized transient cache whose release would otherwise have to
+    # race the (now lazy) checkpoint materialization.
+    sh_rep = sh.join(rep_rows.select("doc_id"), "doc_id", "left_semi")
     # localCheckpoint the verified pairs: they are the small LSH residue,
     # and cutting lineage HERE caps the analyzed-plan size of every
     # consumer (clean_corpus / near_dup_groups re-read this sub-plan many
     # times; before the checkpoint their analyzed plans carried ~360
-    # Exchange nodes of InMemoryRelation re-reads).
-    rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig).localCheckpoint()
-    # the eager checkpoint just materialized everything that reads
-    # sh_rep — release it now instead of pinning a shingle-sized cache
-    # for the session (it is a local, not a registered memo)
-    sh_rep.unpersist()
+    # Exchange nodes of InMemoryRelation re-reads). Lazy for the same
+    # construction-is-side-effect-free reason as `membership` above.
+    rep_pairs = _lsh_verified_pairs(sh_rep, sig=rep_sig).localCheckpoint(
+        eager=False
+    )
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
+    # Only rep_pairs itself is hinted. The (rep_pairs JOIN ma) expansion
+    # is NOT: its cardinality is sum over pairs of the doc_a clone-pile
+    # size, which a large identical-content pile that is also a near-dup
+    # of another rep inflates arbitrarily (r5 ADVICE) — the doc_b join is
+    # a plain shuffle join, and AQE still broadcasts it at runtime when
+    # it measures genuinely small.
     cross = (
         # bounded: rep_pairs is the verified near-dup residue
         # (pair-cardinality, checkpointed above)
-        F.broadcast(F.broadcast(rep_pairs).join(ma, "doc_a"))
+        F.broadcast(rep_pairs)
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
         .select(
             F.least("da", "db").alias("doc_a"),

@@ -22,7 +22,9 @@ feed is the 100 TB format whose scan parallelizes by file split.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,14 +42,49 @@ from .indexing import duck_postings_flat
 _WAREHOUSE = os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehouse")
 
 
+_cleanup_registered = False
+
+
+def _register_pid_dir_cleanup(pid_dir: str) -> None:
+    # Remove THIS process's roundtrip tree on interpreter exit, and sweep
+    # any stale pid dirs left by processes that died before their atexit
+    # ran (kill -9, driver timeouts) — otherwise repeated bench/test runs
+    # accumulate unbounded on-disk state (r5 ADVICE). Live-process check
+    # via signal 0; best-effort on errors.
+    global _cleanup_registered
+    if _cleanup_registered:
+        return
+    _cleanup_registered = True
+    atexit.register(shutil.rmtree, pid_dir, ignore_errors=True)
+    parent = os.path.dirname(pid_dir)
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("pid") or not name[3:].isdigit():
+            continue
+        pid = int(name[3:])
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except OSError:
+            continue
+
+
 def _out_path(kind: str, sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     # pid-scoped so two local processes running the same (kind, sf) —
     # e.g. bench and the test suite — never race on one write path; a
     # real deployment writes to job-unique locations anyway
-    return os.path.abspath(
-        os.path.join(_WAREHOUSE, "roundtrip", f"pid{os.getpid()}", kind, sf_name)
+    pid_dir = os.path.abspath(
+        os.path.join(_WAREHOUSE, "roundtrip", f"pid{os.getpid()}")
     )
+    _register_pid_dir_cleanup(pid_dir)
+    return os.path.join(pid_dir, kind, sf_name)
 
 
 _TSV_SCHEMA = StructType(
