@@ -1044,7 +1044,194 @@ WHERE round(i.n_inter / CAST(na.n + nb.n - i.n_inter AS DOUBLE), 6)
 """
 
 
+# --- canonical-URL dedup -------------------------------------------------
+# Web-corpus ingests dedup by CANONICAL URL before any content pass
+# (CommonCrawl-style): the same page arrives under case variants, default
+# ports, www prefixes, tracking params, and fragments. The fixture has no
+# URL column, so — exactly like plans/trec_parse.py — the raw URL is
+# CONSTRUCTED in-query from fixture columns (both engines build the
+# identical string), with doc_id % 4 selecting one of four decorated
+# variants that all canonicalize to the same page identity. The
+# canonicalizer itself is the honest artifact: lowercase, fragment strip,
+# www/default-port strip, path-trailing-slash strip, tracking-param drop
+# (only the id param survives) — the same regex chain in both engines.
+
+
+def _url_variant_spark() -> F.Column:
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    pid = (g % 97).cast("long")
+    v = (F.col("doc_id") % 4).cast("int")
+    base = F.concat(F.lit("/p"), g.cast("string"))
+    idq = F.concat(F.lit("?id="), pid.cast("string"))
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www.example.com"), base, idq,
+                F.lit("&utm_source=feed"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.COM:443"), base, F.lit("/"), idq
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://Example.com"), base,
+                F.lit("/?utm_campaign=x&id="), pid.cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.example.com:443"), base, idq)
+        )
+    )
+
+
+def _url_variant_duck() -> str:
+    g = "CAST(doc_id // 4 AS BIGINT)"
+    pid = f"CAST(({g}) % 97 AS BIGINT)"
+    base = f"('/p' || CAST({g} AS VARCHAR))"
+    idq = f"('?id=' || CAST({pid} AS VARCHAR))"
+    return f"""CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'https://www.example.com' || {base} || {idq} || '&utm_source=feed'
+  WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443' || {base} || '/' || {idq}
+  WHEN 2 THEN 'https://Example.com' || {base} || '/?utm_campaign=x&id='
+              || CAST({pid} AS VARCHAR) || '#frag'
+  ELSE 'https://www.example.com:443' || {base} || {idq} END"""
+
+
+_URL_HOST_RE = r"^https?://(?:www\.)?([^/:?#]+)"
+_URL_SCHEME_RE = r"^(https?)://"
+_URL_PATH_RE = r"^https?://[^/?#]+(/[^?#]*)?"
+_URL_ID_RE = r"[?&]id=([0-9]+)"
+
+
+def _canonical_url_spark(u: F.Column) -> F.Column:
+    low = F.regexp_replace(F.lower(u), "#.*$", "")
+    host = F.regexp_extract(low, _URL_HOST_RE, 1)
+    scheme = F.regexp_extract(low, _URL_SCHEME_RE, 1)
+    path = F.regexp_replace(
+        F.regexp_extract(low, _URL_PATH_RE, 1), "/+$", ""
+    )
+    pid = F.regexp_extract(low, _URL_ID_RE, 1)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(pid == "", F.lit("")).otherwise(F.concat(F.lit("?id="), pid)),
+    )
+
+
+def _canonical_url_duck(u: str) -> str:
+    low = f"regexp_replace(lower({u}), '#.*$', '')"
+    host = f"regexp_extract({low}, '{_URL_HOST_RE}', 1)"
+    scheme = f"regexp_extract({low}, '{_URL_SCHEME_RE}', 1)"
+    path = f"regexp_replace(regexp_extract({low}, '{_URL_PATH_RE}', 1), '/+$', '')"
+    pid = f"regexp_extract({low}, '{_URL_ID_RE}', 1)"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {pid} = '' THEN '' ELSE '?id=' || {pid} END)"
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(canonical_url, n_docs, keeper): canonical-URL dedup groups over
+    the in-query URL rendering — the pre-content dedup stage of a web
+    ingest. Shape at scale: pure per-row expressions (regex chain fused
+    into the scan), one combinable groupBy on the canonical key."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            _canonical_url_spark(_url_variant_spark()).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def _duck_url_canonical() -> str:
+    canon = _canonical_url_duck(f"({_url_variant_duck()})")
+    return f"""
+SELECT {canon} AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM documents
+GROUP BY canonical_url
+"""
+
+
+def dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_redundant, dup_rate_ppm): the per-feed
+    duplication-rate report a corpus-health dashboard tracks — how many
+    docs in each source are exact-content copies of an earlier doc in
+    the SAME source (normalized token-stream fingerprint, the
+    dedup_exact_groups key). Shape at scale: one tokenized scan, one
+    combinable (source, fingerprint) aggregate, then a source-cardinality
+    rollup — the corpus never shuffles twice."""
+    staged = tokenized_docs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    fp = staged.select(
+        "doc_id", F.md5(F.array_join(F.col("toks"), " ")).alias("fp")
+    )
+    per_fp = (
+        fp.join(docs, "doc_id")
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count("*")).cast("long").alias("n_redundant"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_redundant",
+            F.floor(
+                F.col("n_redundant") / F.col("n_docs") * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_rate_ppm"),
+        )
+    )
+
+
+def _duck_dedup_report() -> str:
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH f AS (SELECT source, md5(array_to_string({lst}, ' ')) AS fp
+           FROM documents),
+     g AS (SELECT source, fp, count(*) AS n FROM f GROUP BY source, fp)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
+       CAST(floor((CAST(sum(n) AS DOUBLE) - count(*))
+                  / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS dup_rate_ppm
+FROM g GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_url_canonical": QuerySpec(
+        fn=url_canonical_dedup,
+        oracle=_duck_url_canonical(),
+        note="canonical-URL dedup (case/port/www/tracking-param/fragment "
+        "normalization) over an in-query URL rendering — the "
+        "pre-content web-ingest dedup stage",
+    ),
+    "dedup_report_by_source": QuerySpec(
+        fn=dedup_report_by_source,
+        oracle=_duck_dedup_report(),
+        note="per-source exact-duplication-rate report (corpus-health "
+        "dashboard row) off the shared tokenized scan",
+    ),
     "dedup_incremental_minhash": QuerySpec(
         fn=incremental_minhash,
         oracle=_duck_incremental_minhash(),

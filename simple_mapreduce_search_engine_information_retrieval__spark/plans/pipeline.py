@@ -693,7 +693,84 @@ FROM per_src p LEFT JOIN out o USING (source)
 """
 
 
+# --- temperature-scaled sampling shares ---------------------------------
+# The multilingual-LLM rebalancing rule (mBERT / XLM-R style): sample
+# language i with probability proportional to p_i^alpha, alpha < 1, so
+# low-resource languages are up-weighted relative to their raw share.
+# alpha = 0.5 on purpose: p_i^0.5 / sum p_j^0.5 = sqrt(n_i) / sum
+# sqrt(n_j) (the corpus total cancels), and IEEE-754 sqrt is CORRECTLY
+# ROUNDED — bit-identical across engines — where pow(x, 0.7) is not.
+# The denominator is summed in INTEGER micro-units (floor(sqrt(n)*1e6
+# + 0.5)) so the tiny per-language reduction is order-free; every
+# subsequent step is a correctly-rounded double op on identical
+# operands, so the ppm outputs cannot drift between engines.
+TEMPERATURE_ALPHA = 0.5
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, raw_share_ppm, temp_share_ppm, boost_ppm): the
+    temperature-scaled (alpha=0.5) per-language sampling plan. boost =
+    temperature share / raw share — >1e6 ppm means the language is
+    up-sampled. Shape at scale: one combinable count per language, a
+    language-cardinality (dictionary-sized) rollup, 1-row totals
+    broadcast back — the corpus is scanned once and never shuffled."""
+    docs = table(spark, sf_dir, "documents").select("lang")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "m",
+            F.floor(F.sqrt(F.col("n_docs")) * 1e6 + F.lit(0.5)).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("m").cast("long").alias("d"),
+    )
+    # bounded: 1-row totals
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.col("n_docs") / F.col("n_total") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("raw_share_ppm"),
+        F.floor(F.col("m") / F.col("d") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("temp_share_ppm"),
+        F.floor(
+            (F.col("m") / F.col("d"))
+            / (F.col("n_docs") / F.col("n_total"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("boost_ppm"),
+    )
+
+
+DUCK_TEMPERATURE_MIX = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(count(*)) * 1e6 + 0.5) AS BIGINT) AS m
+  FROM documents GROUP BY lang),
+     tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                    CAST(sum(m) AS BIGINT) AS d FROM per)
+SELECT lang, n_docs,
+       CAST(floor(n_docs / n_total * 1e6 + 0.5) AS BIGINT) AS raw_share_ppm,
+       CAST(floor(m / d * 1e6 + 0.5) AS BIGINT) AS temp_share_ppm,
+       CAST(floor((m / d) / (n_docs / n_total) * 1e6 + 0.5) AS BIGINT)
+         AS boost_ppm
+FROM per, tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_temperature_mix": QuerySpec(
+        fn=temperature_mix,
+        oracle=DUCK_TEMPERATURE_MIX,
+        note="temperature-scaled (alpha=0.5) language sampling shares — "
+        "sqrt-exact cross-engine math, integer-micro-unit denominator",
+    ),
     "pipeline_stratified_sample": QuerySpec(
         fn=stratified_sample,
         oracle=_duck_stratified_sample(),

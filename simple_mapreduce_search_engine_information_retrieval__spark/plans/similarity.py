@@ -1207,7 +1207,188 @@ FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+# --- range search / diversified top-k / contrastive mining --------------
+# Three retrieval-adjacent training-data ops over the same embedding
+# scan shapes the kNN family already established:
+#  - range search: EVERY neighbor above a similarity floor (dedup sweeps
+#    and recall-oriented retrieval want all matches, not a fixed k);
+#  - diversified top-k: per-cluster result cap before the global top-k
+#    (the search-results-diversity rule, MMR's cheap deterministic kin);
+#  - contrastive mining: per-anchor hardest positive/negative by cosine
+#    (the batch-mining step of contrastive embedding training).
+
+RANGE_TAU = 0.2  # sized against the fixture: tens-to-hundreds of matches
+DIVERSE_PER_CLUSTER = 2
+N_ANCHORS = 20
+
+
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cos) for ALL vectors with cosine >= RANGE_TAU against the
+    fixed query vector. Shape at scale: one narrow scan with the
+    1-row query broadcast — embarrassingly parallel; the IVF variants
+    prune the same scan by probed cell when an index exists."""
+    emb = _emb_cached(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    # bounded: 1-row query vector
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= RANGE_TAU)
+    )
+
+
+DUCK_RANGE_SEARCH = f"""
+SELECT vec_id, round({_duck_cos('embedding', 'q.qvec')}, 6) AS cos
+FROM embeddings
+CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE vec_id != {QUERY_VEC_ID}
+  AND round({_duck_cos('embedding', 'q.qvec')}, 6) >= {RANGE_TAU}
+"""
+
+
+def knn_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, cos): top-{TOP_K} by cosine under a
+    {DIVERSE_PER_CLUSTER}-per-cluster cap (clusters = the oracled
+    k-means assignment) — result diversification without MMR's greedy
+    loop. Shape at scale: scores are a narrow broadcast-query scan; the
+    per-cluster rank is a window PARTITIONED by cluster (per-partition
+    streaming rank after one shuffle — never a global window); the final
+    top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    emb = _emb_cached(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    # bounded: 1-row query vector
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+    )
+    clustered = scored.join(kmeans_clusters(spark, sf_dir), "vec_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DIVERSE_PER_CLUSTER)
+        .select("vec_id", "cluster", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _duck_diversified_topk() -> str:
+    return f"""
+WITH clusters AS ({DUCK_KMEANS}),
+     scored AS (
+       SELECT vec_id, round({_duck_cos('embedding', 'q.qvec')}, 6) AS cos
+       FROM embeddings
+       CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID}) q
+       WHERE vec_id != {QUERY_VEC_ID}),
+     ranked AS (
+       SELECT s.vec_id, c.cluster, s.cos,
+              row_number() OVER (PARTITION BY c.cluster
+                                 ORDER BY s.cos DESC, s.vec_id) AS rn
+       FROM scored s JOIN clusters c USING (vec_id))
+SELECT vec_id, cluster, cos FROM ranked
+WHERE rn <= {DIVERSE_PER_CLUSTER}
+ORDER BY cos DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor_id, pos_id, pos_cos, neg_id, neg_cos): for each of the
+    {N_ANCHORS} anchor vectors, the hardest POSITIVE (most-similar
+    same-label vector) and hardest NEGATIVE (most-similar different-label
+    vector) — the deterministic batch-mining step of contrastive
+    embedding training. Shape at scale: the anchor set is bounded and
+    broadcast; one narrow scan scores anchors x corpus with a combinable
+    struct-max per (anchor, polarity) — the corpus never shuffles."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    anchors = emb.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_label"),
+    )
+    # bounded: N_ANCHORS rows
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(_cos(F.col("embedding"), F.col("a_vec")), 6).alias("c"),
+        )
+    )
+    best = F.struct(F.col("c").alias("c"), (-F.col("vec_id")).alias("nv"))
+    agg = scored.groupBy("a_id").agg(
+        F.max(F.when(F.col("label") == F.col("a_label"), best)).alias("p"),
+        F.max(F.when(F.col("label") != F.col("a_label"), best)).alias("n"),
+    )
+    return agg.select(
+        F.col("a_id").alias("anchor_id"),
+        (-F.col("p.nv")).cast("long").alias("pos_id"),
+        F.col("p.c").alias("pos_cos"),
+        (-F.col("n.nv")).cast("long").alias("neg_id"),
+        F.col("n.c").alias("neg_cos"),
+    )
+
+
+def _duck_contrastive() -> str:
+    mx = "max(CASE WHEN {cond} THEN {{'c': c, 'nv': -vec_id}} END)"
+    pos = mx.format(cond="label = a_label")
+    neg = mx.format(cond="label != a_label")
+    return f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS a_vec, label AS a_label
+           FROM embeddings WHERE vec_id < {N_ANCHORS}),
+     p AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+                  round({_duck_cos('e.embedding', 'a.a_vec')}, 6) AS c
+           FROM embeddings e CROSS JOIN a WHERE e.vec_id != a.a_id)
+SELECT a_id AS anchor_id,
+       CAST(-({pos}['nv']) AS BIGINT) AS pos_id,
+       {pos}['c'] AS pos_cos,
+       CAST(-({neg}['nv']) AS BIGINT) AS neg_id,
+       {neg}['c'] AS neg_cos
+FROM p GROUP BY a_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "knn_range_search": QuerySpec(
+        fn=knn_range_search,
+        oracle=DUCK_RANGE_SEARCH,
+        note="cosine range search (all neighbors >= tau) — one narrow "
+        "broadcast-query scan, the dedup-sweep retrieval mode",
+    ),
+    "knn_diversified_topk": QuerySpec(
+        fn=knn_diversified_topk,
+        oracle=_duck_diversified_topk(),
+        note="per-cluster-capped diversified top-k over the oracled "
+        "k-means cells (deterministic MMR kin)",
+    ),
+    "embedding_contrastive_pairs": QuerySpec(
+        fn=contrastive_pairs,
+        oracle=_duck_contrastive(),
+        note="hardest-positive/negative mining per bounded anchor set "
+        "(contrastive-training batch miner), combinable struct-max",
+    ),
     "knn_cosine_brute_force": QuerySpec(fn=knn_brute_force, oracle=DUCK_KNN_BRUTE),
     "knn_batch_workload": QuerySpec(
         fn=knn_batch_workload,

@@ -907,7 +907,60 @@ FROM e
 """
 
 
+def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_bigrams, n_distinct, diversity_ppm): distinct-n
+    generation-diversity profile per source — the share of bigram
+    occurrences that are distinct bigrams (distinct-2 in the Li et al.
+    diversity-metric family). Low diversity flags template/boilerplate
+    feeds; the repetition_signals query scores the same hazard per-doc,
+    this one monitors it per-FEED. Shape at scale: one tokenized scan,
+    bigram explode, then a two-phase distinct aggregate — Spark plans
+    count(DISTINCT g) as a partial (source, g) pre-aggregate before the
+    final per-source rollup, so the shuffle carries distinct bigrams,
+    never the raw occurrence stream."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    bg = docs.select("source", F.explode(kgrams_col(F.col("toks"), 2)).alias("g"))
+    return (
+        bg.groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_distinct",
+            F.floor(
+                F.col("n_distinct") / F.col("n_bigrams") * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+    )
+
+
+def _duck_distinct_ngrams() -> str:
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS (SELECT source, {lst} AS toks FROM documents),
+     bg AS (SELECT source, unnest({duck_kgrams('toks', 2)}) AS g FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(floor(count(DISTINCT g) / count(*) * 1e6 + 0.5) AS BIGINT)
+         AS diversity_ppm
+FROM bg GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_distinct_ngrams": QuerySpec(
+        fn=distinct_ngrams,
+        oracle=_duck_distinct_ngrams(),
+        note="per-source distinct-bigram diversity share (distinct-n "
+        "boilerplate monitor), two-phase distinct aggregate",
+    ),
     "text_chunk_windows": QuerySpec(
         fn=chunk_windows,
         oracle=_duck_chunk_windows(),

@@ -1,0 +1,139 @@
+"""Property and plan-shape tests for the round-6 operators:
+temperature-scaled sampling, distinct-n diversity, canonical-URL dedup,
+per-source dup-rate report, cosine range search, diversified top-k,
+contrastive pair mining. (Value parity vs DuckDB is covered for all of
+them by test_oracle_parity.py; these assert the semantic invariants and
+the 100 TB plan shapes.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temperature_mix_shares(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        temperature_mix,
+    )
+
+    rows = temperature_mix(spark, sf_dir).collect()
+    assert rows
+    # ppm shares each sum to 1e6 within per-language rounding slack
+    for col in ("raw_share_ppm", "temp_share_ppm"):
+        total = sum(r[col] for r in rows)
+        assert abs(total - 1_000_000) <= len(rows), (col, total)
+    # temperature flattening: the majority language is down-weighted,
+    # every minority language up-weighted
+    majority = max(rows, key=lambda r: r.n_docs)
+    assert majority.boost_ppm < 1_000_000
+    for r in rows:
+        if r.lang != majority.lang:
+            assert r.boost_ppm > 1_000_000, r
+
+
+def test_distinct_ngrams_bounds(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+        distinct_ngrams,
+    )
+
+    rows = distinct_ngrams(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_bigrams
+        assert 0 < r.diversity_ppm <= 1_000_000
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        url_canonical_dedup,
+    )
+
+    rows = url_canonical_dedup(spark, sf_dir).collect()
+    assert rows
+    # four decorated variants per doc_id//4 group all collapse to one
+    # canonical URL; the keeper is the group's lowest doc_id (4*g)
+    for r in rows:
+        assert r.n_docs == 4, r
+        assert r.keeper % 4 == 0, r
+        g = r.keeper // 4
+        assert r.canonical_url == f"https://example.com/p{g}?id={g % 97}", r
+
+
+def test_dedup_report_consistent_with_exact_groups(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        dedup_report_by_source,
+        exact_dup_groups,
+    )
+
+    rows = dedup_report_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_redundant < r.n_docs
+        assert 0 <= r.dup_rate_ppm <= 1_000_000
+    # global redundancy is bounded below by the per-source split of the
+    # global exact groups (same-fingerprint docs may straddle sources)
+    global_redundant = sum(
+        g.n_docs - 1 for g in exact_dup_groups(spark, sf_dir).collect()
+    )
+    assert sum(r.n_redundant for r in rows) <= global_redundant
+
+
+def test_range_search_threshold_and_shape(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        RANGE_TAU,
+        knn_range_search,
+    )
+
+    df = knn_range_search(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(r.cos >= RANGE_TAU for r in rows)
+    # the 1-row query side must broadcast — never a shuffle over the scan
+    assert "SortMergeJoin" not in _physical(df)
+
+
+def test_diversified_topk_cap(spark, sf_dir):
+    from collections import Counter
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        DIVERSE_PER_CLUSTER,
+        TOP_K,
+        knn_diversified_topk,
+        knn_brute_force,
+    )
+
+    rows = knn_diversified_topk(spark, sf_dir).collect()
+    assert len(rows) == TOP_K
+    per_cluster = Counter(r.cluster for r in rows)
+    assert max(per_cluster.values()) <= DIVERSE_PER_CLUSTER
+    # scores are non-increasing and each is a genuine brute-force score
+    cs = [r.cos for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    brute = {r.vec_id: r.cos for r in knn_brute_force(spark, sf_dir, top_k=10**6).collect()}
+    for r in rows:
+        assert abs(brute[r.vec_id] - r.cos) < 1e-9
+
+
+def test_contrastive_pairs_labels(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        N_ANCHORS,
+        contrastive_pairs,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    rows = contrastive_pairs(spark, sf_dir).collect()
+    assert len(rows) == N_ANCHORS
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert labels[r.pos_id] == labels[r.anchor_id], r
+        assert labels[r.neg_id] != labels[r.anchor_id], r
+        assert -1.0 <= r.neg_cos <= 1.0 and -1.0 <= r.pos_cos <= 1.0
