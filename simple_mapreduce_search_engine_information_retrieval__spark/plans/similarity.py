@@ -1370,7 +1370,146 @@ FROM p GROUP BY a_id
 """
 
 
+# --- MMR re-rank ---------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
+# argmax lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s) over a bounded
+# relevance shortlist. Greedy MMR is SERIAL BY DEFINITION (pick i depends
+# on picks 1..i-1), so the scale design is: the corpus-sized work — the
+# relevance shortlist and the POOL^2 pairwise sims — is distributed and
+# bounded-output; the 10-step greedy walk then runs as a chain of
+# limit-1 picks over those <=POOL-row relations. Integer math start to
+# finish: lambda = 0.7 in tenths over half-up micro-unit cosines, so the
+# greedy argmax is exactly reproducible (DuckDB twin = recursive CTE).
+MMR_POOL = 30
+MMR_LAMBDA_TENTHS = 7  # mmr = 7*rel_micro - 3*maxsim_micro
+
+
+def _micro(c: Column) -> Column:
+    return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, vec_id, cos_micro, mmr_micro): MMR-diversified top-{TOP_K}
+    from the cosine top-{MMR_POOL} shortlist. Each greedy step is a
+    limit-1 pick; the growing selected set is lazily localCheckpoint'd
+    each step so the chained plan stays LINEAR in k (the recursive
+    reference would otherwise double per step), and construction stays
+    side-effect-free."""
+    emb = _emb_cached(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    # bounded: 1-row query vector
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            _micro(_cos(F.col("embedding"), F.col("qvec"))).alias("cm"),
+        )
+        .orderBy(F.desc("cm"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .cache()
+    )
+    a = cand.select(F.col("vec_id").alias("da"), F.col("embedding").alias("va"))
+    b = cand.select(F.col("vec_id").alias("db"), F.col("embedding").alias("vb"))
+    # bounded: POOL x POOL pairwise sims of the shortlist
+    pair = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", _micro(_cos(F.col("va"), F.col("vb"))).alias("pm"))
+        .cache()
+    )
+    scores = cand.select("vec_id", "cm")
+    lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    first = (
+        scores.orderBy(F.desc("cm"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            F.col("cm").alias("cos_micro"),
+            (F.lit(lam) * F.col("cm")).alias("mmr_micro"),
+        )
+    )
+    picks = [first]
+    selected = first.select("vec_id").localCheckpoint(eager=False)
+    for i in range(2, TOP_K + 1):
+        maxsim = (
+            pair.join(selected.withColumnRenamed("vec_id", "db"), "db")
+            .groupBy("da")
+            .agg(F.max("pm").alias("maxpm"))
+            .withColumnRenamed("da", "vec_id")
+        )
+        cur = (
+            scores.join(selected, "vec_id", "left_anti")
+            .join(maxsim, "vec_id")
+            .select(
+                F.lit(i).alias("rank"),
+                "vec_id",
+                F.col("cm").alias("cos_micro"),
+                (F.lit(lam) * F.col("cm") - F.lit(com) * F.col("maxpm")).alias(
+                    "mmr_micro"
+                ),
+            )
+            .orderBy(F.desc("mmr_micro"), F.asc("vec_id"))
+            .limit(1)
+        )
+        picks.append(cur)
+        selected = (
+            selected.unionByName(cur.select("vec_id"))
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _duck_mmr() -> str:
+    lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    cq = _duck_cos("embedding", "q.qvec")
+    cab = _duck_cos("a.embedding", "b.embedding")
+    return f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_id, CAST(floor({cq}*1e6+0.5) AS BIGINT) AS cm, embedding
+  FROM embeddings CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                              WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY cm DESC, vec_id LIMIT {MMR_POOL}),
+pair AS (
+  SELECT a.vec_id AS da, b.vec_id AS db,
+         CAST(floor({cab}*1e6+0.5) AS BIGINT) AS pm
+  FROM cand a CROSS JOIN cand b WHERE a.vec_id != b.vec_id),
+sel(rank, ids, vec_id, cm, mmr_micro) AS (
+  (SELECT 1, [vec_id], vec_id, cm, {lam}*cm
+   FROM cand ORDER BY cm DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT rank+1, list_append(ids, p.vec_id), p.vec_id, p.cm, p.mmr
+  FROM sel, LATERAL (
+    SELECT c.vec_id, c.cm,
+           {lam}*c.cm - {com}*(SELECT max(pm) FROM pair
+                               WHERE pair.da = c.vec_id
+                                 AND list_contains(sel.ids, pair.db)) AS mmr
+    FROM cand c
+    WHERE NOT list_contains(sel.ids, c.vec_id)
+    ORDER BY mmr DESC, c.vec_id LIMIT 1) p
+  WHERE sel.rank < {TOP_K})
+SELECT CAST(rank AS INT) AS rank, vec_id, cm AS cos_micro, mmr_micro
+FROM sel
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "search_mmr_rerank": QuerySpec(
+        fn=mmr_rerank,
+        oracle=_duck_mmr(),
+        note="greedy MMR diversity re-rank of the bounded cosine "
+        "shortlist — integer micro-unit math, DuckDB recursive-CTE "
+        "twin; distributed shortlist + pairwise sims, serial-by-"
+        "definition greedy walk as chained limit-1 picks",
+    ),
     "knn_range_search": QuerySpec(
         fn=knn_range_search,
         oracle=DUCK_RANGE_SEARCH,

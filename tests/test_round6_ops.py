@@ -117,6 +117,27 @@ def test_diversified_topk_cap(spark, sf_dir):
         assert abs(brute[r.vec_id] - r.cos) < 1e-9
 
 
+def test_mmr_rerank_greedy_invariants(spark, sf_dir):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        TOP_K,
+        knn_brute_force,
+        mmr_rerank,
+    )
+
+    rows = sorted(mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, TOP_K + 1))
+    assert len({r.vec_id for r in rows}) == TOP_K
+    # rank 1 is the undiversified best match (lambda term only)
+    top1 = knn_brute_force(spark, sf_dir, top_k=1).collect()[0]
+    assert rows[0].vec_id == top1.vec_id
+    assert rows[0].mmr_micro == 7 * rows[0].cos_micro
+    # greedy scores are non-increasing: each pick maximized a score the
+    # next pick could also have taken (with one more penalty term, so
+    # later scores can only be equal or lower)
+    ms = [r.mmr_micro for r in rows[1:]]
+    assert ms == sorted(ms, reverse=True)
+
+
 def test_contrastive_pairs_labels(spark, sf_dir):
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
         N_ANCHORS,
