@@ -369,14 +369,23 @@ LIMIT {TOP_K}
 
 
 def write_ivf_store(
-    spark: SparkSession, sf_dir: str, out_path: str, *, trained: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    *,
+    trained: bool = False,
+    where=None,
 ) -> None:
     """Persist the IVF layout: vectors/ partitioned by assigned cell (a
     probe touches NPROBE directories — partition pruning, not even a row
     filter) + centroids/ (the codebook, read at query-planning time).
     ``trained=True`` builds the Lloyd-refined codebook instead of the
-    stride sample (the right choice on a clustered corpus)."""
+    stride sample (the right choice on a clustered corpus). ``where``
+    (a Column predicate) restricts the build to a subset — the base-only
+    build the incremental-ingest path (append_ivf_store) starts from."""
     emb = table(spark, sf_dir, "embeddings")
+    if where is not None:
+        emb = emb.filter(where)
     cents = _ivf_centroids_trained(emb) if trained else _ivf_centroids(emb)
     cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
     cells = _ivf_cells(_ivf_pairs(emb, cents))
@@ -417,6 +426,66 @@ def query_ivf_store(
         .select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(top_k)
+    )
+
+
+# --- incremental IVF ingest ----------------------------------------------
+# The ANN ingest shape at 100 TB: new vectors arrive continuously, and
+# retraining/reassigning the base index per batch is a full-corpus job.
+# Instead the codebook is FROZEN at build time and each delta batch is
+# assigned against it — one narrow pass over the delta with the K-row
+# codebook broadcast; the base index partitions are never read, never
+# reshuffled, never rewritten (append-only cell files, the same LSM
+# discipline as streaming_incremental_index and the minhash band store).
+# Drift is handled by periodic offline rebuild, not per-ingest retrain.
+DELTA_MOD = 10  # vec_id % 10 == 0 plays the newly-arrived delta batch
+
+
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): the delta batch's cell assignments under the
+    BASE-ONLY frozen codebook. Full value oracle — assignment is a
+    deterministic argmax over the broadcast codebook."""
+    emb = _emb_cached(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+    cents = _ivf_centroids(base)
+    return _ivf_cells(_ivf_pairs(delta, cents))
+
+
+DUCK_IVF_INCREMENTAL = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {DELTA_MOD} != 0),
+     n AS (SELECT greatest(count(*) // {K_TARGET}, 1) AS stride FROM base),
+     cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+               FROM base, n WHERE vec_id % n.stride = 0),
+     delta AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % {DELTA_MOD} = 0),
+     pairs AS (SELECT d.vec_id, c.cent_id,
+                      {_duck_cos('d.embedding', 'c.cvec')} AS sim
+               FROM delta d CROSS JOIN cents c)
+SELECT vec_id,
+       CAST(-(max({{'s': sim, 'nc': -cent_id}})['nc']) AS BIGINT) AS cell
+FROM pairs GROUP BY vec_id
+"""
+
+
+def append_ivf_store(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """Ingest the delta batch into an existing `write_ivf_store` layout:
+    assign against the PERSISTED codebook (frozen — never recomputed
+    from the combined corpus) and APPEND the delta rows into their cell
+    partitions. Base files are untouched; a probe after ingest reads the
+    same pruned cell directories, now containing base + delta files."""
+    emb = table(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+    cents = spark.read.parquet(f"{out_path}/centroids")
+    cells = _ivf_cells(_ivf_pairs(delta, cents))
+    (
+        delta.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/vectors")
     )
 
 
@@ -1509,6 +1578,14 @@ QUERIES: dict[str, QuerySpec] = {
         "shortlist — integer micro-unit math, DuckDB recursive-CTE "
         "twin; distributed shortlist + pairwise sims, serial-by-"
         "definition greedy walk as chained limit-1 picks",
+    ),
+    "knn_ivf_incremental": QuerySpec(
+        fn=ivf_incremental_assign,
+        oracle=DUCK_IVF_INCREMENTAL,
+        note="incremental ANN ingest: delta batch assigned against the "
+        "FROZEN base codebook (broadcast K rows, one narrow delta pass; "
+        "base index never reshuffled) — append-only cell files via "
+        "append_ivf_store, store roundtrip test-asserted",
     ),
     "knn_range_search": QuerySpec(
         fn=knn_range_search,

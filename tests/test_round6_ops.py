@@ -62,6 +62,32 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert r.canonical_url == f"https://example.com/p{g}?id={g % 97}", r
 
 
+def test_url_canonicalizer_idempotent_and_collapsing(spark):
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        _canonical_url_spark,
+    )
+
+    urls = [
+        "https://www.Example.COM:443/a/b/?id=7&utm_x=1#frag",
+        "HTTP://example.com:80/a/b?id=7",
+        "https://example.com/a/b/?utm_campaign=2&id=7",
+        "https://example.com/x",
+        "https://example.com/x/",
+        "https://www.example.com/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = df.select(
+        "u", _canonical_url_spark(F.col("u")).alias("c1")
+    ).withColumn("c2", _canonical_url_spark(F.col("c1"))).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r  # canonicalization is idempotent
+    by = {r.u: r.c1 for r in rows}
+    assert by[urls[0]] == "https://example.com/a/b?id=7"
+    assert by[urls[1]] == "http://example.com/a/b?id=7"  # scheme preserved
+    assert by[urls[2]] == "https://example.com/a/b?id=7"
+    assert by[urls[3]] == by[urls[4]] == by[urls[5]] == "https://example.com/x"
+
+
 def test_dedup_report_consistent_with_exact_groups(spark, sf_dir):
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
         dedup_report_by_source,
@@ -136,6 +162,61 @@ def test_mmr_rerank_greedy_invariants(spark, sf_dir):
     # later scores can only be equal or lower)
     ms = [r.mmr_micro for r in rows[1:]]
     assert ms == sorted(ms, reverse=True)
+
+
+def test_ivf_incremental_append_store(spark, sf_dir, tmp_path):
+    """Base-only store + append_ivf_store(delta) must serve the same
+    top-k as the in-session plan built from the SAME frozen base
+    codebook over the combined corpus — proving the ingest path (frozen
+    codebook, append-only cell partitions, base files untouched) loses
+    nothing vs a monolithic rebuild with that codebook."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        DELTA_MOD,
+        QUERY_VEC_ID,
+        _ivf_cells,
+        _ivf_centroids,
+        _ivf_pairs,
+        _ivf_serve,
+        append_ivf_store,
+        query_ivf_store,
+        write_ivf_store,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    path = str(tmp_path / "ivf_base")
+    write_ivf_store(
+        spark, sf_dir, path, where=F.col("vec_id") % DELTA_MOD != 0
+    )
+    append_ivf_store(spark, sf_dir, path)
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding
+    ]
+    # the store includes the query vector itself (cos 1.0, always first):
+    # over-fetch one, drop it, and the remainder must match exactly
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        TOP_K,
+    )
+
+    got = [
+        (r.vec_id, r.cos)
+        for r in query_ivf_store(spark, path, qvec, top_k=TOP_K + 1).collect()
+        if r.vec_id != QUERY_VEC_ID
+    ][:TOP_K]
+
+    base_cents = _ivf_centroids(emb.filter(F.col("vec_id") % DELTA_MOD != 0))
+    all_cells = _ivf_cells(_ivf_pairs(emb, base_cents))
+    want = [
+        (r.vec_id, r.cos)
+        for r in _ivf_serve(emb, base_cents, all_cells).collect()
+    ]
+    assert got == want
 
 
 def test_contrastive_pairs_labels(spark, sf_dir):
