@@ -1104,7 +1104,11 @@ def _url_variant_duck() -> str:
   ELSE 'https://www.example.com:443' || {base} || {idq} END"""
 
 
-_URL_HOST_RE = r"^https?://(?:www\.)?([^/:?#]+)"
+# hostport keeps any EXPLICIT non-default port ('example.com:8080' is a
+# different origin than 'example.com' and must NOT merge); only the
+# scheme-default :80/:443 are stripped afterwards
+_URL_HOSTPORT_RE = r"^https?://(?:www\.)?([^/?#]+)"
+_URL_DEFAULT_PORT_RE = r":(80|443)$"
 _URL_SCHEME_RE = r"^(https?)://"
 _URL_PATH_RE = r"^https?://[^/?#]+(/[^?#]*)?"
 _URL_ID_RE = r"[?&]id=([0-9]+)"
@@ -1112,7 +1116,9 @@ _URL_ID_RE = r"[?&]id=([0-9]+)"
 
 def _canonical_url_spark(u: F.Column) -> F.Column:
     low = F.regexp_replace(F.lower(u), "#.*$", "")
-    host = F.regexp_extract(low, _URL_HOST_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_extract(low, _URL_HOSTPORT_RE, 1), _URL_DEFAULT_PORT_RE, ""
+    )
     scheme = F.regexp_extract(low, _URL_SCHEME_RE, 1)
     path = F.regexp_replace(
         F.regexp_extract(low, _URL_PATH_RE, 1), "/+$", ""
@@ -1129,7 +1135,10 @@ def _canonical_url_spark(u: F.Column) -> F.Column:
 
 def _canonical_url_duck(u: str) -> str:
     low = f"regexp_replace(lower({u}), '#.*$', '')"
-    host = f"regexp_extract({low}, '{_URL_HOST_RE}', 1)"
+    host = (
+        f"regexp_replace(regexp_extract({low}, '{_URL_HOSTPORT_RE}', 1), "
+        f"'{_URL_DEFAULT_PORT_RE}', '')"
+    )
     scheme = f"regexp_extract({low}, '{_URL_SCHEME_RE}', 1)"
     path = f"regexp_replace(regexp_extract({low}, '{_URL_PATH_RE}', 1), '/+$', '')"
     pid = f"regexp_extract({low}, '{_URL_ID_RE}', 1)"

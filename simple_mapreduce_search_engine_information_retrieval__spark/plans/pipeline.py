@@ -711,10 +711,14 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, n_docs, raw_share_ppm, temp_share_ppm, boost_ppm): the
     temperature-scaled (alpha=0.5) per-language sampling plan. boost =
     temperature share / raw share — >1e6 ppm means the language is
-    up-sampled. Shape at scale: one combinable count per language, a
-    language-cardinality (dictionary-sized) rollup, 1-row totals
-    broadcast back — the corpus is scanned once and never shuffled."""
+    up-sampled. Shape at scale: ONE corpus scan into a combinable
+    per-language count; the totals are window sums over the
+    language-cardinality (dictionary-sized) aggregate — the only
+    single-partition stage touches |langs| rows, never the corpus
+    (a separate `per.agg` totals pass would re-scan the corpus; the r6
+    code review caught exactly that)."""
     docs = table(spark, sf_dir, "documents").select("lang")
+    w = Window.partitionBy()  # bounded: |langs| rows, dictionary-sized
     per = (
         docs.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
@@ -722,13 +726,10 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
             F.floor(F.sqrt(F.col("n_docs")) * 1e6 + F.lit(0.5)).cast("long"),
         )
+        .withColumn("n_total", F.sum("n_docs").over(w).cast("long"))
+        .withColumn("d", F.sum("m").over(w).cast("long"))
     )
-    tot = per.agg(
-        F.sum("n_docs").cast("long").alias("n_total"),
-        F.sum("m").cast("long").alias("d"),
-    )
-    # bounded: 1-row totals
-    return per.crossJoin(F.broadcast(tot)).select(
+    return per.select(
         "lang",
         "n_docs",
         F.floor(F.col("n_docs") / F.col("n_total") * 1e6 + F.lit(0.5))

@@ -913,13 +913,19 @@ def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences that are distinct bigrams (distinct-2 in the Li et al.
     diversity-metric family). Low diversity flags template/boilerplate
     feeds; the repetition_signals query scores the same hazard per-doc,
-    this one monitors it per-FEED. Shape at scale: one tokenized scan,
-    bigram explode, then a two-phase distinct aggregate — Spark plans
+    this one monitors it per-FEED. Shape at scale: the SHARED cached
+    tokenized scan (plans/corpus.py — no second tokenize pass; r6 code
+    review) joined to the narrow (doc_id, source) projection, bigram
+    explode, then a two-phase distinct aggregate — Spark plans
     count(DISTINCT g) as a partial (source, g) pre-aggregate before the
     final per-source rollup, so the shuffle carries distinct bigrams,
     never the raw occurrence stream."""
-    docs = table(spark, sf_dir, "documents").select(
-        "source", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    from .corpus import tokenized_docs
+
+    docs = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", "toks")
+        .join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
     )
     bg = docs.select("source", F.explode(kgrams_col(F.col("toks"), 2)).alias("g"))
     return (

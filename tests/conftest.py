@@ -25,3 +25,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+def physical_plan(df) -> str:
+    """Shared executed-plan stringifier for plan-shape assertions (one
+    definition so a future capture change — e.g. AQE final plans — lands
+    everywhere at once)."""
+    return df._jdf.queryExecution().executedPlan().toString()

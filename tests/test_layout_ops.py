@@ -21,8 +21,7 @@ from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables 
 )
 
 
-def _physical(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from conftest import physical_plan as _physical
 
 
 def test_zorder_files_partition_row_counts_and_bounds(spark, sf_dir):

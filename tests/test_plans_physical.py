@@ -20,8 +20,7 @@ from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables 
 )
 
 
-def _physical(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from conftest import physical_plan as _physical
 
 
 def test_index_build_single_exchange_and_pruned_scan(spark, sf_dir):
