@@ -118,6 +118,13 @@ CHANGED_THIS_ROUND = frozenset(
         "dedup_near_dup_groups",
         "dedup_group_representatives",
         "pipeline_clean_corpus",
+        # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
+        # r5) — outputs should be identical, re-checked on discipline
+        "tsv_docno_roundtrip",
+        "jsonl_documents_roundtrip",
+        "orc_documents_roundtrip",
+        "partitioned_lang_source",
+        "index_compaction_roundtrip",
     }
 )
 
