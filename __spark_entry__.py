@@ -118,6 +118,8 @@ CHANGED_THIS_ROUND = frozenset(
         "dedup_near_dup_groups",
         "dedup_group_representatives",
         "pipeline_clean_corpus",
+        # r6: base band table memoized per session (build/serve split)
+        "dedup_incremental_minhash",
         # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
         # r5) — outputs should be identical, re-checked on discipline
         "tsv_docno_roundtrip",

