@@ -118,8 +118,10 @@ CHANGED_THIS_ROUND = frozenset(
         "dedup_near_dup_groups",
         "dedup_group_representatives",
         "pipeline_clean_corpus",
-        # r6: base band table memoized per session (build/serve split)
+        # r6: base/full band tables memoized per session (build/serve
+        # split — the trained-IVF discipline applied to dedup)
         "dedup_incremental_minhash",
+        "dedup_containment_pairs",
         # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
         # r5) — outputs should be identical, re-checked on discipline
         "tsv_docno_roundtrip",
