@@ -309,6 +309,76 @@ GROUP BY 1, 2
 """
 
 
+# --- small-file compaction planner --------------------------------------
+# The other half of the layout story: a hive-partitioned (source, lang)
+# corpus accumulates tiny partitions (the small-files problem — every
+# one is a task, an open file, a footer read at 100 TB), and a
+# compaction rewrite coalesces undersized partitions into shared output
+# files. The planner: census the partitions (partial agg, dictionary-
+# cardinality result), stand large partitions alone, and first-fit the
+# small ones into bins by exclusive-prefix-sum over the BOUNDED census
+# — the corpus itself never passes through a window.
+COMPACT_TARGET_ROWS = 100
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_rows, compact, bin_id): the compaction rewrite
+    plan for a (source, lang)-partitioned documents layout. compact=1
+    partitions are merged into shared files; bin_id groups partitions
+    whose rows land in the same output file (exclusive cumulative rows
+    div target, deterministic order by (source, lang)); kept partitions
+    carry bin_id = -1. Bins can overshoot the target by at most one
+    partition — the standard first-fit-by-cumsum compaction contract."""
+    census = (
+        table(spark, sf_dir, "documents")
+        .select("source", "lang")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    small = (
+        census.filter(F.col("n_rows") < COMPACT_TARGET_ROWS)
+        .select(
+            "source",
+            "lang",
+            # window over the bounded partition census only
+            F.expr(
+                "(sum(n_rows) OVER (ORDER BY source, lang "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows) "
+                f"div {COMPACT_TARGET_ROWS}"
+            ).alias("bin_id"),
+        )
+    )
+    return census.join(small, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_rows",
+        F.when(F.col("bin_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("compact"),
+        F.coalesce(F.col("bin_id"), F.lit(-1)).cast("long").alias("bin_id"),
+    )
+
+
+DUCK_COMPACTION_PLAN = f"""
+WITH census AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY source, lang
+), small AS (
+  SELECT source, lang,
+         CAST((sum(n_rows) OVER (ORDER BY source, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)
+              // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
+  FROM census WHERE n_rows < {COMPACT_TARGET_ROWS}
+)
+SELECT census.source, census.lang, census.n_rows,
+       CAST(CASE WHEN small.bin_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS compact,
+       CAST(coalesce(small.bin_id, -1) AS BIGINT) AS bin_id
+FROM census LEFT JOIN small USING (source, lang)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_zorder_files": QuerySpec(
         fn=zorder_files,
@@ -328,5 +398,12 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_duck_quantile_bins(),
         note="mergeable 1000-bin histogram quantiles (p50/p90/p99), "
         "half-up micro-unit estimates, one-bin-width error bound",
+    ),
+    "layout_compaction_plan": QuerySpec(
+        fn=compaction_plan,
+        oracle=DUCK_COMPACTION_PLAN,
+        note="small-file compaction planner: first-fit-by-cumsum binning "
+        "of undersized (source, lang) partitions; windows only over the "
+        "bounded partition census",
     ),
 }

@@ -765,7 +765,98 @@ FROM per, tot
 """
 
 
+# --- DSIR-style importance weights --------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, public
+# arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of a TARGET unigram LM over the RAW unigram LM, then resample
+# the raw pool proportional to the weights. Here the target is the
+# declared-English slice (`lang = 'en'`) standing in for "looks like
+# the domain I want more of"; both LMs are Laplace(+1)-smoothed unigram
+# models estimated from the same single token pass. The per-doc score
+# is the MEAN per-token LLR (length-normalized, like the surprisal
+# gates) so long documents are not auto-preferred.
+DSIR_TARGET_LANG = "en"
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, importance): mean per-token log-likelihood
+    ratio ln p_target(w)/p_raw(w) under Laplace-smoothed unigram LMs.
+    Positive = the doc's vocabulary looks more target-like than the raw
+    pool — the DSIR resampling weight. Shape at scale: ONE shared
+    tokenized scan feeds (a) a vocabulary-cardinality count aggregate
+    carrying BOTH counts (raw, target) per term — the target count rides
+    the same shuffle as the raw count, not a second pass — and (b) the
+    per-doc re-join; the term join is vocabulary-cardinality and
+    deliberately unhinted (Heaps' law: the vocab of a 100 TB corpus is
+    not broadcastable), the totals are a 1-row broadcast. Cross-engine
+    float: mean of ~1e2 ln() terms agrees far inside the 4-dp rounding
+    (same tolerance argument as the surprisal/percentile queries)."""
+    toks = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
+    docs = toks.join(
+        table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        F.explode("toks").alias("w"),
+    )
+    wc = tok.groupBy("w").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = wc.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+        F.count("*").cast("double").alias("nv"),
+    )
+    return (
+        tok.join(wc, "w")
+        .crossJoin(F.broadcast(tot))  # bounded: 1-row totals
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("nv")))
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("nv")))
+                ),
+                4,
+            ).alias("importance"),
+        )
+    )
+
+
+def _duck_importance_weights() -> str:
+    from ..functions.tokenize import duck_tokens_list
+
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t, {lst} AS toks
+  FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, is_t, unnest(toks) AS w FROM t),
+wc AS (SELECT w, count(*) AS cr,
+              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+       FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+               CAST(sum(ct) AS DOUBLE) AS tt,
+               CAST(count(*) AS DOUBLE) AS nv FROM wc)
+SELECT tok.doc_id, count(*) AS n_tokens,
+       round(avg(ln((wc.ct + 1.0) / (tot.tt + tot.nv))
+               - ln((wc.cr + 1.0) / (tot.tr + tot.nv))), 4) AS importance
+FROM tok JOIN wc USING (w) CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_importance_weights": QuerySpec(
+        fn=importance_weights,
+        oracle=_duck_importance_weights(),
+        note="DSIR-style importance weights: mean per-token LLR of a "
+        "Laplace-smoothed target-vs-raw unigram LM pair, both models "
+        "estimated in one shared token pass (arXiv:2302.03169)",
+    ),
     "pipeline_temperature_mix": QuerySpec(
         fn=temperature_mix,
         oracle=DUCK_TEMPERATURE_MIX,

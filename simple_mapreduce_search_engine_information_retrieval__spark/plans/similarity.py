@@ -903,6 +903,133 @@ SELECT vec_id, cell AS cluster FROM a2
 """
 
 
+# --- SemDeDup: cluster-pruned semantic dedup ----------------------------
+# Semantic deduplication (Abbas et al. 2023, public arXiv:2303.09540):
+# k-means the embedding space, then compare pairs ONLY within a cluster
+# and drop every member that has a closer-to-centroid near-duplicate.
+# The cluster partition is what makes the quadratic pair step tractable
+# at scale — SemDeDup runs K ≈ n/1e4 clusters so each cluster's
+# pairwise block is bounded; the fixture reuses the oracled K=8 Lloyd
+# codebook math (embedding_kmeans_clusters) so the assignment is
+# bit-identical across engines. Keep rule: within a cluster, a vector
+# is PRUNED when some other member has rounded cosine ≥ threshold and
+# is strictly closer to the centroid (ties broken to the smaller
+# vec_id) — so exactly one representative per semantic pile survives.
+SEMDEDUP_COS = 0.35  # fixture vectors are near-orthogonal; real ~0.95+
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, d_cent, keep): SemDeDup prune decisions.
+    Shape at scale: the same two broadcast assignment passes as the
+    kmeans query (codebook is K rows), then ONE self-join keyed on the
+    cluster id — the pair explosion is bounded per cluster, never
+    corpus-quadratic; distances/cosines are rounded to 6 dp in BOTH
+    engines before any comparison so the prune decisions cannot drift
+    on float noise."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # same stride-seed + one-Lloyd-step codebook as kmeans_clusters
+    # (kept verbatim so the two queries' assignments agree)
+    stride = emb.agg(
+        F.greatest(F.floor(F.count("*") / K_CLUSTERS), F.lit(1))
+        .cast("long")
+        .alias("stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    c1 = _update(emb, _assign(emb, seeds))
+    # final assignment, keeping the argmin distance for the keep rule
+    pairs = emb.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "cent_id",
+        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d"),
+    )
+    a2 = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.c").cast("long").alias("cluster"),
+            F.round(F.col("m.d"), 6).alias("d_cent"),
+        )
+    )
+    m = a2.join(emb, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("va"), "cluster",
+        F.col("embedding").alias("ea"), F.col("d_cent").alias("da"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vb"), "cluster",
+        F.col("embedding").alias("eb"), F.col("d_cent").alias("db"),
+    )
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(F.round(_cos(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_COS)
+        .filter(
+            (F.col("db") < F.col("da"))
+            | ((F.col("db") == F.col("da")) & (F.col("vb") < F.col("va")))
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return a2.join(dominated, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "d_cent",
+        F.when(F.col("pruned").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# same CTE chain as DUCK_KMEANS through c1, then the distance-keeping
+# assignment and the within-cluster dominance join
+DUCK_SEMDEDUP = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+n0 AS (SELECT greatest(count(*) // {K_CLUSTERS}, 1) AS stride FROM v),
+seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
+          FROM v, n0 WHERE vec_id % n0.stride = 0),
+p1 AS (SELECT v.vec_id, c.cent_id,
+              {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
+       FROM v CROSS JOIN seeds c),
+a1 AS (SELECT vec_id, CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cell
+       FROM p1 GROUP BY vec_id),
+dims AS (SELECT a1.cell, j.dim,
+                CAST(v.embedding[j.dim] AS DECIMAL(27,12)) AS dv
+         FROM v JOIN a1 USING (vec_id),
+              (SELECT unnest(generate_series(1, {DIM})) AS dim) j),
+m1 AS (SELECT cell, dim, CAST(SUM(dv) AS DOUBLE) / count(*) AS c
+       FROM dims GROUP BY cell, dim),
+c1 AS (SELECT cell AS cent_id, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+p2 AS (SELECT v.vec_id, c.cent_id,
+              {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
+       FROM v CROSS JOIN c1 c),
+a2 AS (SELECT vec_id,
+              CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cluster,
+              round(min({{'d': d, 'c': cent_id}})['d'], 6) AS d_cent
+       FROM p2 GROUP BY vec_id),
+m AS (SELECT a2.vec_id, a2.cluster, a2.d_cent, v.embedding
+      FROM a2 JOIN v USING (vec_id)),
+dom AS (SELECT DISTINCT a.vec_id
+        FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= {SEMDEDUP_COS}
+          AND (b.d_cent < a.d_cent
+               OR (b.d_cent = a.d_cent AND b.vec_id < a.vec_id)))
+SELECT a2.vec_id, a2.cluster, a2.d_cent,
+       CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a2 LEFT JOIN dom USING (vec_id)
+"""
+
+
 # --- int8 scalar quantization -------------------------------------------
 # The embedding-storage compressor a training pipeline runs before
 # writing vectors at scale: per-vector symmetric int8 (scale =
@@ -1690,6 +1817,13 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(
         fn=embedding_near_dups, oracle=DUCK_EMBEDDING_NEAR_DUPS,
         note="cell-bucketed cosine near-dup pairs",
+    ),
+    "dedup_semdedup_prune": QuerySpec(
+        fn=semdedup_prune,
+        oracle=DUCK_SEMDEDUP,
+        note="SemDeDup (arXiv:2303.09540): k-means-cluster-pruned "
+        "semantic dedup — within-cluster cosine dominance keeps the "
+        "centroid-closest representative; pair join bounded per cluster",
     ),
     "embedding_truncation_quality": QuerySpec(
         fn=truncation_quality,

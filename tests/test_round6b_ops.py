@@ -1,0 +1,84 @@
+"""Property tests for the round-6b operators: DSIR importance weights,
+SemDeDup cluster-pruned semantic dedup, and the small-file compaction
+planner. (Value parity vs DuckDB is covered by test_oracle_parity.py;
+these assert the semantic invariants.)"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+
+def test_importance_weights_separate_target(spark, sf_dir):
+    """The whole point of DSIR weights: target-language docs must score
+    higher ON AVERAGE than the rest (their vocabulary IS the target
+    LM), and every doc with >=1 token gets exactly one weight."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        DSIR_TARGET_LANG,
+        importance_weights,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    iw = importance_weights(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rows = iw.join(docs, "doc_id").collect()
+    assert rows and len({r.doc_id for r in rows}) == len(rows)
+    tgt = [r.importance for r in rows if r.lang == DSIR_TARGET_LANG]
+    rest = [r.importance for r in rows if r.lang != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        assert r.n_tokens > 0
+
+
+def test_semdedup_keeps_centroid_closest(spark, sf_dir):
+    """Every cluster's (d_cent, vec_id)-minimal member is kept — it can
+    never be dominated — and every vector appears exactly once with a
+    0/1 keep flag."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        semdedup_prune,
+    )
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    assert rows and len({r.vec_id for r in rows}) == len(rows)
+    by_cluster = defaultdict(list)
+    for r in rows:
+        assert r.keep in (0, 1)
+        by_cluster[r.cluster].append(r)
+    assert len(by_cluster) > 1
+    for members in by_cluster.values():
+        best = min(members, key=lambda r: (r.d_cent, r.vec_id))
+        assert best.keep == 1, best
+
+
+def test_compaction_plan_bins_fill(spark, sf_dir):
+    """Partition census invariants: compact=1 iff the partition is
+    undersized; kept partitions carry bin -1; every non-final bin is
+    filled to the target (first-fit-by-cumsum guarantees cumulative
+    rows through bin b >= (b+1)*target)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        COMPACT_TARGET_ROWS,
+        compaction_plan,
+    )
+
+    rows = compaction_plan(spark, sf_dir).collect()
+    assert rows
+    assert len({(r.source, r.lang) for r in rows}) == len(rows)
+    bins = defaultdict(int)
+    for r in rows:
+        assert r.compact == (1 if r.n_rows < COMPACT_TARGET_ROWS else 0)
+        if r.compact:
+            assert r.bin_id >= 0
+            bins[r.bin_id] += r.n_rows
+        else:
+            assert r.bin_id == -1
+    if bins:
+        last = max(bins)
+        cum = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            if b < last:
+                assert cum >= (b + 1) * COMPACT_TARGET_ROWS, (b, cum)
