@@ -124,6 +124,9 @@ CHANGED_THIS_ROUND = frozenset(
         "dedup_containment_pairs",
         # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
         # r5) — outputs should be identical, re-checked on discipline
+        # r6: kmeans codebook construction factored into the shared
+        # _stride_seed_codebook helper (same math, new code path)
+        "embedding_kmeans_clusters",
         "tsv_docno_roundtrip",
         "jsonl_documents_roundtrip",
         "orc_documents_roundtrip",

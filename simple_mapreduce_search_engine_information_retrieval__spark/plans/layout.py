@@ -335,28 +335,34 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n_rows"))
     )
-    small = (
-        census.filter(F.col("n_rows") < COMPACT_TARGET_ROWS)
-        .select(
-            "source",
-            "lang",
-            # window over the bounded partition census only
-            F.expr(
-                "(sum(n_rows) OVER (ORDER BY source, lang "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows) "
-                f"div {COMPACT_TARGET_ROWS}"
-            ).alias("bin_id"),
-        )
+    # single pass over the census: the exclusive cumsum counts ONLY the
+    # undersized partitions (large ones contribute 0), which is exactly
+    # the filtered-then-windowed formulation without a second census /
+    # self-join; NULLS FIRST pinned because Spark and DuckDB default
+    # null ordering differ (r6 code review)
+    small_rows = (
+        f"CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN n_rows ELSE 0 END"
     )
-    return census.join(small, ["source", "lang"], "left").select(
+    excl_cum = (
+        f"(sum({small_rows}) OVER (ORDER BY source NULLS FIRST, "
+        "lang NULLS FIRST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)"
+    )
+    return census.select(
         "source",
         "lang",
         "n_rows",
-        F.when(F.col("bin_id").isNotNull(), F.lit(1))
+        F.when(F.col("n_rows") < COMPACT_TARGET_ROWS, F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("compact"),
-        F.coalesce(F.col("bin_id"), F.lit(-1)).cast("long").alias("bin_id"),
+        F.when(
+            F.col("n_rows") < COMPACT_TARGET_ROWS,
+            F.expr(f"{excl_cum} div {COMPACT_TARGET_ROWS}"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("bin_id"),
     )
 
 
@@ -364,18 +370,18 @@ DUCK_COMPACTION_PLAN = f"""
 WITH census AS (
   SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows
   FROM documents GROUP BY source, lang
-), small AS (
-  SELECT source, lang,
-         CAST((sum(n_rows) OVER (ORDER BY source, lang
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)
-              // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin_id
-  FROM census WHERE n_rows < {COMPACT_TARGET_ROWS}
 )
-SELECT census.source, census.lang, census.n_rows,
-       CAST(CASE WHEN small.bin_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-         AS compact,
-       CAST(coalesce(small.bin_id, -1) AS BIGINT) AS bin_id
-FROM census LEFT JOIN small USING (source, lang)
+SELECT source, lang, n_rows,
+       CAST(CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN 1 ELSE 0 END
+            AS BIGINT) AS compact,
+       CAST(CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN
+              (sum(CASE WHEN n_rows < {COMPACT_TARGET_ROWS}
+                        THEN n_rows ELSE 0 END)
+                 OVER (ORDER BY source NULLS FIRST, lang NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_rows) // {COMPACT_TARGET_ROWS}
+            ELSE -1 END AS BIGINT) AS bin_id
+FROM census
 """
 
 

@@ -858,9 +858,11 @@ def _update(emb: DataFrame, assign: DataFrame) -> DataFrame:
     ).select(F.col("cell").alias("cent_id"), "cvec")
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster) after seeds → assign → exact update → assign."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _stride_seed_codebook(emb: DataFrame) -> DataFrame:
+    """(cent_id, cvec): stride-sampled seeds refined by one exact-decimal
+    Lloyd step. The ONE codebook construction shared by kmeans_clusters
+    and semdedup_prune — factored (r6 code review) so the two queries'
+    cluster assignments agree structurally, not by copy discipline."""
     stride = emb.agg(
         F.greatest(F.floor(F.count("*") / K_CLUSTERS), F.lit(1))
         .cast("long")
@@ -871,13 +873,20 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % F.col("stride") == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-    a1 = _assign(emb, seeds)
-    c1 = _update(emb, a1)
-    a2 = _assign(emb, c1)
+    return _update(emb, _assign(emb, seeds))
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after seeds → assign → exact update → assign."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a2 = _assign(emb, _stride_seed_codebook(emb))
     return a2.select("vec_id", F.col("cell").alias("cluster"))
 
 
-DUCK_KMEANS = f"""
+# shared CTE chain through the refined codebook c1 — the SQL twin of
+# _stride_seed_codebook, used by BOTH DUCK_KMEANS and DUCK_SEMDEDUP so
+# the oracles cannot de-synchronize
+_DUCK_KMEANS_TO_C1 = f"""
 WITH v AS (SELECT vec_id, embedding FROM embeddings),
 n0 AS (SELECT greatest(count(*) // {K_CLUSTERS}, 1) AS stride FROM v),
 seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
@@ -893,7 +902,12 @@ dims AS (SELECT a1.cell, j.dim,
               (SELECT unnest(generate_series(1, {DIM})) AS dim) j),
 m1 AS (SELECT cell, dim, CAST(SUM(dv) AS DOUBLE) / count(*) AS c
        FROM dims GROUP BY cell, dim),
-c1 AS (SELECT cell AS cent_id, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+c1 AS (SELECT cell AS cent_id, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cell)"""
+
+
+DUCK_KMEANS = (
+    _DUCK_KMEANS_TO_C1
+    + f""",
 p2 AS (SELECT v.vec_id, c.cent_id,
               {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
        FROM v CROSS JOIN c1 c),
@@ -901,6 +915,7 @@ a2 AS (SELECT vec_id, CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cell
        FROM p2 GROUP BY vec_id)
 SELECT vec_id, cell AS cluster FROM a2
 """
+)
 
 
 # --- SemDeDup: cluster-pruned semantic dedup ----------------------------
@@ -912,34 +927,30 @@ SELECT vec_id, cell AS cluster FROM a2
 # pairwise block is bounded; the fixture reuses the oracled K=8 Lloyd
 # codebook math (embedding_kmeans_clusters) so the assignment is
 # bit-identical across engines. Keep rule: within a cluster, a vector
-# is PRUNED when some other member has rounded cosine ≥ threshold and
-# is strictly closer to the centroid (ties broken to the smaller
+# is PRUNED when some other member has micro-unit cosine ≥ threshold
+# and is strictly closer to the centroid (ties broken to the smaller
 # vec_id) — so exactly one representative per semantic pile survives.
-SEMDEDUP_COS = 0.35  # fixture vectors are near-orthogonal; real ~0.95+
+# All comparisons run on integer micro-units (floor(x*1e6 + 0.5)) per
+# the driver-canon rounding rule: the pre-floor doubles are
+# bit-identical across engines (deterministic in-order folds), so the
+# floored integers are EXACT — no round()-implementation divergence.
+SEMDEDUP_COS_MICRO = 350_000  # fixture is near-orthogonal; real ~0.95+
+
+
+def _micro(col: Column) -> Column:
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster, d_cent, keep): SemDeDup prune decisions.
+    """(vec_id, cluster, d_cent_micro, keep): SemDeDup prune decisions.
     Shape at scale: the same two broadcast assignment passes as the
     kmeans query (codebook is K rows), then ONE self-join keyed on the
     cluster id — the pair explosion is bounded per cluster, never
-    corpus-quadratic; distances/cosines are rounded to 6 dp in BOTH
-    engines before any comparison so the prune decisions cannot drift
-    on float noise."""
+    corpus-quadratic. Norms are computed once per vector BEFORE the
+    pair join (the embedding_near_dups discipline — recomputing
+    dot(a,a)/dot(b,b) per pair triples the flops)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # same stride-seed + one-Lloyd-step codebook as kmeans_clusters
-    # (kept verbatim so the two queries' assignments agree)
-    stride = emb.agg(
-        F.greatest(F.floor(F.count("*") / K_CLUSTERS), F.lit(1))
-        .cast("long")
-        .alias("stride")
-    )
-    seeds = (
-        emb.crossJoin(F.broadcast(stride))
-        .filter(F.col("vec_id") % F.col("stride") == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
-    )
-    c1 = _update(emb, _assign(emb, seeds))
+    c1 = _stride_seed_codebook(emb)
     # final assignment, keeping the argmin distance for the keep rule
     pairs = emb.crossJoin(F.broadcast(c1)).select(
         "vec_id",
@@ -956,22 +967,36 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("m.c").cast("long").alias("cluster"),
-            F.round(F.col("m.d"), 6).alias("d_cent"),
+            _micro(F.col("m.d")).alias("d_cent_micro"),
         )
     )
-    m = a2.join(emb, "vec_id")
+    m = a2.join(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        ),
+        "vec_id",
+    )
     a = m.select(
         F.col("vec_id").alias("va"), "cluster",
-        F.col("embedding").alias("ea"), F.col("d_cent").alias("da"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+        F.col("d_cent_micro").alias("da"),
     )
     b = m.select(
         F.col("vec_id").alias("vb"), "cluster",
-        F.col("embedding").alias("eb"), F.col("d_cent").alias("db"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+        F.col("d_cent_micro").alias("db"),
     )
     dominated = (
         a.join(b, "cluster")
         .filter(F.col("va") != F.col("vb"))
-        .filter(F.round(_cos(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_COS)
+        .filter(
+            _micro(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            )
+            >= SEMDEDUP_COS_MICRO
+        )
         .filter(
             (F.col("db") < F.col("da"))
             | ((F.col("db") == F.col("da")) & (F.col("vb") < F.col("va")))
@@ -983,7 +1008,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.join(dominated, "vec_id", "left").select(
         "vec_id",
         "cluster",
-        "d_cent",
+        "d_cent_micro",
         F.when(F.col("pruned").isNull(), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
@@ -991,43 +1016,32 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# same CTE chain as DUCK_KMEANS through c1, then the distance-keeping
-# assignment and the within-cluster dominance join
-DUCK_SEMDEDUP = f"""
-WITH v AS (SELECT vec_id, embedding FROM embeddings),
-n0 AS (SELECT greatest(count(*) // {K_CLUSTERS}, 1) AS stride FROM v),
-seeds AS (SELECT vec_id AS cent_id, embedding AS cvec
-          FROM v, n0 WHERE vec_id % n0.stride = 0),
-p1 AS (SELECT v.vec_id, c.cent_id,
-              {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
-       FROM v CROSS JOIN seeds c),
-a1 AS (SELECT vec_id, CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cell
-       FROM p1 GROUP BY vec_id),
-dims AS (SELECT a1.cell, j.dim,
-                CAST(v.embedding[j.dim] AS DECIMAL(27,12)) AS dv
-         FROM v JOIN a1 USING (vec_id),
-              (SELECT unnest(generate_series(1, {DIM})) AS dim) j),
-m1 AS (SELECT cell, dim, CAST(SUM(dv) AS DOUBLE) / count(*) AS c
-       FROM dims GROUP BY cell, dim),
-c1 AS (SELECT cell AS cent_id, list(c ORDER BY dim) AS cvec FROM m1 GROUP BY cell),
+# the shared codebook CTE chain, then the distance-keeping assignment
+# and the within-cluster dominance join
+DUCK_SEMDEDUP = (
+    _DUCK_KMEANS_TO_C1
+    + f""",
 p2 AS (SELECT v.vec_id, c.cent_id,
               {_duck_sq_dist('v.embedding', 'c.cvec')} AS d
        FROM v CROSS JOIN c1 c),
 a2 AS (SELECT vec_id,
               CAST(min({{'d': d, 'c': cent_id}})['c'] AS BIGINT) AS cluster,
-              round(min({{'d': d, 'c': cent_id}})['d'], 6) AS d_cent
+              CAST(floor(min({{'d': d, 'c': cent_id}})['d'] * 1e6 + 0.5)
+                AS BIGINT) AS d_cent_micro
        FROM p2 GROUP BY vec_id),
-m AS (SELECT a2.vec_id, a2.cluster, a2.d_cent, v.embedding
+m AS (SELECT a2.vec_id, a2.cluster, a2.d_cent_micro, v.embedding
       FROM a2 JOIN v USING (vec_id)),
 dom AS (SELECT DISTINCT a.vec_id
         FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-        WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= {SEMDEDUP_COS}
-          AND (b.d_cent < a.d_cent
-               OR (b.d_cent = a.d_cent AND b.vec_id < a.vec_id)))
-SELECT a2.vec_id, a2.cluster, a2.d_cent,
+        WHERE CAST(floor({_duck_cos('a.embedding', 'b.embedding')} * 1e6 + 0.5)
+                AS BIGINT) >= {SEMDEDUP_COS_MICRO}
+          AND (b.d_cent_micro < a.d_cent_micro
+               OR (b.d_cent_micro = a.d_cent_micro AND b.vec_id < a.vec_id)))
+SELECT a2.vec_id, a2.cluster, a2.d_cent_micro,
        CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM a2 LEFT JOIN dom USING (vec_id)
 """
+)
 
 
 # --- int8 scalar quantization -------------------------------------------

@@ -35,7 +35,7 @@ def test_importance_weights_separate_target(spark, sf_dir):
 
 
 def test_semdedup_keeps_centroid_closest(spark, sf_dir):
-    """Every cluster's (d_cent, vec_id)-minimal member is kept — it can
+    """Every cluster's (d_cent_micro, vec_id)-minimal member is kept — it can
     never be dominated — and every vector appears exactly once with a
     0/1 keep flag."""
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
@@ -50,8 +50,21 @@ def test_semdedup_keeps_centroid_closest(spark, sf_dir):
         by_cluster[r.cluster].append(r)
     assert len(by_cluster) > 1
     for members in by_cluster.values():
-        best = min(members, key=lambda r: (r.d_cent, r.vec_id))
+        best = min(members, key=lambda r: (r.d_cent_micro, r.vec_id))
         assert best.keep == 1, best
+
+
+def test_semdedup_cluster_assignment_matches_kmeans(spark, sf_dir):
+    """The two consumers of the shared codebook construction must emit
+    identical cluster assignments (the factoring's whole point)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        kmeans_clusters,
+        semdedup_prune,
+    )
+
+    km = {r.vec_id: r.cluster for r in kmeans_clusters(spark, sf_dir).collect()}
+    sd = {r.vec_id: r.cluster for r in semdedup_prune(spark, sf_dir).collect()}
+    assert km == sd
 
 
 def test_compaction_plan_bins_fill(spark, sf_dir):
