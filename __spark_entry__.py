@@ -125,8 +125,10 @@ CHANGED_THIS_ROUND = frozenset(
         # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
         # r5) — outputs should be identical, re-checked on discipline
         # r6: kmeans codebook construction factored into the shared
-        # _stride_seed_codebook helper (same math, new code path)
+        # _stride_seed_codebook helper, then the final assignment
+        # memoized per (session, sf_dir) — same math, new code path
         "embedding_kmeans_clusters",
+        "knn_diversified_topk",
         "tsv_docno_roundtrip",
         "jsonl_documents_roundtrip",
         "orc_documents_roundtrip",

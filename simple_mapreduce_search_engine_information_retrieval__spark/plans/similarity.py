@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from ..caches import register_cache
 from ..sources.tables import table
 from . import QuerySpec
@@ -876,11 +878,48 @@ def _stride_seed_codebook(emb: DataFrame) -> DataFrame:
     return _update(emb, _assign(emb, seeds))
 
 
+_kmeans_assign: dict = register_cache({})
+
+
+def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, d): the final Lloyd assignment WITH its argmin
+    squared distance, memoized per (session, sf_dir) — the clustering
+    is a BUILD-time artifact consumed by three serving queries
+    (embedding_kmeans_clusters, dedup_semdedup_prune,
+    knn_diversified_topk), so it materializes once per corpus like the
+    trained-IVF codebook and the LSH band tables (the r4/r5 build/serve
+    discipline). Lazy persist: construction stays side-effect-free, the
+    first action fills the cache."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _kmeans_assign:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        c1 = _stride_seed_codebook(emb)
+        pairs = emb.crossJoin(F.broadcast(c1)).select(
+            "vec_id",
+            "cent_id",
+            _sq_dist(F.col("embedding"), F.col("cvec")).alias("d"),
+        )
+        a2 = (
+            pairs.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.c").cast("long").alias("cluster"),
+                F.col("m.d").alias("d"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _kmeans_assign[key] = a2
+    return _kmeans_assign[key]
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster) after seeds → assign → exact update → assign."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a2 = _assign(emb, _stride_seed_codebook(emb))
-    return a2.select("vec_id", F.col("cell").alias("cluster"))
+    return kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
 
 
 # shared CTE chain through the refined codebook c1 — the SQL twin of
@@ -935,40 +974,23 @@ SELECT vec_id, cell AS cluster FROM a2
 # bit-identical across engines (deterministic in-order folds), so the
 # floored integers are EXACT — no round()-implementation divergence.
 SEMDEDUP_COS_MICRO = 350_000  # fixture is near-orthogonal; real ~0.95+
-
-
-def _micro(col: Column) -> Column:
-    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+# (micro-unit conversion uses the module-level _micro helper shared
+# with the MMR re-rank below)
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, d_cent_micro, keep): SemDeDup prune decisions.
-    Shape at scale: the same two broadcast assignment passes as the
-    kmeans query (codebook is K rows), then ONE self-join keyed on the
-    cluster id — the pair explosion is bounded per cluster, never
+    Shape at scale: serves from the memoized kmeans assignment (the
+    clustering build artifact — K-row codebook, two broadcast passes,
+    built once per corpus), then ONE self-join keyed on the cluster id
+    — the pair explosion is bounded per cluster, never
     corpus-quadratic. Norms are computed once per vector BEFORE the
     pair join (the embedding_near_dups discipline — recomputing
     dot(a,a)/dot(b,b) per pair triples the flops)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c1 = _stride_seed_codebook(emb)
-    # final assignment, keeping the argmin distance for the keep rule
-    pairs = emb.crossJoin(F.broadcast(c1)).select(
-        "vec_id",
-        "cent_id",
-        _sq_dist(F.col("embedding"), F.col("cvec")).alias("d"),
-    )
-    a2 = (
-        pairs.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.c").cast("long").alias("cluster"),
-            _micro(F.col("m.d")).alias("d_cent_micro"),
-        )
+    # memoized final assignment (argmin distance kept for the keep rule)
+    a2 = kmeans_assignment(spark, sf_dir).select(
+        "vec_id", "cluster", _micro(F.col("d")).alias("d_cent_micro")
     )
     m = a2.join(
         emb.select(
