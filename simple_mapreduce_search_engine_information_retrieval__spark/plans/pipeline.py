@@ -849,7 +849,78 @@ GROUP BY tok.doc_id
 """
 
 
+# --- deterministic weighted sampling (without replacement) ---------------
+# Efraimidis–Spirakis exponential keys (public: Inf. Proc. Letters 97(5),
+# 2006): each item draws u ~ U(0,1) and the k items with the LARGEST
+# u^(1/w) are a weighted sample without replacement. This is the
+# distributed form of weighted reservoir sampling — one narrow key
+# projection + one global top-k, no sequential reservoir state — and the
+# RNG is the portable md5-uniform discipline (sample_mix/epoch_mix), so
+# the draw is reproducible run-to-run AND engine-to-engine. Ranking uses
+# ln(u)/w (monotone in u^(1/w)); ln() is the one op libms may differ on
+# by 1 ulp, so a cross-engine rank flip needs two keys within ~1e-16
+# relative — negligible, and the tri-scale oracle sweep proves the
+# fixture draw identical.
+WSAMPLE_K = 50
+_WSAMPLE_DEN = float(2**52) + 2.0
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pick, doc_id, n_chars): the k=50 weighted sample, weight =
+    n_chars (longer docs proportionally likelier). Shape at scale: a
+    narrow md5-key projection fused into the scan, then ONE global
+    top-k (TakeOrderedAndProject — partial top-k per partition, never a
+    global sort); the row_number window runs over the 50-row result."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    u = (h + F.lit(1.0)) / F.lit(_WSAMPLE_DEN)  # dyadic-exact, in (0,1)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))  # bounded: 50 rows
+    return top.select(
+        F.row_number().over(w).alias("pick"), "doc_id", "n_chars"
+    )
+
+
+DUCK_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+               ::BIGINT + 1.0) / {_WSAMPLE_DEN!r})
+           / greatest(n_chars, 1) AS k
+  FROM documents
+), top AS (
+  SELECT * FROM t ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+)
+SELECT row_number() OVER (ORDER BY k DESC, doc_id) AS pick, doc_id, n_chars
+FROM top
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_weighted_sample": QuerySpec(
+        fn=weighted_sample,
+        oracle=DUCK_WEIGHTED_SAMPLE,
+        note="Efraimidis-Spirakis weighted sampling without replacement "
+        "(md5-uniform keys, ln(u)/w ranking) — one narrow projection + "
+        "one top-k, the distributed weighted-reservoir form",
+    ),
     "pipeline_importance_weights": QuerySpec(
         fn=importance_weights,
         oracle=_duck_importance_weights(),

@@ -67,6 +67,36 @@ def test_semdedup_cluster_assignment_matches_kmeans(spark, sf_dir):
     assert km == sd
 
 
+def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
+    """Efraimidis-Spirakis invariants: exactly K distinct picks ranked
+    1..K, bit-identical across reruns (md5 RNG, no state), and the
+    n_chars weighting visibly biases the sample toward longer docs."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        WSAMPLE_K,
+        weighted_sample,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    rows = weighted_sample(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    want = min(WSAMPLE_K, n_docs)
+    assert len(rows) == want
+    assert sorted(r.pick for r in rows) == list(range(1, want + 1))
+    assert len({r.doc_id for r in rows}) == want
+    again = weighted_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    if n_docs > 2 * want:  # bias is only observable on a partial sample
+        corpus_mean = (
+            table(spark, sf_dir, "documents")
+            .agg(F.avg("n_chars").alias("m"))
+            .collect()[0].m
+        )
+        pick_mean = sum(r.n_chars for r in rows) / len(rows)
+        assert pick_mean > corpus_mean
+
+
 def test_compaction_plan_bins_fill(spark, sf_dir):
     """Partition census invariants: compact=1 iff the partition is
     undersized; kept partitions carry bin -1; every non-final bin is
