@@ -984,29 +984,53 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering build artifact — K-row codebook, two broadcast passes,
     built once per corpus), then ONE self-join keyed on the cluster id
     — the pair explosion is bounded per cluster, never
-    corpus-quadratic. Norms are computed once per vector BEFORE the
-    pair join (the embedding_near_dups discipline — recomputing
-    dot(a,a)/dot(b,b) per pair triples the flops)."""
+    corpus-quadratic. Two guards from the dedup-module discipline:
+    norms are computed once per vector BEFORE the pair join (recomputing
+    dot(a,a)/dot(b,b) per pair triples the flops), and identical
+    vectors COLLAPSE to one representative before the pairwise block
+    (collapse-before-LSH applied to embeddings) — a pile of N identical
+    vectors costs N, not N², because within a pile cos=1 and distances
+    tie, so under the dominance rule exactly the min-vec_id member
+    survives and every cross-pile comparison reduces to the reps'.
+    Output is IDENTICAL to the unguarded form (pile-equivalence
+    test-asserted), so the oracle states the plain formulation."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # memoized final assignment (argmin distance kept for the keep rule)
     a2 = kmeans_assignment(spark, sf_dir).select(
         "vec_id", "cluster", _micro(F.col("d")).alias("d_cent_micro")
     )
+    # 128-bit value fingerprint (Ryu float rendering is round-trippable,
+    # so distinct vectors cannot share a key) — lets the pile collapse
+    # and the member→rep join shuffle a 32-char key, not the vector
+    vkey = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("embedding"), lambda x: x.cast("string"))
+        )
+    )
     m = a2.join(
         emb.select(
             "vec_id",
             "embedding",
+            vkey.alias("vkey"),
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         ),
         "vec_id",
     )
-    a = m.select(
-        F.col("vec_id").alias("va"), "cluster",
+    # pile collapse: identical vectors share (cluster, vkey, d) — the
+    # min-vec_id member represents the pile in the pairwise block
+    piles = m.groupBy("cluster", "vkey").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.first("embedding").alias("embedding"),  # equal within pile
+        F.min("norm").alias("norm"),
+        F.min("d_cent_micro").alias("d_cent_micro"),
+    )
+    a = piles.select(
+        F.col("rep_id").alias("va"), "cluster",
         F.col("embedding").alias("ea"), F.col("norm").alias("na"),
         F.col("d_cent_micro").alias("da"),
     )
-    b = m.select(
-        F.col("vec_id").alias("vb"), "cluster",
+    b = piles.select(
+        F.col("rep_id").alias("vb"), "cluster",
         F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
         F.col("d_cent_micro").alias("db"),
     )
@@ -1023,15 +1047,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("db") < F.col("da"))
             | ((F.col("db") == F.col("da")) & (F.col("vb") < F.col("va")))
         )
-        .select(F.col("va").alias("vec_id"))
+        .select(F.col("va").alias("rep_id"))
         .distinct()
-        .withColumn("pruned", F.lit(1))
+        .withColumn("dom", F.lit(1))
     )
-    return a2.join(dominated, "vec_id", "left").select(
+    # expand rep decisions back to pile members: kept iff the member IS
+    # its pile's representative and that rep is undominated
+    mem = m.select("vec_id", "cluster", "d_cent_micro", "vkey").join(
+        piles.select("cluster", "vkey", "rep_id"), ["cluster", "vkey"]
+    )
+    return mem.join(dominated, "rep_id", "left").select(
         "vec_id",
         "cluster",
         "d_cent_micro",
-        F.when(F.col("pruned").isNull(), F.lit(1))
+        F.when(
+            (F.col("vec_id") == F.col("rep_id")) & F.col("dom").isNull(),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .cast("long")
         .alias("keep"),

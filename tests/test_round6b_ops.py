@@ -67,6 +67,38 @@ def test_semdedup_cluster_assignment_matches_kmeans(spark, sf_dir):
     assert km == sd
 
 
+def test_semdedup_clone_pile_collapses(spark, tmp_path_factory):
+    """Skew guard: a pile of identical embeddings must enter the
+    pairwise block as ONE representative (collapse-before-LSH applied
+    to vectors), and the output must equal the unguarded semantics'
+    prediction — exactly the min-vec_id clone survives, every other
+    clone is pruned, and orthogonal tail vectors are untouched."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        DIM,
+        semdedup_prune,
+    )
+
+    n_clones, n_tail = 300, 20
+    clone = [10.0] + [0.0] * (DIM - 1)
+    rows = [(100 + i, clone) for i in range(n_clones)]
+    # tail: unit vectors on distinct later axes — orthogonal to the
+    # clone pile and to each other (all cosines 0 < threshold)
+    for j in range(n_tail):
+        v = [0.0] * DIM
+        v[1 + j] = 5.0 + j
+        rows.append((j, v))
+    out = tmp_path_factory.mktemp("semdedup_pile")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(out / "embeddings.parquet"))
+
+    got = {r.vec_id: r.keep for r in semdedup_prune(spark, str(out)).collect()}
+    assert len(got) == n_clones + n_tail
+    clone_keeps = [v for v, k in got.items() if v >= 100 and k == 1]
+    assert clone_keeps == [100]
+    assert all(got[j] == 1 for j in range(n_tail))
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
     """Efraimidis-Spirakis invariants: exactly K distinct picks ranked
     1..K, bit-identical across reruns (md5 RNG, no state), and the
