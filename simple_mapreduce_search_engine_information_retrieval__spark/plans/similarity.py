@@ -412,11 +412,18 @@ def query_ivf_store(
     *,
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
+    where=None,
 ) -> DataFrame:
     """Top-k over the partitioned store, probing the query's nprobe
     nearest cells. Probe planning reads only the tiny codebook (K rows)
     driver-side — the static IN-list is what makes the scan partition
-    pruning rather than a runtime filter."""
+    pruning rather than a runtime filter. ``where`` (a Column predicate
+    over the stored metadata columns, e.g. ``label == 3``) turns this
+    into FILTERED vector search: the predicate lands in the same probed
+    scan, next to the partition pruning, as a pushed Parquet filter —
+    pre-filtering, never post-filtering a top-k list (see
+    knn_ivf_filtered for the probe-widening rule that preserves recall
+    under selective predicates)."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
     cents = spark.read.parquet(f"{path}/centroids")
     probes = [
@@ -428,10 +435,13 @@ def query_ivf_store(
         .limit(nprobe)
         .collect()
     ]
+    scan = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probes)
+    )
+    if where is not None:
+        scan = scan.filter(where)
     return (
-        spark.read.parquet(f"{path}/vectors")
-        .filter(F.col("cell").isin(probes))
-        .select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
+        scan.select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(top_k)
     )
