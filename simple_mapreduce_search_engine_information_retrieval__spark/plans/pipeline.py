@@ -779,18 +779,23 @@ DSIR_TARGET_LANG = "en"
 
 
 def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, importance): mean per-token log-likelihood
-    ratio ln p_target(w)/p_raw(w) under Laplace-smoothed unigram LMs.
-    Positive = the doc's vocabulary looks more target-like than the raw
-    pool — the DSIR resampling weight. Shape at scale: ONE shared
-    tokenized scan feeds (a) a vocabulary-cardinality count aggregate
-    carrying BOTH counts (raw, target) per term — the target count rides
-    the same shuffle as the raw count, not a second pass — and (b) the
-    per-doc re-join; the term join is vocabulary-cardinality and
-    deliberately unhinted (Heaps' law: the vocab of a 100 TB corpus is
-    not broadcastable), the totals are a 1-row broadcast. Cross-engine
-    float: mean of ~1e2 ln() terms agrees far inside the 4-dp rounding
-    (same tolerance argument as the surprisal/percentile queries)."""
+    """(doc_id, n_tokens, importance_ppm): mean per-token log-likelihood
+    ratio ln p_target(w)/p_raw(w) under Laplace-smoothed unigram LMs, in
+    integer micro-units. Positive = the doc's vocabulary looks more
+    target-like than the raw pool — the DSIR resampling weight. Shape at
+    scale: ONE shared tokenized scan feeds (a) a vocabulary-cardinality
+    count aggregate carrying BOTH counts (raw, target) per term — the
+    target count rides the same shuffle as the raw count, not a second
+    pass — and (b) the per-doc re-join; the term join is
+    vocabulary-cardinality and deliberately unhinted (Heaps' law: the
+    vocab of a 100 TB corpus is not broadcastable), the totals are a
+    1-row broadcast. Cross-engine float: each per-token LLR is floored
+    to integer micro-units BEFORE aggregation (both engines call libm
+    ln() on identical doubles, so the pre-floor values are
+    bit-identical), the integers SUM associatively (partial-agg merge
+    order cannot matter), and one final floor(sum/n + 0.5) renders the
+    mean — signed-term cancellation can no longer park a doc on a
+    rounding boundary the two engines' fold orders resolve differently."""
     toks = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
     docs = toks.join(
         table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
@@ -809,19 +814,25 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").cast("double").alias("tt"),
         F.count("*").cast("double").alias("nv"),
     )
+    llr_micro = F.floor(
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("nv")))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("nv")))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
     return (
         tok.join(wc, "w")
         .crossJoin(F.broadcast(tot))  # bounded: 1-row totals
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.avg(
-                    F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("nv")))
-                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("nv")))
-                ),
-                4,
-            ).alias("importance"),
+            F.floor(
+                F.sum(llr_micro) / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("importance_ppm"),
         )
     )
 
@@ -842,8 +853,11 @@ tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
                CAST(sum(ct) AS DOUBLE) AS tt,
                CAST(count(*) AS DOUBLE) AS nv FROM wc)
 SELECT tok.doc_id, count(*) AS n_tokens,
-       round(avg(ln((wc.ct + 1.0) / (tot.tt + tot.nv))
-               - ln((wc.cr + 1.0) / (tot.tr + tot.nv))), 4) AS importance
+       CAST(floor(
+         sum(CAST(floor((ln((wc.ct + 1.0) / (tot.tt + tot.nv))
+                       - ln((wc.cr + 1.0) / (tot.tr + tot.nv))) * 1e6 + 0.5)
+             AS BIGINT))
+         / count(*) + 0.5) AS BIGINT) AS importance_ppm
 FROM tok JOIN wc USING (w) CROSS JOIN tot
 GROUP BY tok.doc_id
 """

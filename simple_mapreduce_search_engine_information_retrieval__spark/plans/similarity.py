@@ -370,6 +370,122 @@ LIMIT {TOP_K}
 """
 
 
+# --- filtered ANN with probe widening -----------------------------------
+# Metadata-filtered vector search (the "WHERE label = x" kNN a RAG/
+# curation stack runs constantly). Post-filtering a top-k list starves
+# recall under selective predicates, so the probe set WIDENS by the
+# inverse match rate: nprobe_f = min(K, ceil(NPROBE · N / N_match)) —
+# e.g. a 10% filter probes 10x the cells, keeping the EXPECTED number of
+# matching candidates scanned constant. The predicate itself lands in
+# the probed scan (pre-filtering; over a persisted store it rides the
+# same pushed Parquet filter as the cell pruning — see query_ivf_store).
+FILTER_LABEL = 3
+
+
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, cos): top-k among label = FILTER_LABEL vectors,
+    scanning only the query's widened probe set. All planning inputs
+    are bounded: the selectivity census is a 1-row aggregate, the probe
+    ranking a K-row window; the corpus-side work is one pruned,
+    pre-filtered cell scan. Deterministic (integer census → identical
+    double division/ceil in both engines), full value oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb)
+    cells = _ivf_cells(_ivf_pairs(emb, cents))
+    stats = emb.agg(
+        F.count("*").alias("nt"),
+        F.greatest(
+            F.sum(
+                F.when(F.col("label") == FILTER_LABEL, 1).otherwise(0)
+            ),
+            F.lit(1),
+        ).alias("nm"),
+    )
+    npf = (
+        stats.crossJoin(cents.agg(F.count("*").alias("nc")))
+        .select(
+            F.least(
+                F.col("nc"),
+                F.ceil(F.lit(NPROBE) * F.col("nt") / F.col("nm")),
+            )
+            .cast("long")
+            .alias("npf")
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cents))
+        .select("cent_id", _cos(F.col("embedding"), F.col("cvec")).alias("sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                # bounded: window over the K-row codebook ranking only
+                Window.orderBy(F.desc("sim"), F.asc("cent_id"))
+            ),
+        )
+    )
+    probes = (
+        ranked.crossJoin(F.broadcast(npf))  # bounded: 1-row probe budget
+        .filter(F.col("rk") <= F.col("npf"))
+        .select(F.col("cent_id").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("label") == FILTER_LABEL)
+        )
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")  # bounded: <=K probed cells
+        .crossJoin(F.broadcast(q))  # bounded: 1-row query vector
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cos(F.col("embedding"), F.col("qvec")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+DUCK_KNN_IVF_FILTERED = f"""
+WITH n AS (SELECT greatest(count(*) // {K_TARGET}, 1) AS stride FROM embeddings),
+     cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+               FROM embeddings, n WHERE vec_id % n.stride = 0),
+     pairs AS (SELECT e.vec_id, c.cent_id,
+                      {_duck_cos('e.embedding', 'c.cvec')} AS sim
+               FROM embeddings e CROSS JOIN cents c),
+     cells AS (SELECT vec_id,
+                      CAST(-(max({{'s': sim, 'nc': -cent_id}})['nc']) AS BIGINT) AS cell
+               FROM pairs GROUP BY vec_id),
+     stats AS (SELECT count(*) AS nt,
+                      greatest(sum(CASE WHEN label = {FILTER_LABEL}
+                                        THEN 1 ELSE 0 END), 1) AS nm
+               FROM embeddings),
+     npf AS (SELECT least(nc.nc,
+                          CAST(ceil({NPROBE} * stats.nt / stats.nm) AS BIGINT))
+                      AS npf
+             FROM stats, (SELECT count(*) AS nc FROM cents) nc),
+     ranked AS (SELECT cent_id,
+                       row_number() OVER (ORDER BY sim DESC, cent_id) AS rk
+                FROM pairs WHERE vec_id = {QUERY_VEC_ID}),
+     probes AS (SELECT cent_id AS cell FROM ranked, npf WHERE rk <= npf.npf),
+     q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, cells.cell, round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+FROM embeddings e
+JOIN cells USING (vec_id)
+JOIN probes ON cells.cell = probes.cell
+CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID} AND e.label = {FILTER_LABEL}
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 def write_ivf_store(
     spark: SparkSession,
     sf_dir: str,
@@ -627,32 +743,60 @@ def query_ivfpq_store(
 
 
 def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid L2 norm + member count — the aggregate shape of
-    embedding analytics (explode dims → two-level agg; dim-major shuffle
-    is narrow: labels × dims rows)."""
+    """Per-label centroid L2 norm (micro-units) + member count — the
+    aggregate shape of embedding analytics (explode dims → two-level
+    agg; dim-major shuffle is narrow: labels × dims rows). Fold
+    discipline: components floor to integer micro-units BEFORE the
+    per-(label,dim) sum (float32→double casts are bit-identical across
+    engines), so both aggregation levels fold associatively; the square
+    and sqrt run on identical integers → identical doubles."""
     emb = table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "v")
-    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
-    per_dim = dims.groupBy("label", "dim").agg(F.avg("v").alias("m"))
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("vm"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.floor(F.sum("vm") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("m6")
+    )
     return (
         per_dim.groupBy("label")
-        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .agg(
+            F.floor(F.sqrt(F.sum(F.col("m6") * F.col("m6"))) + F.lit(0.5))
+            .cast("long")
+            .alias("centroid_norm_micro")
+        )
         .join(
             emb.groupBy("label").agg(F.count("*").alias("n_vecs")), "label"
         )
-        .select(F.col("label").cast("long").alias("label"), "centroid_norm", "n_vecs")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "centroid_norm_micro",
+            "n_vecs",
+        )
     )
 
 
 DUCK_LABEL_CENTROIDS = """
 WITH dims AS (
-  SELECT label, j.dim AS dim, CAST(embedding[j.dim] AS DOUBLE) AS v
+  SELECT label, j.dim AS dim,
+         CAST(floor(CAST(embedding[j.dim] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS vm
   FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) j
 ),
-per_dim AS (SELECT label, dim, avg(v) AS m FROM dims GROUP BY label, dim)
+per_dim AS (
+  SELECT label, dim,
+         CAST(floor(sum(vm) / count(*) + 0.5) AS BIGINT) AS m6
+  FROM dims GROUP BY label, dim)
 SELECT CAST(p.label AS BIGINT) AS label,
-       round(sqrt(sum(p.m * p.m)), 6) AS centroid_norm,
+       CAST(floor(sqrt(CAST(sum(p.m6 * p.m6) AS DOUBLE)) + 0.5) AS BIGINT)
+         AS centroid_norm_micro,
        n.n_vecs
 FROM per_dim p
 JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) n
@@ -1836,6 +1980,14 @@ QUERIES: dict[str, QuerySpec] = {
         "vectors, per-query top-k via ranking window)",
     ),
     "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
+    "knn_ivf_filtered": QuerySpec(
+        fn=knn_ivf_filtered,
+        oracle=DUCK_KNN_IVF_FILTERED,
+        note="metadata-filtered IVF search with inverse-selectivity "
+        "probe widening (nprobe_f = min(K, ceil(NPROBE*N/N_match))) — "
+        "pre-filtering inside the probed scan, never post-filtering a "
+        "top-k list; planning inputs are a 1-row census + K-row ranking",
+    ),
     "knn_ivf_trained": QuerySpec(
         fn=knn_ivf_trained,
         oracle=DUCK_KNN_IVF_TRAINED,

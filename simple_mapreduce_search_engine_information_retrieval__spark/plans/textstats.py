@@ -260,25 +260,32 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     low, token salad scores high. One count aggregate + one term-keyed
     join (vocabulary-cardinality — deliberately NO broadcast hint) +
     one per-doc aggregate; the 1-row total is the only broadcast.
-    Cross-engine float note: the per-doc sum of ~1e2 ln() terms agrees
-    far inside the 4-dp rounding (same tolerance argument as the
-    percentile/gmean queries)."""
+    Cross-engine float: each per-token surprisal is floored to integer
+    micro-units BEFORE aggregation (identical libm ln() inputs →
+    bit-identical pre-floor doubles), the integers sum associatively,
+    and one final floor(sum/n + 0.5) renders the mean — fold order
+    cannot flip a rounding boundary (the DSIR lesson applied)."""
     from .indexing import doc_terms
 
     dt = doc_terms(spark, sf_dir, 1)
     wc = dt.groupBy("term").agg(F.count("*").alias("cnt"))
     tot = wc.agg(F.sum("cnt").cast("double").alias("tot"))
+    micro = F.floor(
+        -F.log(F.col("cnt") / F.col("tot")) * 1e6 + F.lit(0.5)
+    ).cast("long")
     return (
         dt.join(wc, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("docno")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.avg(-F.log(F.col("cnt") / F.col("tot"))), 4
-            ).alias("mean_surprisal"),
+            F.floor(F.sum(micro) / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("mean_surprisal_ppm"),
         )
-        .select(F.col("docno").alias("doc_id"), "n_tokens", "mean_surprisal")
+        .select(
+            F.col("docno").alias("doc_id"), "n_tokens", "mean_surprisal_ppm"
+        )
     )
 
 
@@ -316,15 +323,22 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    -F.log(
-                        (F.col("cg") + BIGRAM_ALPHA)
-                        / (F.col("cw") + BIGRAM_ALPHA * F.col("nv"))
-                    )
-                ),
-                4,
-            ).alias("mean_surprisal"),
+            F.floor(
+                F.sum(
+                    F.floor(
+                        -F.log(
+                            (F.col("cg") + BIGRAM_ALPHA)
+                            / (F.col("cw") + BIGRAM_ALPHA * F.col("nv"))
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_surprisal_ppm"),
         )
     )
 
@@ -340,9 +354,11 @@ WITH t AS MATERIALIZED (SELECT doc_id, {lst} AS toks FROM documents),
      bc AS (SELECT g, count(*) AS cg FROM db GROUP BY g),
      v AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM wc)
 SELECT db.doc_id, count(*) AS n_bigrams,
-       round(avg(-ln((bc.cg + {BIGRAM_ALPHA})
-                     / (wc.cw + {BIGRAM_ALPHA} * v.nv))), 4)
-         AS mean_surprisal
+       CAST(floor(
+         sum(CAST(floor(-ln((bc.cg + {BIGRAM_ALPHA})
+                            / (wc.cw + {BIGRAM_ALPHA} * v.nv)) * 1e6 + 0.5)
+             AS BIGINT))
+         / count(*) + 0.5) AS BIGINT) AS mean_surprisal_ppm
 FROM db JOIN bc USING (g)
         JOIN wc ON wc.w = string_split(db.g, ' ')[1]
         CROSS JOIN v
@@ -359,7 +375,9 @@ WITH dt AS MATERIALIZED ({duck_doc_terms(1)}),
      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM wc)
 SELECT dt.docno AS doc_id,
        count(*) AS n_tokens,
-       round(avg(-ln(wc.cnt / tot.tot)), 4) AS mean_surprisal
+       CAST(floor(
+         sum(CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5) AS BIGINT))
+         / count(*) + 0.5) AS BIGINT) AS mean_surprisal_ppm
 FROM dt JOIN wc USING (term) CROSS JOIN tot
 GROUP BY dt.docno
 """
@@ -605,21 +623,34 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("digit_ratio"),
     )
+    # Ratio means use the integer micro-unit fold (the DSIR lesson):
+    # each per-doc 4-dp ratio is bit-identical across engines, so its
+    # *1e4 integer recovers exactly; integer sums are associative, one
+    # final floor renders ppm. avg(n_tokens) stays a float avg: integer
+    # summands are exact in double, so any fold order agrees.
+    e4 = lambda c: F.floor(F.col(c) * 1e4 + F.lit(0.5)).cast("long")  # noqa: E731
+    ppm = lambda c: (  # noqa: E731
+        F.floor(F.sum(e4(c)) * 100 / F.count("*") + F.lit(0.5)).cast("long")
+    )
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
-        F.round(F.avg("digit_ratio"), 4).alias("avg_digit_ratio"),
+        ppm("stopword_ratio").alias("avg_stopword_ratio_ppm"),
+        ppm("digit_ratio").alias("avg_digit_ratio_ppm"),
     )
 
 
 def _duck_quality_by_source() -> str:
+    ppm = (
+        "CAST(floor(sum(CAST(floor(q.{c} * 1e4 + 0.5) AS BIGINT)) * 100"
+        " / count(*) + 0.5) AS BIGINT)"
+    )
     return f"""
 SELECT d.source,
        count(*) AS n_docs,
        round(avg(q.n_tokens), 4) AS avg_tokens,
-       round(avg(q.stopword_ratio), 4) AS avg_stopword_ratio,
-       round(avg(q.digit_ratio), 4) AS avg_digit_ratio
+       {ppm.format(c='stopword_ratio')} AS avg_stopword_ratio_ppm,
+       {ppm.format(c='digit_ratio')} AS avg_digit_ratio_ppm
 FROM ({_duck_quality()}) q
 JOIN documents d USING (doc_id)
 GROUP BY d.source

@@ -193,3 +193,59 @@ def test_ivfpq_store_roundtrip_equals_in_session_adc(spark, tmp_path):
 
     m = re.search(r"partition values|PartitionFilters: \[[^\]]*", plan)
     assert m is not None and "cell" in m.group(0), plan[:2000]
+
+
+def test_filtered_search_recall_and_widening(spark):
+    """knn_ivf_filtered must (a) return only FILTER_LABEL vectors,
+    (b) reach recall@10 >= 0.9 vs the brute-force top-k computed over
+    the SAME filtered population, and (c) widen its probe budget by the
+    inverse match rate — at the fixture's ~10% selectivity the widened
+    budget covers every cell, so the filtered search is exact there."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        FILTER_LABEL,
+        K_TARGET,
+        NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        _cos,
+        knn_ivf_filtered,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    got = knn_ivf_filtered(spark, sf).collect()
+    assert got and all(labels[r.vec_id] == FILTER_LABEL for r in got)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = {
+        r.vec_id
+        for r in emb.filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("label") == FILTER_LABEL)
+        )
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cos(F.col("embedding"), F.col("qvec")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    }
+    approx = {r.vec_id for r in got}
+    assert len(exact & approx) / len(exact) >= 0.9
+    # widening rule: ~10% selectivity -> ceil(NPROBE/s) >= K_TARGET,
+    # so every cell is probed and the filtered search is exact
+    n_total = emb.count()
+    n_match = emb.filter(F.col("label") == FILTER_LABEL).count()
+    npf = min(K_TARGET, math.ceil(NPROBE * n_total / n_match))
+    if npf >= K_TARGET:
+        assert approx == exact

@@ -26,8 +26,8 @@ def test_importance_weights_separate_target(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     rows = iw.join(docs, "doc_id").collect()
     assert rows and len({r.doc_id for r in rows}) == len(rows)
-    tgt = [r.importance for r in rows if r.lang == DSIR_TARGET_LANG]
-    rest = [r.importance for r in rows if r.lang != DSIR_TARGET_LANG]
+    tgt = [r.importance_ppm for r in rows if r.lang == DSIR_TARGET_LANG]
+    rest = [r.importance_ppm for r in rows if r.lang != DSIR_TARGET_LANG]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
     for r in rows:
