@@ -112,28 +112,16 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r6: outer membership-expansion broadcast hint dropped, lazy
-        # localCheckpoints, sh_rep transient cache removed (ADVICE r5)
-        "dedup_minhash_near_dups",
-        "dedup_near_dup_groups",
-        "dedup_group_representatives",
-        "pipeline_clean_corpus",
-        # r6: base/full band tables memoized per session (build/serve
-        # split — the trained-IVF discipline applied to dedup)
-        "dedup_incremental_minhash",
-        "dedup_containment_pairs",
-        # r6: roundtrip sink plumbing changed (pid-dir cleanup, ADVICE
-        # r5) — outputs should be identical, re-checked on discipline
-        # r6: kmeans codebook construction factored into the shared
-        # _stride_seed_codebook helper, then the final assignment
-        # memoized per (session, sf_dir) — same math, new code path
-        "embedding_kmeans_clusters",
-        "knn_diversified_topk",
-        "tsv_docno_roundtrip",
-        "jsonl_documents_roundtrip",
-        "orc_documents_roundtrip",
-        "partitioned_lang_source",
-        "index_compaction_roundtrip",
+        # r7: integer micro-unit fold conversions (the r6 DSIR
+        # hash-fail class): schemas changed to *_ppm / *_micro columns
+        "pipeline_importance_weights",
+        "text_unigram_surprisal",
+        "text_bigram_surprisal",
+        "text_quality_by_source",
+        "embedding_label_centroid_norms",
+        # r7: mega-cluster shard guard added to the pairwise block
+        # (no-op below the cap — outputs identical, re-check anyway)
+        "dedup_semdedup_prune",
     }
 )
 

@@ -610,13 +610,29 @@ def append_ivf_store(
     assign against the PERSISTED codebook (frozen — never recomputed
     from the combined corpus) and land the delta rows under their
     (cell, ingest=batch_id) partitions. Base files are untouched.
-    EXACTLY-ONCE: dynamic partition overwrite replaces only this batch's
-    ingest partitions, so a crash-and-retry (or a double call with the
-    same batch_id) rewrites the batch instead of duplicating it — the
-    blind-append hazard the streaming LSM band store also guards
-    against."""
+    EXACTLY-ONCE: dynamic partition overwrite replaces this batch's
+    ingest partitions, AND any `ingest=batch_id` partition a retry no
+    longer writes (because the source or codebook changed between
+    attempts, moving rows to different cells) is deleted first — the
+    sweep lists #cells directories, no data read. So a crash-and-retry
+    or a double call with the same batch_id always converges to exactly
+    this attempt's rows, never a union of attempts (the blind-append
+    hazard the streaming LSM band store also guards against)."""
     if int(batch_id) == 0:
         raise ValueError("batch_id 0 is reserved for the base build")
+    # sweep stale partitions from any earlier attempt of this batch_id:
+    # dynamic overwrite only replaces partitions the new write TOUCHES,
+    # so a cell the previous attempt wrote and this one does not would
+    # otherwise survive as a stale duplicate source
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{out_path}/vectors/cell=*/ingest={int(batch_id)}"
+    )
+    fs = jvm.org.apache.hadoop.fs.Path(f"{out_path}/vectors").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for st in fs.globStatus(glob) or []:
+        fs.delete(st.getPath(), True)
     emb = table(spark, sf_dir, "embeddings")
     delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
     cents = spark.read.parquet(f"{out_path}/centroids")
@@ -1131,6 +1147,33 @@ SEMDEDUP_COS_MICRO = 350_000  # fixture is near-orthogonal; real ~0.95+
 # (micro-unit conversion uses the module-level _micro helper shared
 # with the MMR re-rank below)
 
+# Mega-cluster guard (r6 verdict #5): the within-cluster pair join is
+# quadratic in the largest cluster. SemDeDup's cost model assumes
+# K ≈ n/1e4 keeps cells bounded, but a degenerate codebook (one
+# mega-cluster) silently reverts to corpus-quadratic. Clusters holding
+# more than CAP piles are sub-split by a secondary hash of the value
+# fingerprint; dominance is then decided within (cluster, shard). Below
+# the cap (every fixture cluster) the single shard makes the output
+# byte-identical to the unguarded form — the oracle states that plain
+# formulation; above it the guard trades cross-shard comparisons for a
+# hard n_shards·CAP² work bound (the same accepted approximation
+# contract as IVF probing: deterministic given the data).
+SEMDEDUP_CLUSTER_CAP = 4096
+
+
+def _semdedup_sharded(piles: DataFrame, cap: int) -> DataFrame:
+    """piles + (n_shards, shard): census-driven secondary split. The
+    census is cluster-cardinality (≤ K rows — broadcastable by
+    construction) and the shard key is a pure expression, so the guard
+    adds one tiny broadcast join and NO extra corpus shuffle."""
+    census = piles.groupBy("cluster").agg(
+        F.ceil(F.count("*") / F.lit(int(cap))).cast("long").alias("n_shards")
+    )
+    return (
+        piles.join(F.broadcast(census), "cluster")  # bounded: K-cluster census
+        .withColumn("shard", F.pmod(F.xxhash64("vkey"), F.col("n_shards")))
+    )
+
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, d_cent_micro, keep): SemDeDup prune decisions.
@@ -1138,7 +1181,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering build artifact — K-row codebook, two broadcast passes,
     built once per corpus), then ONE self-join keyed on the cluster id
     — the pair explosion is bounded per cluster, never
-    corpus-quadratic. Two guards from the dedup-module discipline:
+    corpus-quadratic, and the SEMDEDUP_CLUSTER_CAP shard guard bounds
+    it even under a degenerate one-mega-cluster codebook (see
+    _semdedup_sharded; a no-op below the cap, so the oracle states the
+    unguarded form). Two further guards from the dedup-module
+    discipline:
     norms are computed once per vector BEFORE the pair join (recomputing
     dot(a,a)/dot(b,b) per pair triples the flops), and identical
     vectors COLLAPSE to one representative before the pairwise block
@@ -1178,18 +1225,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm").alias("norm"),
         F.min("d_cent_micro").alias("d_cent_micro"),
     )
-    a = piles.select(
-        F.col("rep_id").alias("va"), "cluster",
+    sharded = _semdedup_sharded(piles, SEMDEDUP_CLUSTER_CAP)
+    a = sharded.select(
+        F.col("rep_id").alias("va"), "cluster", "shard",
         F.col("embedding").alias("ea"), F.col("norm").alias("na"),
         F.col("d_cent_micro").alias("da"),
     )
-    b = piles.select(
-        F.col("rep_id").alias("vb"), "cluster",
+    b = sharded.select(
+        F.col("rep_id").alias("vb"), "cluster", "shard",
         F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
         F.col("d_cent_micro").alias("db"),
     )
     dominated = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "shard"])
         .filter(F.col("va") != F.col("vb"))
         .filter(
             _micro(

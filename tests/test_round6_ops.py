@@ -197,8 +197,21 @@ def test_ivf_incremental_append_store(spark, sf_dir, tmp_path):
     append_ivf_store(spark, sf_dir, path)
     # EXACTLY-ONCE: a crash-and-retry of the same batch overwrites its
     # ingest partitions instead of duplicating rows (r6 code review
-    # caught the blind-append hazard)
+    # caught the blind-append hazard). Harden per r6 ADVICE: seed a
+    # STALE partition from a hypothetical earlier attempt whose cell
+    # assignment no longer exists — the retry must sweep it, not leave
+    # it as a duplicate source for readers.
+    import pathlib
+
+    stale = pathlib.Path(path) / "vectors" / "cell=999" / "ingest=1"
+    stale.mkdir(parents=True)
+    spark.range(1).selectExpr(
+        "CAST(123456789 AS BIGINT) AS vec_id",
+        "array(CAST(0.0 AS FLOAT)) AS embedding",
+        "CAST(0 AS BIGINT) AS label",
+    ).write.mode("overwrite").parquet(str(stale))
     append_ivf_store(spark, sf_dir, path)
+    assert not stale.exists(), "stale ingest=1 partition survived retry"
 
     emb = table(spark, sf_dir, "embeddings")
     qvec = [

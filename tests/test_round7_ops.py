@@ -45,3 +45,80 @@ def test_micro_unit_folds_are_partition_invariant(spark, sf_dir, qname):
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == b
     assert a  # non-degenerate
+
+
+def test_semdedup_mega_cluster_guard(spark):
+    """Seed ONE giant cluster (500 piles) with a small cap: the census
+    must sub-split it so every pairwise block stays ~cap-sized — the
+    work bound that stops a degenerate codebook from going
+    corpus-quadratic. Also: a below-cap cluster stays one shard, so the
+    production output is byte-identical to the unguarded form."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        _semdedup_sharded,
+    )
+
+    piles = spark.range(520).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.lit(1)).alias("cluster"),
+        F.md5(F.col("id").cast("string")).alias("vkey"),
+        F.col("id").alias("rep_id"),
+    )
+    cap = 50
+    sharded = _semdedup_sharded(piles, cap)
+    sizes = {
+        (r.cluster, r.shard): r.n
+        for r in sharded.groupBy("cluster", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mega = {k: v for k, v in sizes.items() if k[0] == 0}
+    small = {k: v for k, v in sizes.items() if k[0] == 1}
+    assert len(mega) == 10  # ceil(500/50) shards
+    assert len(small) == 1  # below the cap: single shard, unguarded form
+    # hash balance keeps every block near cap (x3 slack for md5 skew)
+    assert max(mega.values()) <= 3 * cap
+    # the quadratic bound: sum of per-block pair counts is ~n*cap,
+    # nowhere near the unguarded n^2
+    pair_work = sum(v * v for v in mega.values())
+    assert pair_work < 500 * 500 / 5, pair_work
+    # every pile keeps exactly one shard row (the split is a partition)
+    assert sharded.count() == 520
+
+
+def test_token_vocab_join_skew_posture(spark, sf_dir):
+    """The DSIR/surprisal family re-joins the full token stream to
+    vocabulary counts on a Zipf-skewed word key (stopwords stay in these
+    LMs, so the head term is percent-scale of all rows at corpus scale).
+    The posture (r6 verdict #4): the vocab side carries NO broadcast
+    hint (Heaps' law — not broadcastable at 100 TB), and the session
+    runs with AQE skew-join splitting enabled, which re-splits a hot
+    post-shuffle partition at runtime for exactly this join shape. This
+    test pins both halves of that contract."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        importance_weights,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    for fn in (importance_weights, unigram_surprisal, bigram_surprisal):
+        lines = (
+            fn(spark, sf_dir)._jdf.queryExecution().logical().toString()
+        ).splitlines()
+        hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+        assert hints, "expected the 1-row totals broadcast hint"
+        for i in hints:
+            # every hinted child must be a GLOBAL aggregate (1-row
+            # totals/V). A grouped aggregate — the vocabulary count
+            # relation — prints as `Aggregate [keys], [exprs]`; hinting
+            # that would broadcast a Heaps-law-sized side and remove the
+            # join from AQE's skew-split reach.
+            child = lines[i + 1]
+            assert "Aggregate [" in child and "], [" not in child, (
+                "non-1-row relation under a broadcast hint:\n"
+                + "\n".join(lines[i : i + 3])
+            )
