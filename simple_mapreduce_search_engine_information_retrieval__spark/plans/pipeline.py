@@ -927,7 +927,87 @@ FROM top
 """
 
 
+# --- deterministic global shuffle into training shards -------------------
+# The last step before a training run: break any residual ordering
+# (source, crawl time, dedup cluster adjacency) by shuffling the corpus
+# into N_SHARDS shard files with a reproducible within-shard order. Key
+# = md5 of the doc id (the portable engine/scale-identical RNG used by
+# sample_mix / weighted_sample), so the permutation is a pure function
+# of doc_id — any engine, any partitioning, any rerun lands every doc
+# at the same (shard, pos).
+GSHUFFLE_SHARDS = 8
+_GS_RANGE = 16**13  # 13 hex chars: max key value + 1, fits a long
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos): deterministic training-shard assignment +
+    1-based within-shard position ordered by (key, doc_id). Shape at
+    scale: the key/shard projection fuses into the scan; the position
+    uses the two-level bucket formulation (row_number within
+    (shard, key-range bucket) + broadcast per-bucket offsets), so NO
+    stage ever sorts a whole shard in one partition — a shard of a
+    100 TB corpus is ~12 TB, but a (shard, bucket) cell is 1/PREFIX_
+    BUCKETS of that and the bucket table is shards x buckets rows."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("k")
+    ).select(
+        "doc_id",
+        "k",
+        (F.col("k") % GSHUFFLE_SHARDS).alias("shard"),
+        _range_bucket(F.col("k"), F.lit(0), F.lit(_GS_RANGE)).alias("b"),
+    )
+    wl = Window.partitionBy("shard", "b").orderBy("k", "doc_id")
+    local = F.row_number().over(wl).cast("long")
+    counts = d.groupBy("shard", "b").agg(F.count("*").alias("n"))
+    wb = (
+        Window.partitionBy("shard")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = counts.select(
+        "shard",
+        "b",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast("long").alias("off"),
+    )
+    return (
+        # bounded: shards x PREFIX_BUCKETS offset table
+        d.join(F.broadcast(boff), ["shard", "b"])
+        .select("doc_id", "shard", (F.col("off") + local).alias("pos"))
+    )
+
+
+DUCK_GLOBAL_SHUFFLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           AS k
+  FROM documents)
+SELECT doc_id, k % {GSHUFFLE_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY k % {GSHUFFLE_SHARDS}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_global_shuffle": QuerySpec(
+        fn=global_shuffle,
+        oracle=DUCK_GLOBAL_SHUFFLE,
+        note="deterministic md5-keyed global shuffle into training "
+        "shards with reproducible within-shard order; two-level bucket "
+        "numbering so no stage sorts a whole shard in one partition "
+        "(oracle states the plain per-shard window — addition is "
+        "associative, outputs identical)",
+    ),
     "pipeline_weighted_sample": QuerySpec(
         fn=weighted_sample,
         oracle=DUCK_WEIGHTED_SAMPLE,

@@ -122,3 +122,29 @@ def test_token_vocab_join_skew_posture(spark, sf_dir):
                 "non-1-row relation under a broadcast hint:\n"
                 + "\n".join(lines[i : i + 3])
             )
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    """Every doc lands in exactly one (shard, pos); positions are
+    contiguous 1..n_s per shard; shards are hash-balanced (within 3x of
+    the mean); and the assignment is a pure function of doc_id (rerun
+    identical)."""
+    from collections import defaultdict
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.pipeline import (
+        GSHUFFLE_SHARDS,
+        global_shuffle,
+    )
+
+    rows = global_shuffle(spark, sf_dir).collect()
+    assert rows and len({r.doc_id for r in rows}) == len(rows)
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.shard < GSHUFFLE_SHARDS
+        by_shard[r.shard].append(r.pos)
+    mean = len(rows) / GSHUFFLE_SHARDS
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        assert len(poss) < 3 * mean, (shard, len(poss))
+    again = global_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
