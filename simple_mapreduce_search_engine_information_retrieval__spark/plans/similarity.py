@@ -1208,6 +1208,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(F.col("embedding"), lambda x: x.cast("string"))
         )
     )
+    # lazily checkpoint the two relations every downstream branch reads
+    # (m: pair block sides + member expansion; piles: a/b sides + the
+    # shard census + the rep join) — without truncation each branch
+    # re-executes the assignment join / pile collapse lineage, 4 corpus
+    # passes where one suffices (the near-dup family's discipline)
     m = a2.join(
         emb.select(
             "vec_id",
@@ -1216,7 +1221,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         ),
         "vec_id",
-    )
+    ).localCheckpoint(eager=False)
     # pile collapse: identical vectors share (cluster, vkey, d) — the
     # min-vec_id member represents the pile in the pairwise block
     piles = m.groupBy("cluster", "vkey").agg(
@@ -1224,7 +1229,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("embedding"),  # equal within pile
         F.min("norm").alias("norm"),
         F.min("d_cent_micro").alias("d_cent_micro"),
-    )
+    ).localCheckpoint(eager=False)
     sharded = _semdedup_sharded(piles, SEMDEDUP_CLUSTER_CAP)
     a = sharded.select(
         F.col("rep_id").alias("va"), "cluster", "shard",
@@ -1402,9 +1407,12 @@ FROM (
 # (deterministic stride sample — same discipline as the IVF seeds), code
 # each subvector as its argmin-squared-L2 centroid. Storage: PQ_M small
 # ints per vector. Assignment reuses the struct-min argmax pattern, so
-# codes are deterministic and fully oracled. At scale: one broadcast
-# codebook pass per subspace over a SLICED projection (narrow), N-row
-# shuffle per subspace, joined on vec_id.
+# codes are deterministic and fully oracled. At scale: ONE broadcast
+# codebook pass computes every subspace's distance in the same
+# projection and ONE vec_id aggregation carries all PQ_M argmins — one
+# corpus scan and one shuffle total, independent of PQ_M (the r7
+# rewrite; the earlier form paid a groupBy per subspace plus M-1
+# vec_id joins — 2M-1 shuffles).
 PQ_M = 2
 PQ_SUB = DIM // PQ_M
 PQ_K = 16
@@ -1428,31 +1436,33 @@ def _pq_seeds(emb: DataFrame) -> DataFrame:
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, code0, code1): per-subspace PQ codes."""
+    """(vec_id, code0, code1): per-subspace PQ codes. One broadcast
+    pair projection carries every subspace's squared distance; one
+    vec_id aggregation takes all PQ_M struct-argmins — a single corpus
+    scan and a single shuffle regardless of PQ_M."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = _pq_seeds(emb)
-    out = None
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias("sv")
-        )
-        cents = seeds.select(
-            "cent_id", F.slice("cvec", m * PQ_SUB + 1, PQ_SUB).alias("cv")
-        )
-        pairs = sub.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cent_id", _sq_dist(F.col("sv"), F.col("cv")).alias("d")
-        )
-        codes = (
-            pairs.groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
-                ).alias("m")
-            )
-            .select("vec_id", F.col("m.c").cast("long").alias(f"code{m}"))
-        )
-        out = codes if out is None else out.join(codes, "vec_id")
-    return out
+    pairs = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cent_id",
+        *[
+            _sq_dist(
+                F.slice("embedding", m * PQ_SUB + 1, PQ_SUB),
+                F.slice("cvec", m * PQ_SUB + 1, PQ_SUB),
+            ).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    return pairs.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{m}").alias("d"), F.col("cent_id").alias("c"))
+            )["c"]
+            .cast("long")
+            .alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
+    )
 
 
 def _duck_pq_ctes() -> tuple[str, str]:
