@@ -122,6 +122,10 @@ CHANGED_THIS_ROUND = frozenset(
         # r7: mega-cluster shard guard added to the pairwise block
         # (no-op below the cap — outputs identical, re-check anyway)
         "dedup_semdedup_prune",
+        # r7: pq_codes rewritten to one-scan/one-shuffle — same argmin
+        # math, new code path; knn_ivfpq_adc serves from those codes
+        "embedding_pq_codes",
+        "knn_ivfpq_adc",
     }
 )
 

@@ -790,12 +790,17 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-cardinality and deliberately unhinted (Heaps' law: the
     vocab of a 100 TB corpus is not broadcastable), the totals are a
     1-row broadcast. Cross-engine float: each per-token LLR is floored
-    to integer micro-units BEFORE aggregation (both engines call libm
-    ln() on identical doubles, so the pre-floor values are
-    bit-identical), the integers SUM associatively (partial-agg merge
-    order cannot matter), and one final floor(sum/n + 0.5) renders the
-    mean — signed-term cancellation can no longer park a doc on a
-    rounding boundary the two engines' fold orders resolve differently."""
+    to integer micro-units BEFORE aggregation, the integers SUM
+    associatively (partial-agg merge order cannot matter), and one
+    final floor(sum/n + 0.5) renders the mean — signed-term
+    cancellation can no longer park a doc on a rounding boundary the
+    two engines' fold orders resolve differently. Residual risk, stated
+    honestly (r7 review): JVM Math.log and DuckDB's libm log are each
+    <=1-ulp accurate but not guaranteed bit-equal, so one token whose
+    LLR sits within ~1 ulp of a micro-unit half-boundary could still
+    floor apart — a per-token probability of order 2^-30s (vs the
+    per-DOC boundary the old mean-of-doubles fold exposed), and the
+    tri-scale sweep covers the realized vocabulary."""
     toks = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
     docs = toks.join(
         table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"

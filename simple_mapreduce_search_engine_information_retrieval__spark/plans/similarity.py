@@ -391,7 +391,14 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division/ceil in both engines), full value oracle."""
     emb = table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(emb)
-    cells = _ivf_cells(_ivf_pairs(emb, cents))
+    # assign cells ONLY for the vectors the predicate can return — cell
+    # assignment is per-vector, so restricting the O(n*K) distance pass
+    # to the filtered slice is byte-identical at 1/selectivity the cost
+    # (r7 code review; the oracle assigns all vectors then filters —
+    # same per-vector argmax, same rows)
+    cells = _ivf_cells(
+        _ivf_pairs(emb.filter(F.col("label") == FILTER_LABEL), cents)
+    )
     stats = emb.agg(
         F.count("*").alias("nt"),
         F.greatest(
@@ -611,28 +618,19 @@ def append_ivf_store(
     from the combined corpus) and land the delta rows under their
     (cell, ingest=batch_id) partitions. Base files are untouched.
     EXACTLY-ONCE: dynamic partition overwrite replaces this batch's
-    ingest partitions, AND any `ingest=batch_id` partition a retry no
-    longer writes (because the source or codebook changed between
-    attempts, moving rows to different cells) is deleted first — the
-    sweep lists #cells directories, no data read. So a crash-and-retry
-    or a double call with the same batch_id always converges to exactly
-    this attempt's rows, never a union of attempts (the blind-append
-    hazard the streaming LSM band store also guards against)."""
+    ingest partitions, and AFTER the write commits, any `ingest=
+    batch_id` partition this attempt did not write (left by an earlier
+    attempt whose source/codebook assigned rows to different cells) is
+    swept — the sweep lists #cells directories, no data read. Ordering
+    matters (r7 review): sweeping BEFORE the write would open a crash
+    window in which the previous attempt's committed data is deleted
+    and nothing replaces it. With the post-write sweep the worst crash
+    leaves stale extra partitions that the NEXT retry removes — rows
+    are never lost, and a completed call always converges to exactly
+    this attempt's rows (the blind-append hazard the streaming LSM
+    band store also guards against)."""
     if int(batch_id) == 0:
         raise ValueError("batch_id 0 is reserved for the base build")
-    # sweep stale partitions from any earlier attempt of this batch_id:
-    # dynamic overwrite only replaces partitions the new write TOUCHES,
-    # so a cell the previous attempt wrote and this one does not would
-    # otherwise survive as a stale duplicate source
-    jvm = spark._jvm
-    glob = jvm.org.apache.hadoop.fs.Path(
-        f"{out_path}/vectors/cell=*/ingest={int(batch_id)}"
-    )
-    fs = jvm.org.apache.hadoop.fs.Path(f"{out_path}/vectors").getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for st in fs.globStatus(glob) or []:
-        fs.delete(st.getPath(), True)
     emb = table(spark, sf_dir, "embeddings")
     delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
     cents = spark.read.parquet(f"{out_path}/centroids")
@@ -645,6 +643,23 @@ def append_ivf_store(
         .partitionBy("cell", "ingest")
         .parquet(f"{out_path}/vectors")
     )
+    # post-commit sweep of orphaned ingest=<batch_id> partitions from
+    # prior attempts: bounded — one distinct over the K-cell assignment
+    # (already computed this call) + one directory glob
+    written = {
+        int(r.cell) for r in cells.select("cell").distinct().collect()
+    }
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{out_path}/vectors/cell=*/ingest={int(batch_id)}"
+    )
+    fs = jvm.org.apache.hadoop.fs.Path(f"{out_path}/vectors").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for st in fs.globStatus(glob) or []:
+        cell_dir = st.getPath().getParent().getName()  # "cell=<n>"
+        if int(cell_dir.split("=", 1)[1]) not in written:
+            fs.delete(st.getPath(), True)
 
 
 def write_ivfpq_store(
@@ -1151,27 +1166,40 @@ SEMDEDUP_COS_MICRO = 350_000  # fixture is near-orthogonal; real ~0.95+
 # quadratic in the largest cluster. SemDeDup's cost model assumes
 # K ≈ n/1e4 keeps cells bounded, but a degenerate codebook (one
 # mega-cluster) silently reverts to corpus-quadratic. Clusters holding
-# more than CAP piles are sub-split by a secondary hash of the value
-# fingerprint; dominance is then decided within (cluster, shard). Below
-# the cap (every fixture cluster) the single shard makes the output
-# byte-identical to the unguarded form — the oracle states that plain
-# formulation; above it the guard trades cross-shard comparisons for a
-# hard n_shards·CAP² work bound (the same accepted approximation
-# contract as IVF probing: deterministic given the data).
+# more than CAP piles are sub-split by a PORTABLE hash of the pile
+# representative id (md5 over the BIGINT's decimal rendering — the
+# sample_mix/weighted_sample RNG discipline, NOT Spark-only xxhash64);
+# dominance is then decided within (cluster, shard). Because the hash
+# is engine-portable, DUCK_SEMDEDUP models the census + sharding
+# EXACTLY (r7 review: an oracle that states only the unguarded form
+# would go hash-red the first time a real corpus crossed the cap), so
+# the approximation above the cap is verified, not invisible. Below
+# the cap every cluster is one shard and the output equals the
+# unguarded form (pile-equivalence test).
 SEMDEDUP_CLUSTER_CAP = 4096
 
 
 def _semdedup_sharded(piles: DataFrame, cap: int) -> DataFrame:
     """piles + (n_shards, shard): census-driven secondary split. The
     census is cluster-cardinality (≤ K rows — broadcastable by
-    construction) and the shard key is a pure expression, so the guard
-    adds one tiny broadcast join and NO extra corpus shuffle."""
+    construction) and the shard key is a pure expression over rep_id,
+    so the guard adds one tiny broadcast join and NO extra corpus
+    shuffle, and the oracle can replay the identical split."""
     census = piles.groupBy("cluster").agg(
         F.ceil(F.count("*") / F.lit(int(cap))).cast("long").alias("n_shards")
     )
+    shard_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sd:"), F.col("rep_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
         piles.join(F.broadcast(census), "cluster")  # bounded: K-cluster census
-        .withColumn("shard", F.pmod(F.xxhash64("vkey"), F.col("n_shards")))
+        .withColumn("shard", shard_h % F.col("n_shards"))
     )
 
 
@@ -1183,9 +1211,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the pair explosion is bounded per cluster, never
     corpus-quadratic, and the SEMDEDUP_CLUSTER_CAP shard guard bounds
     it even under a degenerate one-mega-cluster codebook (see
-    _semdedup_sharded; a no-op below the cap, so the oracle states the
-    unguarded form). Two further guards from the dedup-module
-    discipline:
+    _semdedup_sharded; the portable rep_id hash lets the DuckDB oracle
+    replay the identical census + split, so the guard is verified at
+    any scale, and below the cap it is a no-op). Two further guards
+    from the dedup-module discipline:
     norms are computed once per vector BEFORE the pair join (recomputing
     dot(a,a)/dot(b,b) per pair triples the flops), and identical
     vectors COLLAPSE to one representative before the pairwise block
@@ -1292,15 +1321,34 @@ a2 AS (SELECT vec_id,
        FROM p2 GROUP BY vec_id),
 m AS (SELECT a2.vec_id, a2.cluster, a2.d_cent_micro, v.embedding
       FROM a2 JOIN v USING (vec_id)),
-dom AS (SELECT DISTINCT a.vec_id
-        FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+-- pile collapse mirrors the Spark plan: identical vectors share one
+-- representative (grouping on the embedding list directly — DuckDB
+-- groups lists by value; Spark's md5 fingerprint keys the same piles)
+piles AS (SELECT cluster, embedding,
+                 min(vec_id) AS rep_id,
+                 min(d_cent_micro) AS d_micro
+          FROM m GROUP BY cluster, embedding),
+census AS (SELECT cluster,
+                  CAST(ceil(count(*) / {SEMDEDUP_CLUSTER_CAP}) AS BIGINT)
+                    AS n_shards
+           FROM piles GROUP BY cluster),
+sp AS (SELECT p.*,
+              ('0x' || substr(md5('sd:' || CAST(p.rep_id AS VARCHAR)), 1, 13))
+                ::BIGINT % c.n_shards AS shard
+       FROM piles p JOIN census c USING (cluster)),
+dom AS (SELECT DISTINCT a.rep_id
+        FROM sp a JOIN sp b ON a.cluster = b.cluster AND a.shard = b.shard
+                           AND a.rep_id <> b.rep_id
         WHERE CAST(floor({_duck_cos('a.embedding', 'b.embedding')} * 1e6 + 0.5)
                 AS BIGINT) >= {SEMDEDUP_COS_MICRO}
-          AND (b.d_cent_micro < a.d_cent_micro
-               OR (b.d_cent_micro = a.d_cent_micro AND b.vec_id < a.vec_id)))
-SELECT a2.vec_id, a2.cluster, a2.d_cent_micro,
-       CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM a2 LEFT JOIN dom USING (vec_id)
+          AND (b.d_micro < a.d_micro
+               OR (b.d_micro = a.d_micro AND b.rep_id < a.rep_id)))
+SELECT m.vec_id, m.cluster, m.d_cent_micro,
+       CAST(CASE WHEN m.vec_id = p.rep_id AND dom.rep_id IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+JOIN piles p ON p.cluster = m.cluster AND p.embedding = m.embedding
+LEFT JOIN dom ON dom.rep_id = p.rep_id
 """
 )
 

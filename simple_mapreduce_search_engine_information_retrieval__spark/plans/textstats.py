@@ -261,10 +261,11 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (vocabulary-cardinality — deliberately NO broadcast hint) +
     one per-doc aggregate; the 1-row total is the only broadcast.
     Cross-engine float: each per-token surprisal is floored to integer
-    micro-units BEFORE aggregation (identical libm ln() inputs →
-    bit-identical pre-floor doubles), the integers sum associatively,
+    micro-units BEFORE aggregation, the integers sum associatively,
     and one final floor(sum/n + 0.5) renders the mean — fold order
-    cannot flip a rounding boundary (the DSIR lesson applied)."""
+    cannot flip a rounding boundary (the DSIR lesson applied; see
+    importance_weights for the honest <=1-ulp-per-ln residual-risk
+    statement, which applies here too)."""
     from .indexing import doc_terms
 
     dt = doc_terms(spark, sf_dir, 1)
@@ -624,13 +625,17 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit_ratio"),
     )
     # Ratio means use the integer micro-unit fold (the DSIR lesson):
-    # each per-doc 4-dp ratio is bit-identical across engines, so its
-    # *1e4 integer recovers exactly; integer sums are associative, one
-    # final floor renders ppm. avg(n_tokens) stays a float avg: integer
-    # summands are exact in double, so any fold order agrees.
+    # each per-doc 4-dp ratio agrees across engines, so its *1e4 integer
+    # recovers exactly; integer sums are associative, one final floor
+    # renders ppm. The denominator counts the COLUMN, not *, preserving
+    # avg()'s NULL-exclusion semantics (digit_ratio is NULL for an
+    # empty text — r7 code review). avg(n_tokens) stays a float avg:
+    # integer summands are exact in double, so any fold order agrees.
     e4 = lambda c: F.floor(F.col(c) * 1e4 + F.lit(0.5)).cast("long")  # noqa: E731
     ppm = lambda c: (  # noqa: E731
-        F.floor(F.sum(e4(c)) * 100 / F.count("*") + F.lit(0.5)).cast("long")
+        F.floor(
+            F.sum(e4(c)) * 100 / F.count(F.col(c)) + F.lit(0.5)
+        ).cast("long")
     )
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -643,7 +648,7 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_quality_by_source() -> str:
     ppm = (
         "CAST(floor(sum(CAST(floor(q.{c} * 1e4 + 0.5) AS BIGINT)) * 100"
-        " / count(*) + 0.5) AS BIGINT)"
+        " / count(q.{c}) + 0.5) AS BIGINT)"
     )
     return f"""
 SELECT d.source,

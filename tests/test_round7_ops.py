@@ -148,3 +148,38 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
         assert len(poss) < 3 * mean, (shard, len(poss))
     again = global_shuffle(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semdedup_above_cap_matches_oracle(spark, sf_dir, monkeypatch):
+    """The guard's above-cap path must be ORACLE-EXACT, not just
+    bounded (r7 code review: a plain-form oracle would go hash-red the
+    first time a cluster crossed the cap). Shrink the cap so the
+    fixture's clusters actually shard, and compare Spark against the
+    cap-adjusted DuckDB oracle — both replay the identical portable
+    census + md5(rep_id) split."""
+    from simple_mapreduce_search_engine_information_retrieval__spark import (
+        oracle,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+        similarity,
+    )
+
+    cap = 5
+    monkeypatch.setattr(similarity, "SEMDEDUP_CLUSTER_CAP", cap)
+    sql = similarity.DUCK_SEMDEDUP.replace(
+        "/ 4096)", f"/ {cap})"
+    )
+    assert f"/ {cap})" in sql  # the cap constant must have substituted
+    con = oracle.duck_connect(sf_dir)
+    issues = oracle.compare(similarity.semdedup_prune(spark, sf_dir), con, sql)
+    assert not issues, issues
+    # and the shrunken cap genuinely sharded something (else this test
+    # silently degrades to the below-cap case)
+    from pyspark.sql import functions as F
+
+    piles = (
+        similarity.kmeans_assignment(spark, sf_dir)
+        .groupBy("cluster")
+        .count()
+    )
+    assert piles.filter(F.col("count") > cap).count() > 0
