@@ -503,6 +503,106 @@ FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
 """
 
 
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jacc_true_ppm, jacc_est_ppm, abs_err_ppm):
+    MinHash estimator calibration over the adjacent-pair line — the
+    signature-agreement estimate (matching components / N_HASHES, the
+    textbook unbiased MinHash estimator) next to the EXACT shingle-set
+    Jaccard it estimates. This is the diagnostic that sizes N_HASHES /
+    N_BANDS before a 100 TB dedup run: the observed |error| spectrum at
+    a sample tells you whether the banding's S-curve sits where the
+    threshold needs it. Shape: signatures and exact intersections both
+    derive from the SHARED cached shingle scan; the adjacent pair join
+    keys on doc_id (narrow — no LSH, no candidate explosion); all
+    outputs integer ppm (est = k/8 is dyadic-exact)."""
+    sh = _shingles_cached(spark, sf_dir)
+    sig = _signatures_of(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh.select((F.col("doc_id") - 1).alias("doc_a"), "shingle"),
+            ["doc_a", "shingle"],
+        )
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("ni"))
+    )
+    pairs = (
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            sizes.select(
+                (F.col("doc_id") - 1).alias("doc_a"), F.col("n").alias("n_b")
+            ),
+            "doc_a",
+        )
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    out = (
+        pairs.join(inter, "doc_a", "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_a")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 1).alias("doc_b"),
+            F.floor(
+                ni / (F.col("n_a") + F.col("n_b") - ni).cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jacc_true_ppm"),
+            F.floor(matches / F.lit(float(N_HASHES)) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("jacc_est_ppm"),
+        )
+    )
+    return out.withColumn(
+        "abs_err_ppm",
+        F.abs(F.col("jacc_true_ppm") - F.col("jacc_est_ppm")).cast("long"),
+    )
+
+
+def _duck_minhash_estimate_error() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+     sig AS MATERIALIZED ({_duck_minhash('sh')}),
+     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+     inter AS (SELECT a.doc_id AS doc_a, count(*) AS ni
+               FROM sh a JOIN sh b
+                 ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+               GROUP BY a.doc_id),
+     pairs AS (SELECT na.doc_id AS doc_a, na.n AS n_a, nb.n AS n_b
+               FROM sizes na JOIN sizes nb ON nb.doc_id = na.doc_id + 1)
+SELECT *, CAST(abs(jacc_true_ppm - jacc_est_ppm) AS BIGINT) AS abs_err_ppm
+FROM (
+  SELECT p.doc_a, p.doc_a + 1 AS doc_b,
+         CAST(floor(coalesce(i.ni, 0)
+               / CAST(p.n_a + p.n_b - coalesce(i.ni, 0) AS DOUBLE) * 1e6
+               + 0.5) AS BIGINT) AS jacc_true_ppm,
+         CAST(floor(({match_sum}) / {float(N_HASHES)} * 1e6 + 0.5)
+           AS BIGINT) AS jacc_est_ppm
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_a + 1
+)
+"""
+
+
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materializing dedup a pipeline actually runs: keep the lowest
     doc_id per normalized fingerprint, emit the surviving corpus ids with
@@ -1337,6 +1437,14 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_adjacent_jaccard": QuerySpec(
         fn=adjacent_jaccard, oracle=DUCK_ADJACENT_JACCARD,
         note="n-gram Jaccard dense reference",
+    ),
+    "dedup_minhash_estimate_error": QuerySpec(
+        fn=minhash_estimate_error,
+        oracle=_duck_minhash_estimate_error(),
+        note="MinHash estimator calibration: signature-agreement "
+        "estimate vs exact shingle Jaccard per adjacent pair — the "
+        "N_HASHES/N_BANDS sizing diagnostic, off the shared shingle "
+        "scan, integer ppm outputs",
     ),
     "dedup_simhash": QuerySpec(
         fn=simhash, oracle=_duck_simhash(),

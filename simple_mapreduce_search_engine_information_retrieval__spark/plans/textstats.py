@@ -367,6 +367,114 @@ GROUP BY db.doc_id
 """
 
 
+# --- Stupid Backoff held-out LM scoring ----------------------------------
+# Brants et al. 2007 ("Large Language Models in Machine Translation",
+# public EMNLP): score(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen
+# in training, else ALPHA·(c(w2)+1)/(N+V) (backoff to the +1-smoothed
+# unigram). Unlike the surprisal gates — whose LM is the scored corpus
+# itself, so every bigram is "seen" and backoff would be dead code —
+# this trains on the even-doc_id half and scores the odd half, the
+# held-out shape a perplexity filter actually runs (train the cheap LM
+# on trusted data, score the incoming corpus). All counts integer, the
+# per-bigram log-score floors to micro-units before the associative sum.
+SB_ALPHA = 0.4
+
+
+def backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logscore_ppm) for odd-doc_id docs under
+    the even-doc_id-trained Stupid Backoff bigram LM. Higher (closer to
+    0) = more train-like. Shape at scale: two count aggregates off the
+    train slice, then the eval bigram stream joins bigram counts (LEFT
+    — misses take the backoff arm) and unigram counts on Zipf-skewed
+    keys: both deliberately unhinted, AQE skew-split posture (the
+    DSIR/surprisal family contract); the (N, V) totals are the only
+    broadcast."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    wc = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bc = (
+        train.select(F.explode(kgrams_col(F.col("toks"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cg"))
+    )
+    tot = wc.agg(
+        F.sum("cw").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+    eb = ev.select(
+        "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        "g",
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    score = F.when(
+        F.col("cg").isNotNull(),
+        F.col("cg") / F.col("c1"),
+    ).otherwise(
+        F.lit(SB_ALPHA)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+        / (F.col("n") + F.col("v"))
+    )
+    micro = F.floor(F.log(score) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        eb.join(bc, "g", "left")
+        .join(wc.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1", "left")
+        .join(wc.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(tot))  # bounded: 1-row totals
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.floor(F.sum(micro) / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("mean_logscore_ppm"),
+        )
+    )
+
+
+def _duck_backoff_lm() -> str:
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS MATERIALIZED (SELECT doc_id, {lst} AS toks FROM documents),
+     wc AS (SELECT w, count(*) AS cw
+            FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+            GROUP BY w),
+     bc AS (SELECT g, count(*) AS cg
+            FROM (SELECT unnest({duck_kgrams('toks', 2)}) AS g
+                  FROM t WHERE doc_id % 2 = 0)
+            GROUP BY g),
+     tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n,
+                    CAST(count(*) AS DOUBLE) AS v FROM wc),
+     eb AS (SELECT doc_id, g,
+                   string_split(g, ' ')[1] AS w1,
+                   string_split(g, ' ')[2] AS w2
+            FROM (SELECT doc_id, unnest({duck_kgrams('toks', 2)}) AS g
+                  FROM t WHERE doc_id % 2 = 1))
+SELECT eb.doc_id, count(*) AS n_bigrams,
+       CAST(floor(
+         sum(CAST(floor(ln(
+           CASE WHEN bc.cg IS NOT NULL THEN bc.cg / w1c.cw
+                ELSE {SB_ALPHA} * (coalesce(w2c.cw, 0) + 1.0)
+                     / (tot.n + tot.v) END
+         ) * 1e6 + 0.5) AS BIGINT))
+         / count(*) + 0.5) AS BIGINT) AS mean_logscore_ppm
+FROM eb
+LEFT JOIN bc USING (g)
+LEFT JOIN wc w1c ON w1c.w = eb.w1
+LEFT JOIN wc w2c ON w2c.w = eb.w2
+CROSS JOIN tot
+GROUP BY eb.doc_id
+"""
+
+
 def _duck_surprisal() -> str:
     from .indexing import duck_doc_terms
 
@@ -1074,6 +1182,15 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_duck_bigram_surprisal(),
         note="conditional bigram-LM surprisal (add-α smoothed) — the "
         "word-order quality gate the unigram model cannot see",
+    ),
+    "text_backoff_lm_score": QuerySpec(
+        fn=backoff_lm_score,
+        oracle=_duck_backoff_lm(),
+        note="Stupid Backoff (Brants 2007) held-out LM scoring: train "
+        "on the even-doc_id half, score the odd half — backoff "
+        "genuinely fires on unseen bigrams (dead code in self-trained "
+        "LMs); integer micro-unit fold, unhinted Zipf-key joins under "
+        "the AQE skew posture",
     ),
     "text_vocab_growth": QuerySpec(
         fn=vocab_growth,

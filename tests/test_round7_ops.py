@@ -23,6 +23,7 @@ def _rows(df):
         "pipeline_importance_weights",
         "text_unigram_surprisal",
         "text_bigram_surprisal",
+        "text_backoff_lm_score",
         "text_quality_by_source",
         "embedding_label_centroid_norms",
     ],
@@ -99,13 +100,19 @@ def test_token_vocab_join_skew_posture(spark, sf_dir):
         importance_weights,
     )
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+        backoff_lm_score,
         bigram_surprisal,
         unigram_surprisal,
     )
 
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
-    for fn in (importance_weights, unigram_surprisal, bigram_surprisal):
+    for fn in (
+        importance_weights,
+        unigram_surprisal,
+        bigram_surprisal,
+        backoff_lm_score,
+    ):
         lines = (
             fn(spark, sf_dir)._jdf.queryExecution().logical().toString()
         ).splitlines()
@@ -183,3 +190,57 @@ def test_semdedup_above_cap_matches_oracle(spark, sf_dir, monkeypatch):
         .count()
     )
     assert piles.filter(F.col("count") > cap).count() > 0
+
+
+def test_backoff_lm_holdout_actually_backs_off(spark, sf_dir):
+    """The held-out split must make the backoff arm REAL: at least one
+    eval bigram is absent from the train counts, every scored doc is
+    odd-doc_id, and scores are <= 0 (log-probabilities of ratios <= 1)."""
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        kgrams_col,
+        tokens_col,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+        backoff_lm_score,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    rows = backoff_lm_score(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 2 == 1 for r in rows)
+    assert all(r.mean_logscore_ppm <= 0 and r.n_bigrams > 0 for r in rows)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text"), stopworded=False).alias("toks")
+    )
+    grams = lambda parity: (  # noqa: E731
+        docs.filter(F.col("doc_id") % 2 == parity)
+        .select(F.explode(kgrams_col(F.col("toks"), 2)).alias("g"))
+        .distinct()
+    )
+    unseen = grams(1).join(grams(0), "g", "left_anti").count()
+    assert unseen > 0, "fixture split produced no unseen bigrams"
+
+
+def test_minhash_estimate_error_properties(spark, sf_dir):
+    """Estimates live on the k/N_HASHES grid, both ppm values are in
+    [0, 1e6], the error column is |true - est|, and identical adjacent
+    docs (if any) estimate exactly 1."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        N_HASHES,
+        minhash_estimate_error,
+    )
+
+    rows = minhash_estimate_error(spark, sf_dir).collect()
+    assert rows
+    grid = {
+        int(i / N_HASHES * 1e6 + 0.5) for i in range(N_HASHES + 1)
+    }
+    for r in rows:
+        assert 0 <= r.jacc_true_ppm <= 1_000_000
+        assert r.jacc_est_ppm in grid, r.jacc_est_ppm
+        assert r.abs_err_ppm == abs(r.jacc_true_ppm - r.jacc_est_ppm)
+        if r.jacc_true_ppm == 1_000_000:
+            assert r.jacc_est_ppm == 1_000_000
