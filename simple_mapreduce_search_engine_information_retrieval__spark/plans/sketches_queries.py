@@ -223,11 +223,10 @@ HLL_W = 32 - HLL_B  # 26 value bits
 HLL_ALPHA = 0.709
 
 
-def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(m, est_distinct, true_distinct): register-level HyperLogLog over
-    the 3-gram vocabulary, with the small-range linear-counting
-    correction (E <= 2.5m and empty registers present -> m*ln(m/V))."""
-    vocab = doc_terms(spark, sf_dir, _KMV_GRAM).select("term").distinct()
+def _hll_regs(vocab: DataFrame) -> DataFrame:
+    """(reg, m_j): sparse HLL registers for a (term) relation — the
+    max-rank aggregate shared by the whole-corpus sketch and the
+    per-half sketches of the merge proof."""
     h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
     hashed = vocab.select(h.alias("h"))
     two_w = 1 << HLL_W
@@ -238,7 +237,7 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W) - F.length(F.bin(w)) + 1
     )
-    regs = (
+    return (
         hashed.select(
             F.floor(F.col("h") / two_w).cast("long").alias("reg"),
             rank.cast("long").alias("rank"),
@@ -246,6 +245,14 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rank").alias("m_j"))
     )
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, est_distinct, true_distinct): register-level HyperLogLog over
+    the 3-gram vocabulary, with the small-range linear-counting
+    correction (E <= 2.5m and empty registers present -> m*ln(m/V))."""
+    vocab = doc_terms(spark, sf_dir, _KMV_GRAM).select("term").distinct()
+    regs = _hll_regs(vocab)
     # empty registers count as M_j = 0 (harmonic term 2^0)
     full = (
         spark.range(HLL_M)
@@ -302,6 +309,143 @@ FROM agg, t
 """
 
 
+# --- sketch MERGEABILITY — the property that makes sketches the 100 TB
+# tool: every partition/executor/day builds its own small sketch, and
+# the combine is a tiny associative merge (max for HLL registers, + for
+# CMS counters) instead of re-scanning the union. These two queries
+# PROVE the merge laws hold bit-for-bit on this hash family by emitting
+# the whole-corpus sketch next to the merge of two half-corpus sketches
+# — every row must agree, and the oracle checks both sides.
+def hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(reg, m_whole, m_merged): whole-vocabulary HLL registers vs the
+    register-max MERGE of the two doc-half sketches. HLL registers are
+    a max over items, and max is associative/idempotent, so the two
+    columns are equal by construction — including for terms occurring
+    in both halves (the idempotence a naive counter lacks)."""
+    dt = doc_terms(spark, sf_dir, _KMV_GRAM)
+    whole = _hll_regs(dt.select("term").distinct())
+    halves = [
+        _hll_regs(
+            dt.filter(F.col("docno") % 2 == p).select("term").distinct()
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1]).groupBy("reg").agg(
+            F.max("m_j").alias("m_merged")
+        )
+    )
+    return (
+        spark.range(HLL_M)
+        .select(F.col("id").alias("reg"))
+        .join(whole.withColumnRenamed("m_j", "m_whole"), "reg", "left")
+        .join(merged, "reg", "left")
+        .select(
+            "reg",
+            F.coalesce("m_whole", F.lit(0)).cast("long").alias("m_whole"),
+            F.coalesce("m_merged", F.lit(0)).cast("long").alias("m_merged"),
+        )
+    )
+
+
+def _duck_hll_merged() -> str:
+    two_w = 1 << HLL_W
+    reg_sql = (
+        "SELECT CAST(floor(h / {tw}) AS BIGINT) AS reg, "
+        "max(CASE WHEN h % {tw} = 0 THEN {wp1} "
+        "ELSE {w} - length(bin(h % {tw})) + 1 END) AS m_j "
+        "FROM (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h "
+        "      FROM {src}) GROUP BY 1"
+    )
+
+    def regs(src):
+        return reg_sql.format(tw=two_w, wp1=HLL_W + 1, w=HLL_W, src=src)
+
+    return f"""
+WITH dt AS MATERIALIZED ({duck_doc_terms(_KMV_GRAM)}),
+     whole AS ({regs('(SELECT DISTINCT term FROM dt)')}),
+     h0 AS ({regs('(SELECT DISTINCT term FROM dt WHERE docno % 2 = 0)')}),
+     h1 AS ({regs('(SELECT DISTINCT term FROM dt WHERE docno % 2 = 1)')}),
+     merged AS (SELECT reg, max(m_j) AS m_merged
+                FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+                GROUP BY reg),
+     g AS (SELECT unnest(generate_series(0, {HLL_M - 1})) AS reg)
+SELECT g.reg,
+       CAST(coalesce(whole.m_j, 0) AS BIGINT) AS m_whole,
+       CAST(coalesce(merged.m_merged, 0) AS BIGINT) AS m_merged
+FROM g LEFT JOIN whole ON whole.reg = g.reg
+       LEFT JOIN merged ON merged.reg = g.reg
+"""
+
+
+def _cms_counters(stream: DataFrame) -> DataFrame:
+    """(row, bucket, cnt): CMS counter table over a (term) stream."""
+    cells = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"),
+                        _h(F.col("term"), r, CMS_WIDTH).alias("bucket"),
+                    )
+                    for r in range(CMS_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(row, bucket, c_whole, c_merged): whole-corpus CMS counters vs
+    the counter-SUM merge of the two doc-half sketches. The count-min
+    sketch is linear in the stream, so + is the merge and every counter
+    agrees exactly."""
+    stream = doc_terms(spark, sf_dir, 1)
+    whole = _cms_counters(stream).withColumnRenamed("cnt", "c_whole")
+    halves = [
+        _cms_counters(stream.filter(F.col("docno") % 2 == p))
+        for p in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("c_merged"))
+    )
+    return (
+        whole.join(merged, ["row", "bucket"], "full")
+        .select(
+            "row",
+            "bucket",
+            F.coalesce("c_whole", F.lit(0)).cast("long").alias("c_whole"),
+            F.coalesce("c_merged", F.lit(0)).cast("long").alias("c_merged"),
+        )
+    )
+
+
+def _duck_cms_merged() -> str:
+    cell = (
+        "SELECT CAST(r AS BIGINT) AS row, "
+        f"{_duck_h('term', 'CAST(r AS VARCHAR)', CMS_WIDTH)} AS bucket, "
+        "count(*) AS cnt FROM {src}, rows GROUP BY 1, 2"
+    )
+    return f"""
+WITH stream AS MATERIALIZED ({duck_doc_terms(1)}),
+     rows(r) AS (SELECT unnest(generate_series(0, {CMS_ROWS - 1}))),
+     whole AS ({cell.format(src='stream')}),
+     h0 AS ({cell.format(src='(SELECT * FROM stream WHERE docno % 2 = 0)')}),
+     h1 AS ({cell.format(src='(SELECT * FROM stream WHERE docno % 2 = 1)')}),
+     merged AS (SELECT row, bucket, sum(cnt) AS c_merged
+                FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+                GROUP BY row, bucket)
+SELECT coalesce(w.row, m.row) AS row,
+       coalesce(w.bucket, m.bucket) AS bucket,
+       CAST(coalesce(w.cnt, 0) AS BIGINT) AS c_whole,
+       CAST(coalesce(m.c_merged, 0) AS BIGINT) AS c_merged
+FROM whole w FULL JOIN merged m ON m.row = w.row AND m.bucket = w.bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sketch_hll_registers": QuerySpec(
         fn=hll_registers,
@@ -310,6 +454,22 @@ QUERIES: dict[str, QuerySpec] = {
         "correction — portable md5 hash family makes the registers and "
         "the estimate cross-engine deterministic; build is one "
         "combinable max-per-register aggregate",
+    ),
+    "sketch_hll_merged": QuerySpec(
+        fn=hll_merged,
+        oracle=_duck_hll_merged(),
+        note="HLL mergeability proof: whole-corpus registers vs the "
+        "register-max merge of two half-corpus sketches — max is "
+        "associative AND idempotent, so sketches built per partition/"
+        "day combine exactly; every row equal, oracle-checked",
+    ),
+    "sketch_cms_merged": QuerySpec(
+        fn=cms_merged,
+        oracle=_duck_cms_merged(),
+        note="CMS mergeability proof: whole-corpus counters vs the "
+        "counter-sum merge of two half-corpus sketches — the sketch is "
+        "linear in the stream, so + is the distributed combine; every "
+        "counter equal, oracle-checked",
     ),
     "sketch_kmv_distinct": QuerySpec(
         fn=kmv_distinct,

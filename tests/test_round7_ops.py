@@ -244,3 +244,66 @@ def test_minhash_estimate_error_properties(spark, sf_dir):
         assert r.abs_err_ppm == abs(r.jacc_true_ppm - r.jacc_est_ppm)
         if r.jacc_true_ppm == 1_000_000:
             assert r.jacc_est_ppm == 1_000_000
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Upgrade the skew POSTURE (conf is on) to an OBSERVATION: build a
+    Zipf-shaped join — one key owns half the probe side, the miniature
+    of the token x vocab shuffle — with the skew thresholds scaled to
+    test size, and assert AQE actually re-splits the hot partition
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the executed
+    plan). This is the mechanism SCALE.md's DSIR/surprisal posture
+    relies on at 100 TB."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("the"))
+            .otherwise(F.concat(F.lit("w"), (F.col("id") % 5000).cast("string")))
+            .alias("w"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(5001).select(
+            F.when(F.col("id") == 5000, F.lit("the"))
+            .otherwise(F.concat(F.lit("w"), F.col("id").cast("string")))
+            .alias("w"),
+            (F.col("id") * 2).alias("cnt"),
+        )
+        j = left.join(right, "w").groupBy().agg(
+            F.sum("payload").alias("p"), F.sum("cnt").alias("c")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+        assert "AQEShuffleRead skewed" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_sketch_merge_laws_hold_exactly(spark, sf_dir):
+    """The merge proofs must actually prove: every HLL register and
+    every CMS counter agrees between the whole-corpus sketch and the
+    merge of the half sketches, and both relations are non-trivial."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.sketches_queries import (
+        cms_merged,
+        hll_merged,
+    )
+
+    h = hll_merged(spark, sf_dir).collect()
+    assert h and any(r.m_whole > 0 for r in h)
+    assert all(r.m_whole == r.m_merged for r in h)
+    c = cms_merged(spark, sf_dir).collect()
+    assert c and any(r.c_whole > 0 for r in c)
+    assert all(r.c_whole == r.c_merged for r in c)
