@@ -126,6 +126,11 @@ CHANGED_THIS_ROUND = frozenset(
         # math, new code path; knn_ivfpq_adc serves from those codes
         "embedding_pq_codes",
         "knn_ivfpq_adc",
+        # r7 late: tf compression on the token-x-vocab joins (floor
+        # once per (doc, term), weight by tf — arithmetic-equal,
+        # parity-proven against the UNCHANGED oracles)
+        "knn_ivf_filtered",
+        "text_quality_by_source",
     }
 )
 

@@ -810,9 +810,18 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
         F.explode("toks").alias("w"),
     )
-    wc = tok.groupBy("w").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    # tf compression (r7): every occurrence of a (doc, term) pair has
+    # the IDENTICAL per-token LLR, so floor once and weight by tf —
+    # exactly equal to summing per-occurrence floors, but the skewed
+    # word-keyed JOIN now carries doc x distinct-term rows instead of
+    # raw occurrences. The Zipf head ("the" = percent-scale of a 100 TB
+    # stream) compresses by its in-doc tf; the extra (doc_id, w)
+    # aggregate shuffles on a skew-free composite key. Oracle unchanged
+    # — the equivalence is arithmetic, and parity proves it.
+    tfs = tok.groupBy("doc_id", "is_t", "w").agg(F.count("*").alias("tf"))
+    wc = tfs.groupBy("w").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("ct"),
     )
     tot = wc.agg(
         F.sum("cr").cast("double").alias("tr"),
@@ -828,13 +837,13 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        tok.join(wc, "w")
+        tfs.join(wc, "w")
         .crossJoin(F.broadcast(tot))  # bounded: 1-row totals
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             F.floor(
-                F.sum(llr_micro) / F.count("*") + F.lit(0.5)
+                F.sum(F.col("tf") * llr_micro) / F.sum("tf") + F.lit(0.5)
             )
             .cast("long")
             .alias("importance_ppm"),

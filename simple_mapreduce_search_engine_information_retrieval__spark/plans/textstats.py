@@ -269,18 +269,23 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .indexing import doc_terms
 
     dt = doc_terms(spark, sf_dir, 1)
-    wc = dt.groupBy("term").agg(F.count("*").alias("cnt"))
+    # tf compression (r7): identical per-token surprisal within a
+    # (doc, term) pair — floor once, weight by tf; the skewed term join
+    # carries doc x distinct-term rows, not raw occurrences (see
+    # importance_weights for the full argument; oracle unchanged)
+    tfs = dt.groupBy("docno", "term").agg(F.count("*").alias("tf"))
+    wc = tfs.groupBy("term").agg(F.sum("tf").alias("cnt"))
     tot = wc.agg(F.sum("cnt").cast("double").alias("tot"))
     micro = F.floor(
         -F.log(F.col("cnt") / F.col("tot")) * 1e6 + F.lit(0.5)
     ).cast("long")
     return (
-        dt.join(wc, "term")
+        tfs.join(wc, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("docno")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.floor(F.sum(micro) / F.count("*") + F.lit(0.5))
+            F.sum("tf").alias("n_tokens"),
+            F.floor(F.sum(F.col("tf") * micro) / F.sum("tf") + F.lit(0.5))
             .cast("long")
             .alias("mean_surprisal_ppm"),
         )
@@ -309,34 +314,34 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.select(
         "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
     )
+    # tf compression (r7): per-(doc, bigram) surprisal is identical
+    # across repeats — floor once, weight by tf (see importance_weights)
+    dbt = db.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
     wc = (
         docs.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cw"))
     )
-    bc = db.groupBy("g").agg(F.count("*").alias("cg"))
+    bc = dbt.groupBy("g").agg(F.sum("tf").alias("cg"))
     v = wc.agg(F.count("*").cast("double").alias("nv"))
+    micro = F.floor(
+        -F.log(
+            (F.col("cg") + BIGRAM_ALPHA)
+            / (F.col("cw") + BIGRAM_ALPHA * F.col("nv"))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
     return (
-        db.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        dbt.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
         .join(bc, "g")
         .join(wc.select(F.col("w").alias("w1"), "cw"), "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("tf").alias("n_bigrams"),
             F.floor(
-                F.sum(
-                    F.floor(
-                        -F.log(
-                            (F.col("cg") + BIGRAM_ALPHA)
-                            / (F.col("cw") + BIGRAM_ALPHA * F.col("nv"))
-                        )
-                        * 1e6
-                        + F.lit(0.5)
-                    ).cast("long")
-                )
-                / F.count("*")
-                + F.lit(0.5)
+                F.sum(F.col("tf") * micro) / F.sum("tf") + F.lit(0.5)
             )
             .cast("long")
             .alias("mean_surprisal_ppm"),
@@ -408,13 +413,21 @@ def backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cw").cast("double").alias("n"),
         F.count("*").cast("double").alias("v"),
     )
-    eb = ev.select(
-        "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
-    ).select(
-        "doc_id",
-        "g",
-        F.split(F.col("g"), " ").getItem(0).alias("w1"),
-        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    # tf compression (r7): per-(doc, bigram) score is identical across
+    # repeats — floor once, weight by tf (see importance_weights)
+    eb = (
+        ev.select(
+            "doc_id", F.explode(kgrams_col(F.col("toks"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "doc_id",
+            "g",
+            "tf",
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
     )
     score = F.when(
         F.col("cg").isNotNull(),
@@ -432,8 +445,8 @@ def backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))  # bounded: 1-row totals
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.floor(F.sum(micro) / F.count("*") + F.lit(0.5))
+            F.sum("tf").alias("n_bigrams"),
+            F.floor(F.sum(F.col("tf") * micro) / F.sum("tf") + F.lit(0.5))
             .cast("long")
             .alias("mean_logscore_ppm"),
         )
