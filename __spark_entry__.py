@@ -128,9 +128,12 @@ CHANGED_THIS_ROUND = frozenset(
         "knn_ivfpq_adc",
         # r7 late: tf compression on the token-x-vocab joins (floor
         # once per (doc, term), weight by tf — arithmetic-equal,
-        # parity-proven against the UNCHANGED oracles)
-        "knn_ivf_filtered",
-        "text_quality_by_source",
+        # parity-proven against the UNCHANGED oracles). The DSIR /
+        # surprisal rows are already listed above; knn_ivf_filtered and
+        # text_backoff_lm_score are brand-new this round, so they sit
+        # in the never-checked bucket without an entry here. The
+        # filtered-ANN cell-assignment narrowing is output-identical
+        # and its query is likewise never-checked.
     }
 )
 
