@@ -261,6 +261,99 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_vector_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR-INDEX maintenance, driver-checked — the third
+    leg of the maintenance triad (inverted index, dedup store, ANN
+    store): build the base-only IVF store batch-side, stream the delta
+    vectors through the foreachBatch frozen-codebook ingest
+    (streaming/jobs.py::incremental_vector_ingest, one file per
+    micro-batch), then serve a top-k query from the accumulated store.
+    Must equal the in-session plan that assigns the WHOLE corpus under
+    the same frozen base codebook — the contract that keeps a 100 TB
+    vector index fresh per ingest epoch without retraining or touching
+    base partitions."""
+    import os
+    import shutil
+
+    from ..streaming.jobs import incremental_vector_ingest
+    from .similarity import (
+        DELTA_MOD,
+        QUERY_VEC_ID,
+        query_ivf_store,
+        write_ivf_store,
+    )
+    from .sinks_sources import _out_path
+
+    store = _out_path("vec_ingest_store", sf_dir)
+    split = _out_path("vec_ingest_splits", sf_dir)
+    for p in (store, split):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    emb = table(spark, sf_dir, "embeddings")
+    write_ivf_store(
+        spark, sf_dir, store, where=F.col("vec_id") % DELTA_MOD != 0
+    )
+    (
+        emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+        .repartitionByRange(2, "vec_id")
+        .write.parquet(split)
+    )
+    emb_stream = (
+        spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split)
+    )
+    incremental_vector_ingest(spark, emb_stream, store)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).head().embedding
+    ]
+    return query_ivf_store(
+        spark, store, qvec, where=F.col("vec_id") != QUERY_VEC_ID
+    )
+
+
+def _duck_streaming_vector_ingest() -> str:
+    from .similarity import (
+        DELTA_MOD,
+        K_TARGET,
+        NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        _duck_cos,
+    )
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % {DELTA_MOD} != 0),
+     n AS (SELECT greatest(count(*) // {K_TARGET}, 1) AS stride FROM base),
+     cents AS (SELECT vec_id AS cent_id, embedding AS cvec
+               FROM base, n WHERE vec_id % n.stride = 0),
+     pairs AS (SELECT e.vec_id, c.cent_id,
+                      {_duck_cos('e.embedding', 'c.cvec')} AS sim
+               FROM embeddings e CROSS JOIN cents c),
+     cells AS (SELECT vec_id,
+                      CAST(-(max({{'s': sim, 'nc': -cent_id}})['nc']) AS BIGINT)
+                        AS cell
+               FROM pairs GROUP BY vec_id),
+     q AS (SELECT embedding AS qvec FROM embeddings
+           WHERE vec_id = {QUERY_VEC_ID}),
+     probes AS (SELECT cent_id AS cell FROM cents, q
+                ORDER BY {_duck_cos('cvec', 'q.qvec')} DESC, cent_id
+                LIMIT {NPROBE})
+SELECT e.vec_id, round({_duck_cos('e.embedding', 'q.qvec')}, 6) AS cos
+FROM embeddings e
+JOIN cells USING (vec_id)
+JOIN probes ON cells.cell = probes.cell
+CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
 def _streaming_near_dup_oracle() -> str:
     from .dedup import _duck_near_dups
 
@@ -399,6 +492,15 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_postings_flat(1),
         note="foreachBatch LSM index maintenance drained as a stream; "
         "served postings vs the batch inverted-index oracle",
+    ),
+    "streaming_vector_ingest": QuerySpec(
+        fn=streaming_vector_ingest,
+        oracle=_duck_streaming_vector_ingest(),
+        note="foreachBatch frozen-codebook ANN ingest drained as a "
+        "stream (exactly-once per epoch via checkpoint replay + dynamic "
+        "partition overwrite); served top-k vs the monolithic "
+        "base-codebook assignment oracle — the maintenance triad's "
+        "third leg",
     ),
     "streaming_interval_join": QuerySpec(
         fn=interval_join,

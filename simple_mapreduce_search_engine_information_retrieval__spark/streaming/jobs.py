@@ -330,6 +330,48 @@ def read_incremental_index(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def incremental_vector_ingest(
+    spark: SparkSession, emb_stream: DataFrame, store_path: str
+) -> None:
+    """Streaming ANN-index maintenance: micro-batches of new vectors
+    assign against the PERSISTED frozen codebook (never retrained per
+    batch) and land under (cell, ingest=epoch) partitions of an
+    existing `write_ivf_store` layout — the streaming twin of
+    `append_ivf_store` (plans/similarity.py), completing the
+    maintenance triad (index, dedup, vectors). EXACTLY-ONCE: the
+    checkpoint replays a failed epoch with the same epoch_id, and
+    dynamic partition overwrite rewrites that epoch's partitions
+    instead of duplicating them (epoch+1 keeps ingest=0 reserved for
+    the base build). Base partitions are never read or rewritten."""
+    from ..plans.similarity import _ivf_cells, _ivf_pairs
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        cents = spark.read.parquet(f"{store_path}/centroids")
+        cells = _ivf_cells(_ivf_pairs(batch, cents))
+        (
+            batch.join(cells, "vec_id")
+            .withColumn("ingest", F.lit(int(epoch_id) + 1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "ingest")
+            .parquet(f"{store_path}/vectors")
+        )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{store_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        # deregister promptly: Spark 4's checkpoint-in-use guard flags a
+        # follow-up resume as "multiple queries concurrently using" the
+        # location if the drained query lingers in streams.active
+        q.stop()
+
+
 def incremental_near_dups(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -199,3 +199,105 @@ def test_near_dup_store_checkpoint_resume(spark, sf_dir):
         want = minhash_near_dups(spark, sf_dir)
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_vector_ingest_checkpoint_resume(spark, sf_dir):
+    """Kill-and-resume contract for the streaming ANN ingest (the
+    near-dup test's discipline applied to the vector triad leg): ingest
+    one delta file, 'die', resume with the second, restart with nothing
+    new, then forge a mid-epoch crash (store written, checkpoint commit
+    missing) — the served store must equal the in-session frozen-base
+    assignment of the whole corpus after every step, never duplicated."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        DELTA_MOD,
+        QUERY_VEC_ID,
+        TOP_K,
+        _ivf_cells,
+        _ivf_centroids,
+        _ivf_pairs,
+        _ivf_serve,
+        query_ivf_store,
+        write_ivf_store,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.streaming.jobs import (
+        incremental_vector_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        staged, watched, store = f"{tmp}/staged", f"{tmp}/watched", f"{tmp}/store"
+        write_ivf_store(spark, sf, store, where=F.col("vec_id") % DELTA_MOD != 0)
+        (
+            emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+            .repartitionByRange(2, "vec_id")
+            .write.parquet(staged)
+        )
+        parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        assert len(parts) == 2
+        os.makedirs(watched)
+
+        def run():
+            stream = (
+                spark.readStream.schema(
+                    "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(watched)
+            )
+            incremental_vector_ingest(spark, stream, store)
+
+        def served():
+            qvec = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+                .head()
+                .embedding
+            ]
+            return [
+                (r.vec_id, r.cos)
+                for r in query_ivf_store(
+                    spark, store, qvec,
+                    where=F.col("vec_id") != QUERY_VEC_ID,
+                ).collect()
+            ]
+
+        shutil.copy(f"{staged}/{parts[0]}", f"{watched}/{parts[0]}")
+        run()  # epoch 0 lands, then the job "dies"
+        shutil.copy(f"{staged}/{parts[1]}", f"{watched}/{parts[1]}")
+        run()  # resume: only the new file is processed
+        want_rows = emb.count()
+        assert spark.read.parquet(f"{store}/vectors").count() == want_rows
+        base_cents = _ivf_centroids(emb.filter(F.col("vec_id") % DELTA_MOD != 0))
+        all_cells = _ivf_cells(_ivf_pairs(emb, base_cents))
+        want = [
+            (r.vec_id, r.cos)
+            for r in _ivf_serve(emb, base_cents, all_cells).collect()
+        ][:TOP_K]
+        assert served() == want
+        # pure restart with nothing new: byte-stable
+        run()
+        assert spark.read.parquet(f"{store}/vectors").count() == want_rows
+        # forge a mid-epoch crash: drop the LAST checkpoint commit
+        # marker so resume replays that epoch over its own committed
+        # output — dynamic partition overwrite must dedupe, not append
+        commits = f"{store}/_checkpoint/commits"
+        last = sorted(
+            f for f in os.listdir(commits) if not f.startswith(".")
+        )[-1]
+        os.remove(f"{commits}/{last}")
+        crc = f"{commits}/.{last}.crc"  # Hadoop local-FS shadow
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        assert spark.read.parquet(f"{store}/vectors").count() == want_rows
+        assert served() == want
