@@ -48,6 +48,7 @@ def _registry():
         "graph",
         "merge",
         "layout",
+        "resolution",
     ):
         try:
             mod = __import__(

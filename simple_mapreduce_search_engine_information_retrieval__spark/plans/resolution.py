@@ -1,0 +1,336 @@
+"""Entity resolution & hyperplane-LSH similarity — the candidate-
+generation/verify family beyond MinHash.
+
+Two operators a 100 TB training-data pipeline needs that the existing
+dedup catalog does not cover:
+
+- ``dedup_record_linkage``: fuzzy record linkage (token blocking +
+  edit-distance verify) over a string-keyed entity column. The classic
+  entity-resolution shape: collapse records to the DISTINCT value
+  dictionary first (records >> distinct names, Heaps-style), block the
+  dictionary by shared token, verify candidates with JVM-side
+  ``levenshtein`` — never an N^2 over records.
+- ``embedding_srp_lsh_pairs``: sign-random-projection (hyperplane) LSH
+  over the embedding column — the COSINE analog of the MinHash band
+  index (Charikar's SimHash for real vectors). Signature pass is a
+  zero-shuffle projection; candidate generation is one (band, bucket)
+  self-join; verification is exact cosine on the candidate residue.
+
+Scale notes (100 TB):
+- record linkage: the distinct-name dictionary is the only relation the
+  pair join ever sees; token blocking bounds candidates by per-token
+  bucket size (the knob a production run censuses first — the
+  ``diag_key_skew`` discipline applies to the blocking key too, and a
+  stopword-ish token cap is the standard guard).
+- SRP: one narrow scan computes all 64 signature bits as integer dot
+  products (micro-unit components x integer hyperplane weights — every
+  partial value is an integer < 2^53, so the fold is exact in either
+  engine and in any order); the only shuffle is the (band, bucket)
+  self-join whose blow-up is bounded by bucket selectivity, exactly
+  like the MinHash band join. For >512-dim vectors the signature
+  projection swaps to a mapInPandas BLAS matmul (same contract), per
+  the documented similarity.py pattern.
+
+Fixture honesty: the synthetic embeddings are near-orthogonal (measured
+max pairwise cosine 0.513 at sf0.01), so the high-similarity regime
+hyperplane LSH is designed for does not occur naturally. Following the
+``pii_scrub`` precedent (fixture lacks the phenomenon -> assemble it
+deterministically in-query, identically in both engines), the query
+seeds SRP_N_CLONES perturbed near-duplicate clones (first component
+x1.01, IEEE-exact in both engines) and finds them back. The amplification
+math is documented on the operator; a companion test measures recall
+against the exact pair list.
+
+Reference parity note: the reference engine has no fuzzy-match or
+vector operators at all (its closest surface is the k-gram wildcard
+index, `sa/edu/kaust/TermKGramDocIndexer.java`); both operators are
+beyond-reference pipeline components per the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+from . import QuerySpec
+
+# --- record linkage ------------------------------------------------------
+
+LINKAGE_MAX_LEV = 2  # verify threshold: near-identical entity names
+
+
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, lev, recs_a, recs_b): distinct part-name pairs
+    within edit distance LINKAGE_MAX_LEV, found via token blocking.
+
+    Stage 1 collapses the record stream to the distinct-name dictionary
+    (one combinable groupBy — the only full-table pass). Stage 2 blocks
+    the dictionary on shared whitespace tokens (an edit of <=2 chars in
+    a multi-word name leaves at least one token intact, so token
+    blocking loses no pair whose words are >2 chars apart in only one
+    word). Stage 3 verifies with levenshtein — builtin, JVM-side,
+    identical DP semantics in DuckDB."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_recs"))
+    )
+    toks = names.select(
+        "p_name", F.explode(F.split(F.col("p_name"), " ")).alias("token")
+    )
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"), "token")
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    verified = cand.filter(lev <= LINKAGE_MAX_LEV).select(
+        "name_a", "name_b", lev.cast("long").alias("lev")
+    )
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_recs").alias("recs_a")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_recs").alias("recs_b")
+    )
+    return verified.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "lev", "recs_a", "recs_b"
+    )
+
+
+DUCK_RECORD_LINKAGE = f"""
+WITH names AS (SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name),
+     toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS token
+              FROM names),
+     cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+              FROM toks a JOIN toks b USING (token)
+              WHERE a.p_name < b.p_name),
+     verified AS (SELECT name_a, name_b,
+                         CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+                  FROM cand
+                  WHERE levenshtein(name_a, name_b) <= {LINKAGE_MAX_LEV})
+SELECT v.name_a, v.name_b, v.lev,
+       na.n_recs AS recs_a, nb.n_recs AS recs_b
+FROM verified v
+JOIN names na ON na.p_name = v.name_a
+JOIN names nb ON nb.p_name = v.name_b
+"""
+
+
+# --- sign-random-projection (hyperplane) LSH -----------------------------
+
+SRP_DIM = 64  # embedding dimensionality (fixture contract)
+SRP_BITS = 64  # signature length
+SRP_BANDS = 8  # 8 bands x 8 rows
+SRP_ROWS = SRP_BITS // SRP_BANDS
+SRP_VERIFY_COS = 0.95  # exact-cosine verify threshold
+SRP_N_CLONES = 25  # seeded near-duplicate clones (vec_id < this)
+SRP_CLONE_OFFSET = 1_000_000  # clone vec_id = original + offset
+MICRO = 1_000_000  # micro-unit scale for the integer signature math
+
+# Amplification math for this geometry (p = 1 - theta/pi per bit):
+#   cos 0.999 (the seeded clones): p≈0.9899, band hit p^8≈0.922,
+#     P(any of 8 bands) ≈ 1 - (1-0.922)^8 ≈ 1 - 1.4e-9  -> found
+#   cos 0.0   (the near-orthogonal bulk): p=0.5, band hit 0.0039,
+#     P(candidate) ≈ 1 - 0.9961^8 ≈ 0.031  -> ~3% of pairs verified
+# i.e. the S-curve separates the clone regime from the noise floor by
+# ~9 orders of magnitude — the regime LSH is built for. At the fixture's
+# max natural cosine (0.513, p≈0.658) the candidate probability is only
+# ~0.26: hyperplane LSH genuinely cannot cheaply separate 0.5 from 0.0
+# (the rho = ln(1/p1)/ln(1/p2) bound), which is WHY the verify threshold
+# sits at 0.95 and the natural bulk never reaches the output.
+
+
+def _srp_weights() -> list[list[int]]:
+    """Deterministic integer hyperplane components in [-1000, 1000],
+    derived from md5 so the table regenerates identically anywhere (the
+    Efraimidis-Spirakis md5-uniform precedent from pipeline.py)."""
+    out = []
+    for j in range(SRP_BITS):
+        row = []
+        for i in range(SRP_DIM):
+            h = int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001) - 1000)
+        out.append(row)
+    return out
+
+
+_W = _srp_weights()
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as double vectors, plus the seeded perturbed clones."""
+    emb = table(spark, sf_dir, "embeddings")
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vecd.alias("vecd"))
+    clone_vec = F.concat(
+        F.array(F.element_at(F.col("embedding"), 1).cast("double") * F.lit(1.01)),
+        F.transform(
+            F.slice(F.col("embedding"), 2, SRP_DIM - 1), lambda x: x.cast("double")
+        ),
+    )
+    clones = emb.filter(F.col("vec_id") < SRP_N_CLONES).select(
+        (F.col("vec_id") + SRP_CLONE_OFFSET).alias("vec_id"),
+        clone_vec.alias("vecd"),
+    )
+    return base.union(clones)
+
+
+def _srp_bands(aug: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — zero-shuffle signature projection.
+
+    dots[j] = sum_i floor(v_i*1e6 + 0.5) * W[j][i] as LONG arithmetic:
+    every term and partial sum is an integer (|term| <= ~6e8, |sum| <=
+    ~4e10 < 2^53), so the fold is exact and order-independent — the
+    micro-unit discipline applied to a dot product."""
+    w_lit = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in row]) for row in _W]
+    )
+    vm = F.transform(
+        F.col("vecd"), lambda x: F.floor(x * MICRO + F.lit(0.5)).cast("long")
+    )
+    sig = aug.select("vec_id", vm.alias("vm")).select(
+        "vec_id",
+        F.transform(
+            w_lit,
+            lambda w: F.aggregate(
+                F.zip_with(F.col("vm"), w, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("dots"),
+    )
+
+    def bucket(b: int) -> Column:
+        return F.aggregate(
+            F.slice(F.col("dots"), b * SRP_ROWS + 1, SRP_ROWS),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc * 2 + F.when(d >= 0, 1).otherwise(0),
+        )
+
+    sig = sig.select(
+        "vec_id", *[bucket(b).alias(f"bucket{b}") for b in range(SRP_BANDS)]
+    )
+    stack_args = ", ".join(f"{b}, bucket{b}" for b in range(SRP_BANDS))
+    return sig.select(
+        "vec_id",
+        F.expr(f"stack({SRP_BANDS}, {stack_args}) AS (band, bucket)"),
+    ).select("vec_id", F.col("band").cast("long"), "bucket")
+
+
+def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos): hyperplane-LSH candidate pairs verified at
+    exact cosine >= SRP_VERIFY_COS. On the fixture this recovers the
+    seeded (original, clone) pairs; the natural near-orthogonal bulk is
+    generated at the documented ~3% candidate rate and then rejected by
+    the verify — the precision leg of the LSH contract."""
+    aug = _augmented(spark, sf_dir)
+    bands = _srp_bands(aug)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = aug.select(F.col("vec_id").alias("id_a"), F.col("vecd").alias("va"))
+    vb = aug.select(F.col("vec_id").alias("id_b"), F.col("vecd").alias("vb"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(dot(F.col("va"), F.col("va")))
+            * F.sqrt(dot(F.col("vb"), F.col("vb")))
+        ),
+        6,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= SRP_VERIFY_COS)
+    )
+
+
+def _duck_srp() -> str:
+    w_rows = ", ".join(
+        "[" + ", ".join(f"{x}e0" for x in row) + "]" for row in _W
+    )
+    band_selects = []
+    for b in range(SRP_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN dots[{b * SRP_ROWS + r + 1}] >= 0 "
+            f"THEN {1 << (SRP_ROWS - 1 - r)} ELSE 0 END)"
+            for r in range(SRP_ROWS)
+        )
+        band_selects.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"CAST({terms} AS BIGINT) AS bucket FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    dcos = (
+        "(list_dot_product(a.vecd, b.vecd) / "
+        "(sqrt(list_dot_product(a.vecd, a.vecd)) * "
+        "sqrt(list_dot_product(b.vecd, b.vecd))))"
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SRP_CLONE_OFFSET},
+         [CAST(embedding[1] AS DOUBLE) * 1.01e0]
+           || list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id < {SRP_N_CLONES}
+),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform([{w_rows}],
+                        w -> list_dot_product(
+                               list_transform(vecd,
+                                              x -> floor(x * {MICRO} + 0.5)),
+                               w)) AS dots
+  FROM aug
+),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y USING (band, bucket)
+  WHERE x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round({dcos}, 6) AS cos
+FROM cand
+JOIN aug a ON a.vec_id = cand.id_a
+JOIN aug b ON b.vec_id = cand.id_b
+WHERE round({dcos}, 6) >= {SRP_VERIFY_COS}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_record_linkage": QuerySpec(
+        fn=record_linkage,
+        oracle=DUCK_RECORD_LINKAGE,
+        note="token-blocked fuzzy record linkage over the distinct "
+        "entity-name dictionary, levenshtein-verified — entity "
+        "resolution without an N^2 over records",
+    ),
+    "embedding_srp_lsh_pairs": QuerySpec(
+        fn=srp_lsh_pairs,
+        oracle=_duck_srp(),
+        note="sign-random-projection (hyperplane) LSH over embeddings "
+        "with exact-cosine verify — the cosine analog of the MinHash "
+        "band index; integer micro-unit signature math, seeded "
+        "near-dup clones exercise the high-similarity regime",
+    ),
+}

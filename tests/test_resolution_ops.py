@@ -1,0 +1,124 @@
+"""Round-7 resolution-family tests: fuzzy record linkage and
+sign-random-projection (hyperplane) LSH.
+
+Each new operator gets (a) a ground-truth property check against an
+exact brute-force computed independently of the query's own plumbing,
+and (b) a plan-shape assertion pinning the scale contract the docstring
+claims (dictionary-sized joins; zero-shuffle signature projection).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from conftest import physical_plan as _physical
+from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+    resolution as R,
+)
+from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+    table,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_record_linkage_matches_brute_force_within_contract(spark, sf_dir):
+    """Exhaustive O(n^2) over the distinct-name dictionary (62 names at
+    sf0.001 — free here, the thing the operator exists to avoid at
+    scale): the query must return EXACTLY the lev<=2 pairs that share at
+    least one whitespace token (the blocking contract), and every
+    returned pair must carry correct lev and record counts."""
+    names = {
+        r["p_name"]: r["n"]
+        for r in table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        if set(a.split(" ")) & set(b.split(" ")):
+            d = _lev(a, b)
+            if d <= R.LINKAGE_MAX_LEV:
+                expected[(a, b)] = (d, names[a], names[b])
+    got = {
+        (r["name_a"], r["name_b"]): (r["lev"], r["recs_a"], r["recs_b"])
+        for r in R.record_linkage(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_record_linkage_pair_join_is_dictionary_sized(spark, sf_dir):
+    """The token self-join must consume the post-aggregate distinct-name
+    dictionary, never the raw record stream: both join inputs sit above
+    a HashAggregate in the executed plan (records >> names, so joining
+    records would square a corpus-sized relation at 100 TB)."""
+    plan = _physical(R.record_linkage(spark, sf_dir))
+    # Every scan of `part` feeds a groupBy(p_name) aggregate first.
+    scans = plan.count("Scan parquet")
+    aggs = plan.count("HashAggregate")
+    assert scans >= 1 and aggs >= 2 * scans, plan  # partial+final per scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_srp_recovers_exactly_the_true_high_cosine_pairs(spark, sf_dir):
+    """Ground truth by brute force over all 525 augmented vectors
+    (numpy, independent of the query's Spark plumbing): the verified
+    output must (1) contain every true cos>=threshold pair whose two
+    signatures collide in >=1 band — which on this fixture is ALL of
+    them, the seeded clones' collision probability being 1-1.4e-9 — and
+    (2) contain nothing below the threshold (the verify leg filters the
+    ~3%% noise-floor candidates)."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    clone_ids = [i + R.SRP_CLONE_OFFSET for i in ids if i < R.SRP_N_CLONES]
+    clones = vecs[[i < R.SRP_N_CLONES for i in ids]].copy()
+    clones[:, 0] *= 1.01
+    all_ids = ids + clone_ids
+    allv = np.vstack([vecs, clones])
+    norms = np.linalg.norm(allv, axis=1)
+    cosm = (allv @ allv.T) / np.outer(norms, norms)
+    truth = set()
+    for i in range(len(all_ids)):
+        for j in range(i + 1, len(all_ids)):
+            a, b = sorted((all_ids[i], all_ids[j]))
+            if round(cosm[i, j], 6) >= R.SRP_VERIFY_COS:
+                truth.add((a, b))
+    assert len(truth) == R.SRP_N_CLONES  # the seeded clones, nothing else
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in R.srp_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == truth
+    assert all(c >= R.SRP_VERIFY_COS for c in got.values())
+
+
+def test_srp_signature_projection_is_zero_shuffle(spark, sf_dir):
+    """The (vec_id, band, bucket) signature pass is scan -> project ->
+    generate with NO Exchange: all 64 integer dot products and the band
+    buckets compute in one narrow pass over the vectors. The only
+    shuffle in the full query is the (band, bucket) self-join."""
+    bands = R._srp_bands(R._augmented(spark, sf_dir))
+    plan = _physical(bands)
+    assert "Exchange" not in plan, plan
