@@ -49,6 +49,7 @@ def _registry():
         "merge",
         "layout",
         "resolution",
+        "mining",
     ):
         try:
             mod = __import__(

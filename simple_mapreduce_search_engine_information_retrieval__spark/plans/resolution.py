@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import table
@@ -183,46 +183,45 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.union(clones)
 
 
-def _srp_bands(aug: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket) — zero-shuffle signature projection.
+def _srp_band_partials(it):
+    """mapInPandas kernel: all {SRP_BITS} signature bits per vector in
+    ONE int64 numpy matmul. dots = floor(v*1e6 + 0.5) @ W.T with every
+    term and partial an integer (|term| <= ~6e8, |sum| <= ~4e10 < 2^53),
+    so the result is exact and order-independent — the micro-unit
+    discipline applied to a dot product, vectorized. (The equivalent
+    64×64 higher-order-function expression tree evaluates interpreted
+    element-at-a-time and benched 14.8 s at sf0.1 vs <1 s here; the
+    DuckDB oracle keeps the expression form — identical integers.)"""
+    import numpy as np
+    import pandas as pd
 
-    dots[j] = sum_i floor(v_i*1e6 + 0.5) * W[j][i] as LONG arithmetic:
-    every term and partial sum is an integer (|term| <= ~6e8, |sum| <=
-    ~4e10 < 2^53), so the fold is exact and order-independent — the
-    micro-unit discipline applied to a dot product."""
-    w_lit = F.array(
-        *[F.array(*[F.lit(x).cast("long") for x in row]) for row in _W]
-    )
-    vm = F.transform(
-        F.col("vecd"), lambda x: F.floor(x * MICRO + F.lit(0.5)).cast("long")
-    )
-    sig = aug.select("vec_id", vm.alias("vm")).select(
-        "vec_id",
-        F.transform(
-            w_lit,
-            lambda w: F.aggregate(
-                F.zip_with(F.col("vm"), w, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        ).alias("dots"),
-    )
-
-    def bucket(b: int) -> Column:
-        return F.aggregate(
-            F.slice(F.col("dots"), b * SRP_ROWS + 1, SRP_ROWS),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc * 2 + F.when(d >= 0, 1).otherwise(0),
+    w = np.array(_W, dtype=np.int64)  # (SRP_BITS, SRP_DIM)
+    pows = 1 << np.arange(SRP_ROWS - 1, -1, -1, dtype=np.int64)
+    bands = np.arange(SRP_BANDS, dtype=np.int64)
+    for pdf in it:
+        if pdf.empty:
+            continue
+        x = np.stack(pdf["vecd"].to_numpy()).astype(np.float64)
+        xm = np.floor(x * MICRO + 0.5).astype(np.int64)
+        bits = (xm @ w.T >= 0).astype(np.int64)  # (n, SRP_BITS)
+        buckets = bits.reshape(-1, SRP_BANDS, SRP_ROWS) @ pows  # (n, BANDS)
+        n = len(pdf)
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), SRP_BANDS),
+                "band": np.tile(bands, n),
+                "bucket": buckets.reshape(-1),
+            }
         )
 
-    sig = sig.select(
-        "vec_id", *[bucket(b).alias(f"bucket{b}") for b in range(SRP_BANDS)]
+
+def _srp_bands(aug: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — zero-shuffle signature projection (one
+    narrow mapInPandas pass; see _srp_band_partials for the exactness
+    argument)."""
+    return aug.mapInPandas(
+        _srp_band_partials, schema="vec_id long, band long, bucket long"
     )
-    stack_args = ", ".join(f"{b}, bucket{b}" for b in range(SRP_BANDS))
-    return sig.select(
-        "vec_id",
-        F.expr(f"stack({SRP_BANDS}, {stack_args}) AS (band, bucket)"),
-    ).select("vec_id", F.col("band").cast("long"), "bucket")
 
 
 def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,18 +241,26 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    va = aug.select(F.col("vec_id").alias("id_a"), F.col("vecd").alias("va"))
-    vb = aug.select(F.col("vec_id").alias("id_b"), F.col("vecd").alias("vb"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # Norms precomputed per VECTOR (N values), not per candidate pair —
+    # the SemDeDup discipline; the pair stage pays one dot, not three.
+    normed = aug.select(
+        "vec_id", "vecd", F.sqrt(dot(F.col("vecd"), F.col("vecd"))).alias("nrm")
+    )
+    va = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vecd").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vecd").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(
-        dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(dot(F.col("va"), F.col("va")))
-            * F.sqrt(dot(F.col("vb"), F.col("vb")))
-        ),
-        6,
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         cand.join(va, "id_a")
