@@ -84,7 +84,12 @@ def margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial per-partition top-k BELOW the shuffle, plan-asserted) that
     collapses to an N_SRC-row broadcast; the tgt-side window partitions
     are bounded at N_SRC rows by construction (each target scores
-    exactly the anchor set)."""
+    exactly the anchor set).
+
+    The scored relation is deliberately recomputed by its two consumers
+    (sum_x branch and margin branch): each pass is a narrow scan +
+    broadcast cross, while materializing corpus×N_SRC rows to save the
+    second pass would cost more than it saves at any scale."""
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -234,7 +239,15 @@ def _gram_partials(it):
             continue
         x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         xm = np.floor(x * MICRO + 0.5).astype(np.int64)
-        gram = xm.T @ xm  # int64-exact: |term| < 2^40, batch < 2^13 rows
+        # int64-exact: |term| < 2^40 and Arrow batches are <= 10k rows
+        # (spark.sql.execution.arrow.maxRecordsPerBatch default),
+        # so every partial stays < 2^54 << 2^63 — asserted, not
+        # assumed, so a future batch-size retune cannot silently wrap
+        assert len(pdf) <= 100_000, (
+            f"Gram batch of {len(pdf)} rows risks int64 overflow; "
+            "keep arrow.maxRecordsPerBatch <= 100k or shard the batch"
+        )
+        gram = xm.T @ xm
         sx = xm.sum(axis=0)
         n = np.int64(len(pdf))
         yield pd.DataFrame(

@@ -231,7 +231,15 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated at the documented ~3% candidate rate and then rejected by
     the verify — the precision leg of the LSH contract."""
     aug = _augmented(spark, sf_dir)
-    bands = _srp_bands(aug)
+    # The band table is consumed by BOTH sides of the self-join —
+    # localCheckpoint it (lazy) so the signature kernel runs ONCE and
+    # the self-join reads the materialized (vec_id, band, bucket) rows
+    # (SRP_BANDS=8 rows of 3 longs — ~192 bytes per vector, still small
+    # next to the 512-byte vectors themselves). Same
+    # durability trade-off as the MinHash band table (dedup.py): blocks
+    # live in executor storage; a spot-instance cluster would swap in
+    # reliable checkpointing.
+    bands = _srp_bands(aug).localCheckpoint(eager=False)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
