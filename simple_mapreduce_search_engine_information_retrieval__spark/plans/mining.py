@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import table
 from . import QuerySpec
+from .similarity import _cos, _micro
 
 # --- margin-criterion bitext mining --------------------------------------
 
@@ -59,12 +60,10 @@ MICRO = 1_000_000
 def _c_ppm(a, b):
     """Cosine in integer micro-units: both engines run the same libm
     ops on identical doubles, then ONE floor — every downstream sum and
-    comparison is integer arithmetic (associative, order-free)."""
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-    )
-    cos = dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
-    return F.floor(cos * MICRO + F.lit(0.5)).cast("long")
+    comparison is integer arithmetic (associative, order-free). Built
+    on similarity.py's shared _cos fold + _micro floor so the
+    dot-product discipline has exactly one definition."""
+    return _micro(_cos(a, b))
 
 
 def margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,13 +129,13 @@ def margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn_y") <= BITEXT_K, F.col("c_ppm")).otherwise(0)
         ).over(Window.partitionBy("tgt_id")),
     )
-    # bounded: N_SRC-row per-anchor k-NN sums
     denom = F.col("sum_x") + F.col("sum_y")  # 2K terms, integer ppm
     margin = F.floor(
         (F.col("c_ppm") * F.lit(2 * BITEXT_K * MICRO)) / F.col("denom")
         + F.lit(0.5)
     ).cast("long")
     pairs = (
+        # bounded: sum_x is the N_SRC-row per-anchor k-NN sum table
         with_y.join(F.broadcast(sum_x), "src_id")
         .withColumn("denom", denom)
         .filter(F.col("denom") > 0)
@@ -239,14 +238,18 @@ def _gram_partials(it):
             continue
         x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         xm = np.floor(x * MICRO + 0.5).astype(np.int64)
-        # int64-exact: |term| < 2^40 and Arrow batches are <= 10k rows
-        # (spark.sql.execution.arrow.maxRecordsPerBatch default),
-        # so every partial stays < 2^54 << 2^63 — asserted, not
-        # assumed, so a future batch-size retune cannot silently wrap
-        assert len(pdf) <= 100_000, (
-            f"Gram batch of {len(pdf)} rows risks int64 overflow; "
-            "keep arrow.maxRecordsPerBatch <= 100k or shard the batch"
-        )
+        # int64-exactness guard on the ACTUAL data (numpy matmul wraps
+        # silently on overflow): worst partial = max|term| * rows must
+        # clear int64 with headroom. At the default 10k-row Arrow
+        # batches and |component| <= ~1 (ppm <= ~1e6, term <= 2^40)
+        # this is < 2^54; the guard survives batch-size retunes,
+        # larger-magnitude fixtures, and `python -O`.
+        m = int(np.abs(xm).max(initial=0))
+        if m * m * len(pdf) >= 1 << 62:
+            raise OverflowError(
+                f"Gram batch ({len(pdf)} rows, max|x_ppm|={m}) would "
+                "overflow int64; lower arrow.maxRecordsPerBatch"
+            )
         gram = xm.T @ xm
         sx = xm.sum(axis=0)
         n = np.int64(len(pdf))
@@ -289,7 +292,13 @@ def covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sp") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
-    den = (F.col("n") * F.col("n")).cast("double") * F.lit(float(MICRO))
+    # square AFTER the double cast: n*n in LONG overflows (ANSI error /
+    # silent wrap) past n ~ 3.04e9 rows, inside the 1e12-row contract
+    den = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(MICRO))
+    )
     return sums.select(
         "i",
         "j",
@@ -321,7 +330,8 @@ sums AS (
 )
 SELECT i, j, CAST(n AS BIGINT) AS n,
        CAST(floor(CAST(n * sp - sx * sy AS DOUBLE)
-                  / (CAST(n * n AS DOUBLE) * {MICRO}.0) + 0.5)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {MICRO}.0)
+                  + 0.5)
             AS BIGINT) AS cov_micro
 FROM sums
 """

@@ -54,12 +54,32 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_cache
 from ..sources.tables import table
 from . import QuerySpec
+from .similarity import _dot, _micro
 
 # --- record linkage ------------------------------------------------------
 
 LINKAGE_MAX_LEV = 2  # verify threshold: near-identical entity names
+
+# Distinct-name dictionary memo: dictionary-sized (Heaps-bounded), read
+# by FOUR consumers (both token-block sides + both count joins) — cache
+# it so the record stream is scanned exactly once per (session, corpus),
+# the _full_bands_cached discipline from dedup.py.
+_names_cache: dict = register_cache({})
+
+
+def _names_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _names_cache:
+        _names_cache[key] = (
+            table(spark, sf_dir, "part")
+            .groupBy("p_name")
+            .agg(F.count("*").alias("n_recs"))
+            .cache()
+        )
+    return _names_cache[key]
 
 
 def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,17 +87,14 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     within edit distance LINKAGE_MAX_LEV, found via token blocking.
 
     Stage 1 collapses the record stream to the distinct-name dictionary
-    (one combinable groupBy — the only full-table pass). Stage 2 blocks
-    the dictionary on shared whitespace tokens (an edit of <=2 chars in
-    a multi-word name leaves at least one token intact, so token
-    blocking loses no pair whose words are >2 chars apart in only one
-    word). Stage 3 verifies with levenshtein — builtin, JVM-side,
-    identical DP semantics in DuckDB."""
-    names = (
-        table(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.count("*").alias("n_recs"))
-    )
+    (one combinable groupBy — the only record-stream pass, memoized and
+    cached so its four consumers read the in-memory dictionary instead
+    of re-deriving it). Stage 2 blocks the dictionary on shared
+    whitespace tokens (an edit of <=2 chars in a multi-word name leaves
+    at least one token intact, so token blocking loses no pair whose
+    words are >2 chars apart in only one word). Stage 3 verifies with
+    levenshtein — builtin, JVM-side, identical DP semantics in DuckDB."""
+    names = _names_cached(spark, sf_dir)
     toks = names.select(
         "p_name", F.explode(F.split(F.col("p_name"), " ")).alias("token")
     )
@@ -130,7 +147,7 @@ SRP_DIM = 64  # embedding dimensionality (fixture contract)
 SRP_BITS = 64  # signature length
 SRP_BANDS = 8  # 8 bands x 8 rows
 SRP_ROWS = SRP_BITS // SRP_BANDS
-SRP_VERIFY_COS = 0.95  # exact-cosine verify threshold
+SRP_VERIFY_PPM = 950_000  # exact-cosine verify threshold (0.95 in ppm)
 SRP_N_CLONES = 25  # seeded near-duplicate clones (vec_id < this)
 SRP_CLONE_OFFSET = 1_000_000  # clone vec_id = original + offset
 MICRO = 1_000_000  # micro-unit scale for the integer signature math
@@ -224,22 +241,36 @@ def _srp_bands(aug: DataFrame) -> DataFrame:
     )
 
 
+# SRP band-table memo: the persisted hyperplane index a real system
+# builds once and probes per query — the _full_bands_cached discipline
+# from dedup.py. The signature kernel runs ONCE per (session, corpus);
+# both sides of every self-join read the cached (vec_id, band, bucket)
+# rows (SRP_BANDS=8 rows of 3 longs — ~192 bytes per vector, still
+# small next to the 512-byte vectors themselves), and caches.evict()
+# can release the blocks.
+_srp_bands_cache: dict = register_cache({})
+
+
+def _srp_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _srp_bands_cache:
+        _srp_bands_cache[key] = _srp_bands(
+            _augmented(spark, sf_dir)
+        ).cache()
+    return _srp_bands_cache[key]
+
+
 def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, cos): hyperplane-LSH candidate pairs verified at
-    exact cosine >= SRP_VERIFY_COS. On the fixture this recovers the
-    seeded (original, clone) pairs; the natural near-orthogonal bulk is
-    generated at the documented ~3% candidate rate and then rejected by
-    the verify — the precision leg of the LSH contract."""
+    """(id_a, id_b, cos_ppm): hyperplane-LSH candidate pairs verified
+    at exact cosine >= SRP_VERIFY_PPM micro-units (integer micro-unit
+    rendering per the driver canon — a round(x, 6) DOUBLE output would
+    ride each engine's own rounding mode on a knife edge). On the
+    fixture this recovers the seeded (original, clone) pairs; the
+    natural near-orthogonal bulk is generated at the documented ~3%
+    candidate rate and then rejected by the verify — the precision leg
+    of the LSH contract."""
     aug = _augmented(spark, sf_dir)
-    # The band table is consumed by BOTH sides of the self-join —
-    # localCheckpoint it (lazy) so the signature kernel runs ONCE and
-    # the self-join reads the materialized (vec_id, band, bucket) rows
-    # (SRP_BANDS=8 rows of 3 longs — ~192 bytes per vector, still small
-    # next to the 512-byte vectors themselves). Same
-    # durability trade-off as the MinHash band table (dedup.py): blocks
-    # live in executor storage; a spot-instance cluster would swap in
-    # reliable checkpointing.
-    bands = _srp_bands(aug).localCheckpoint(eager=False)
+    bands = _srp_bands_cached(spark, sf_dir)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -249,13 +280,12 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     # Norms precomputed per VECTOR (N values), not per candidate pair —
     # the SemDeDup discipline; the pair stage pays one dot, not three.
     normed = aug.select(
-        "vec_id", "vecd", F.sqrt(dot(F.col("vecd"), F.col("vecd"))).alias("nrm")
+        "vec_id",
+        "vecd",
+        F.sqrt(_dot(F.col("vecd"), F.col("vecd"))).alias("nrm"),
     )
     va = normed.select(
         F.col("vec_id").alias("id_a"),
@@ -267,14 +297,14 @@ def srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vecd").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    cos_ppm = _micro(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= SRP_VERIFY_COS)
+        .select("id_a", "id_b", cos_ppm.alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= SRP_VERIFY_PPM)
     )
 
 
@@ -324,11 +354,12 @@ cand AS (
   FROM bands x JOIN bands y USING (band, bucket)
   WHERE x.vec_id < y.vec_id
 )
-SELECT id_a, id_b, round({dcos}, 6) AS cos
+SELECT id_a, id_b,
+       CAST(floor({dcos} * {MICRO} + 0.5) AS BIGINT) AS cos_ppm
 FROM cand
 JOIN aug a ON a.vec_id = cand.id_a
 JOIN aug b ON b.vec_id = cand.id_b
-WHERE round({dcos}, 6) >= {SRP_VERIFY_COS}
+WHERE CAST(floor({dcos} * {MICRO} + 0.5) AS BIGINT) >= {SRP_VERIFY_PPM}
 """
 
 

@@ -162,7 +162,11 @@ def test_covariance_matches_numpy_and_is_partition_invariant(spark, sf_dir):
         )
     )
     num = (F.col("n") * F.col("sp") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("n")).cast("double") * F.lit(float(M.MICRO))
+    den = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(M.MICRO))
+    )
     alt_rows = {
         (r["i"], r["j"]): (r["n"], r["cov_micro"])
         for r in alt.select(

@@ -237,14 +237,16 @@ def test_dedup_broadcast_hints_are_all_bounded():
 
     from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
         dedup,
+        mining,
         pipeline,
+        resolution,
     )
     from simple_mapreduce_search_engine_information_retrieval__spark.streaming import (
         jobs,
     )
 
     unmarked = []
-    for mod in (dedup, pipeline, jobs):
+    for mod in (dedup, pipeline, jobs, mining, resolution):
         lines = inspect.getsource(mod).splitlines()
         for i, ln in enumerate(lines):
             if "F.broadcast(" not in ln:
