@@ -307,3 +307,42 @@ def test_sketch_merge_laws_hold_exactly(spark, sf_dir):
     c = cms_merged(spark, sf_dir).collect()
     assert c and any(r.c_whole > 0 for r in c)
     assert all(r.c_whole == r.c_merged for r in c)
+
+
+def test_snapshot_diff_statuses_partition_the_key_universe(spark, sf_dir):
+    """The seeded old-snapshot construction makes every status class
+    enumerable from the doc_id arithmetic alone: added = %11 keys
+    (absent from old), changed = %5 survivors (content drift), removed
+    = re-keyed %17 slice, unchanged = the rest. The audit rows must
+    reproduce those counts exactly and together cover the full key
+    universe of both snapshots."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+        merge as MG,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    assert len(ids) == len(set(ids))  # diff assumes doc_id is a key
+    added = [i for i in ids if i % 11 == 0]
+    changed = [i for i in ids if i % 5 == 0 and i % 11 != 0]
+    removed = [i + MG.DIFF_OFFSET for i in ids if i % 17 == 0]
+    unchanged = [i for i in ids if i % 5 != 0 and i % 11 != 0]
+    got = {
+        r["status"]: r for r in MG.snapshot_diff(spark, sf_dir).collect()
+    }
+    assert set(got) == {"added", "changed", "removed", "unchanged"}
+    for name, keys in (
+        ("added", added),
+        ("changed", changed),
+        ("removed", removed),
+        ("unchanged", unchanged),
+    ):
+        assert got[name]["n_rows"] == len(keys), name
+        assert got[name]["min_doc"] == min(keys), name
+        assert got[name]["max_doc"] == max(keys), name
+    assert sum(r["n_rows"] for r in got.values()) == len(ids) + len(removed)
