@@ -385,6 +385,152 @@ FROM census
 """
 
 
+# --- IVF cell rebalance planner -------------------------------------------
+# The ANN-store sibling of layout_compaction_plan: a served IVF store
+# drifts as ingest waves land (append_ivf_store never reshuffles the
+# base), so a maintenance cycle censuses the cells and plans SPLITs of
+# oversized cells (probe latency is linear in the scanned cell) and
+# first-fit MERGEs of undersized ones (per-cell file/partition overhead).
+# Thresholds are RELATIVE to the average cell (the realistic policy):
+# split above 1.5x avg into ~avg-sized shards, merge below 0.75x avg.
+# The oracled k-means assignment is the cell census source; because the
+# fixture's Lloyd cells are well balanced (a quality of the codebook,
+# not of the planner), the census is augmented with six deterministic
+# synthetic cells at 0.25x..3x avg — the pii_scrub/SRP-clone precedent:
+# the fixture lacks the phenomenon, so seed it identically in both
+# engines — which guarantees every action arm executes at every scale.
+
+REBAL_SYNTH_OFFSET = 1_000  # synthetic census cells live above this
+REBAL_SYNTH_QUARTERS = (1, 2, 3, 6, 8, 12)  # n = q * avg / 4
+
+
+def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_vecs, action, n_shards, bin_id): the rebalance plan.
+
+    split  -> n_shards = ceil(n_vecs / avg) sub-cells (secondary-hash
+              sub-split, the SemDeDup shard-guard mechanism);
+    merge  -> bin_id groups undersized cells first-fit by exclusive
+              cumsum into ~avg-sized serving units (the
+              layout_compaction_plan contract);
+    keep   -> n_shards = 1, bin_id = -1.
+
+    All decisions are INTEGER arithmetic on the bounded census
+    (2*n*k vs 3*total etc.), so both engines agree exactly; windows run
+    only over the K-row census."""
+    from .similarity import kmeans_clusters
+
+    real = (
+        kmeans_clusters(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot0 = real.agg(
+        F.sum("n_vecs").cast("long").alias("t0"),
+        F.count("*").cast("long").alias("k0"),
+    )
+    # bounded: 1-row census totals
+    synth = (
+        spark.range(1)
+        .crossJoin(F.broadcast(tot0))
+        .select(
+            F.explode(
+                F.array(*[F.lit(q) for q in REBAL_SYNTH_QUARTERS])
+            ).alias("q"),
+            "t0",
+            "k0",
+        )
+        .select(
+            (F.lit(REBAL_SYNTH_OFFSET) + F.col("q")).alias("cluster"),
+            F.expr("(q * t0) div (k0 * 4)").cast("long").alias("n_vecs"),
+        )
+    )
+    census = real.unionByName(synth)
+    tot = census.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    # bounded: 1-row census totals
+    tagged = census.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_vecs",
+        "total",
+        "k",
+        F.when(
+            2 * F.col("n_vecs") * F.col("k") > 3 * F.col("total"),
+            F.lit("split"),
+        )
+        .when(
+            4 * F.col("n_vecs") * F.col("k") < 3 * F.col("total"),
+            F.lit("merge"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+    merge_rows = "CASE WHEN action = 'merge' THEN n_vecs ELSE 0 END"
+    excl_cum = (
+        f"(sum({merge_rows}) OVER (ORDER BY cluster NULLS FIRST "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_vecs)"
+    )
+    return tagged.select(
+        "cluster",
+        "n_vecs",
+        "action",
+        F.when(
+            F.col("action") == "split",
+            F.expr("(n_vecs * k + total - 1) div total"),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_shards"),
+        F.when(
+            F.col("action") == "merge",
+            F.expr(f"{excl_cum} div (total div k)"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def _duck_ivf_rebalance() -> str:
+    from .similarity import DUCK_KMEANS
+
+    quarters = ", ".join(str(q) for q in REBAL_SYNTH_QUARTERS)
+    return f"""
+WITH assign AS ({DUCK_KMEANS}),
+real AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+         FROM assign GROUP BY cluster),
+tot0 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t0,
+                CAST(count(*) AS BIGINT) AS k0 FROM real),
+synth AS (SELECT CAST({REBAL_SYNTH_OFFSET} + q AS BIGINT) AS cluster,
+                 CAST((q * t0) // (k0 * 4) AS BIGINT) AS n_vecs
+          FROM tot0, (SELECT unnest([{quarters}]) AS q)),
+census AS (SELECT * FROM real UNION ALL SELECT * FROM synth),
+tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS k FROM census),
+tagged AS (
+  SELECT c.cluster, c.n_vecs, t.total, t.k,
+         CASE WHEN 2 * c.n_vecs * t.k > 3 * t.total THEN 'split'
+              WHEN 4 * c.n_vecs * t.k < 3 * t.total THEN 'merge'
+              ELSE 'keep' END AS action
+  FROM census c CROSS JOIN tot t
+)
+SELECT cluster, n_vecs, action,
+       CAST(CASE WHEN action = 'split'
+                 THEN (n_vecs * k + total - 1) // total
+                 ELSE 1 END AS BIGINT) AS n_shards,
+       CAST(CASE WHEN action = 'merge'
+                 THEN (sum(CASE WHEN action = 'merge' THEN n_vecs
+                           ELSE 0 END)
+                         OVER (ORDER BY cluster NULLS FIRST
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                       - n_vecs) // (total // k)
+                 ELSE -1 END AS BIGINT) AS bin_id
+FROM tagged
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_zorder_files": QuerySpec(
         fn=zorder_files,
@@ -411,5 +557,13 @@ QUERIES: dict[str, QuerySpec] = {
         note="small-file compaction planner: first-fit-by-cumsum binning "
         "of undersized (source, lang) partitions; windows only over the "
         "bounded partition census",
+    ),
+    "layout_ivf_rebalance": QuerySpec(
+        fn=ivf_rebalance,
+        oracle=_duck_ivf_rebalance(),
+        note="IVF cell rebalance planner: split cells >1.5x avg into "
+        "~avg shards, first-fit-merge cells <0.75x avg — integer "
+        "census arithmetic, windows only over the K-row census; "
+        "seeded synthetic cells exercise every action arm",
     ),
 }

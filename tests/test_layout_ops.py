@@ -170,3 +170,39 @@ def test_layout_plan_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in sp
     qp = _physical(quantile_bins(spark, sf_dir))
     assert "BroadcastHashJoin" in qp or "BroadcastNestedLoopJoin" in qp
+
+
+def test_ivf_rebalance_plan_invariants(spark, sf_dir):
+    """Every action arm must execute (the seeded synthetic cells
+    guarantee split AND merge at any scale), the shard math must be the
+    exact ceil(n/avg), merge bins must be filled first-fit to ~avg, and
+    keep rows must carry the neutral (1, -1) markers."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        ivf_rebalance,
+    )
+
+    rows = ivf_rebalance(spark, sf_dir).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    assert set(by_action) == {"split", "merge", "keep"}
+    total = sum(r["n_vecs"] for r in rows)
+    k = len(rows)
+    avg = total // k
+    for r in by_action["split"]:
+        assert 2 * r["n_vecs"] * k > 3 * total  # > 1.5x avg
+        assert r["n_shards"] == (r["n_vecs"] * k + total - 1) // total
+        assert r["n_shards"] >= 2 and r["bin_id"] == -1
+    for r in by_action["keep"]:
+        assert r["n_shards"] == 1 and r["bin_id"] == -1
+    merges = sorted(by_action["merge"], key=lambda r: r["cluster"])
+    cum = 0
+    for r in merges:
+        assert 4 * r["n_vecs"] * k < 3 * total  # < 0.75x avg
+        assert r["n_shards"] == 1
+        assert r["bin_id"] == cum // avg  # first-fit by exclusive cumsum
+        cum += r["n_vecs"]
+    # every non-final bin is filled to at least the avg target
+    if merges:
+        n_bins = merges[-1]["bin_id"] + 1
+        assert cum >= (n_bins - 1) * avg
