@@ -321,6 +321,27 @@ GROUP BY 1, 2
 COMPACT_TARGET_ROWS = 100
 
 
+def _excl_cumsum_sql(rows_case: str, order_by: str, minus: str) -> str:
+    """Exclusive running sum over a deterministic census order — the
+    first-fit binning core shared by compaction_plan and ivf_rebalance
+    in BOTH dialects (only the integer-div operator differs outside:
+    Spark ``div``, DuckDB ``//``). Factored per the
+    _stride_seed_codebook precedent: a tie-break or null-ordering fix
+    must land in every rendering at once, not by copy discipline."""
+    return (
+        f"(sum({rows_case}) OVER (ORDER BY {order_by} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {minus})"
+    )
+
+
+COMPACT_SMALL_ROWS = (
+    f"CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN n_rows ELSE 0 END"
+)
+COMPACT_EXCL_CUM = _excl_cumsum_sql(
+    COMPACT_SMALL_ROWS, "source NULLS FIRST, lang NULLS FIRST", "n_rows"
+)
+
+
 def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, lang, n_rows, compact, bin_id): the compaction rewrite
     plan for a (source, lang)-partitioned documents layout. compact=1
@@ -340,14 +361,7 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filtered-then-windowed formulation without a second census /
     # self-join; NULLS FIRST pinned because Spark and DuckDB default
     # null ordering differ (r6 code review)
-    small_rows = (
-        f"CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN n_rows ELSE 0 END"
-    )
-    excl_cum = (
-        f"(sum({small_rows}) OVER (ORDER BY source NULLS FIRST, "
-        "lang NULLS FIRST "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows)"
-    )
+    excl_cum = COMPACT_EXCL_CUM
     return census.select(
         "source",
         "lang",
@@ -375,11 +389,7 @@ SELECT source, lang, n_rows,
        CAST(CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN 1 ELSE 0 END
             AS BIGINT) AS compact,
        CAST(CASE WHEN n_rows < {COMPACT_TARGET_ROWS} THEN
-              (sum(CASE WHEN n_rows < {COMPACT_TARGET_ROWS}
-                        THEN n_rows ELSE 0 END)
-                 OVER (ORDER BY source NULLS FIRST, lang NULLS FIRST
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_rows) // {COMPACT_TARGET_ROWS}
+              {COMPACT_EXCL_CUM} // {COMPACT_TARGET_ROWS}
             ELSE -1 END AS BIGINT) AS bin_id
 FROM census
 """
@@ -400,8 +410,12 @@ FROM census
 # the fixture lacks the phenomenon, so seed it identically in both
 # engines — which guarantees every action arm executes at every scale.
 
-REBAL_SYNTH_OFFSET = 1_000  # synthetic census cells live above this
-REBAL_SYNTH_QUARTERS = (1, 2, 3, 6, 8, 12)  # n = q * avg / 4
+# Synthetic census cells use NEGATIVE ids (-q): k-means cluster ids are
+# stride-sampled vec_ids (NOT 0..K-1 — 0..1750 at sf0.1), so any
+# non-negative offset could collide with a real cell at some corpus
+# size; vec_ids are never negative, so -q is disjoint at every scale.
+REBAL_SYNTH_QUARTERS = (1, 2, 3, 6, 8, 12)  # n = q * avg / 4, id = -q
+REBAL_MERGE_ROWS = "CASE WHEN action = 'merge' THEN n_vecs ELSE 0 END"
 
 
 def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,21 +442,15 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vecs").cast("long").alias("t0"),
         F.count("*").cast("long").alias("k0"),
     )
-    # bounded: 1-row census totals
-    synth = (
-        spark.range(1)
-        .crossJoin(F.broadcast(tot0))
-        .select(
-            F.explode(
-                F.array(*[F.lit(q) for q in REBAL_SYNTH_QUARTERS])
-            ).alias("q"),
-            "t0",
-            "k0",
-        )
-        .select(
-            (F.lit(REBAL_SYNTH_OFFSET) + F.col("q")).alias("cluster"),
-            F.expr("(q * t0) div (k0 * 4)").cast("long").alias("n_vecs"),
-        )
+    synth = tot0.select(
+        F.explode(
+            F.array(*[F.lit(q) for q in REBAL_SYNTH_QUARTERS])
+        ).alias("q"),
+        "t0",
+        "k0",
+    ).select(
+        (-F.col("q")).cast("long").alias("cluster"),
+        F.expr("(q * t0) div (k0 * 4)").cast("long").alias("n_vecs"),
     )
     census = real.unionByName(synth)
     tot = census.agg(
@@ -466,10 +474,8 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
-    merge_rows = "CASE WHEN action = 'merge' THEN n_vecs ELSE 0 END"
-    excl_cum = (
-        f"(sum({merge_rows}) OVER (ORDER BY cluster NULLS FIRST "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_vecs)"
+    excl_cum = _excl_cumsum_sql(
+        REBAL_MERGE_ROWS, "cluster NULLS FIRST", "n_vecs"
     )
     return tagged.select(
         "cluster",
@@ -502,7 +508,7 @@ real AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
          FROM assign GROUP BY cluster),
 tot0 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t0,
                 CAST(count(*) AS BIGINT) AS k0 FROM real),
-synth AS (SELECT CAST({REBAL_SYNTH_OFFSET} + q AS BIGINT) AS cluster,
+synth AS (SELECT CAST(-q AS BIGINT) AS cluster,
                  CAST((q * t0) // (k0 * 4) AS BIGINT) AS n_vecs
           FROM tot0, (SELECT unnest([{quarters}]) AS q)),
 census AS (SELECT * FROM real UNION ALL SELECT * FROM synth),
@@ -520,12 +526,9 @@ SELECT cluster, n_vecs, action,
                  THEN (n_vecs * k + total - 1) // total
                  ELSE 1 END AS BIGINT) AS n_shards,
        CAST(CASE WHEN action = 'merge'
-                 THEN (sum(CASE WHEN action = 'merge' THEN n_vecs
-                           ELSE 0 END)
-                         OVER (ORDER BY cluster NULLS FIRST
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW)
-                       - n_vecs) // (total // k)
+                 THEN {_excl_cumsum_sql(REBAL_MERGE_ROWS,
+                                        "cluster NULLS FIRST",
+                                        "n_vecs")} // (total // k)
                  ELSE -1 END AS BIGINT) AS bin_id
 FROM tagged
 """
