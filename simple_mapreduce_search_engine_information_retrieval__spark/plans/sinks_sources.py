@@ -179,6 +179,53 @@ DUCK_ORC_DOCS = (
 )
 
 
+def csv_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → RFC-4180 CSV sink (quote doubling) → multiLine CSV
+    source. The fixture text is CSV-clean, so the CSV-hostile payload is
+    SEEDED (the pii_scrub precedent): every text is wrapped in literal
+    quotes, a comma, and an embedded newline before writing, and the
+    length is recomputed AFTER the trip — any quoting/escape loss in
+    the writer/reader pair surfaces as a value mismatch.
+
+    Scale caveat (why parquet/ORC are the 100 TB formats): multiLine CSV
+    is unsplittable — Spark reads each file single-threaded, so
+    parallelism = file count. This query documents the interchange
+    fidelity contract for CSV feeds at the edge of the pipeline; data at
+    rest belongs in the columnar paths above."""
+    hostile = F.concat(F.lit('say "'), F.col("text"), F.lit('",\n end'))
+    path = _out_path("csv_docs", sf_dir)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", hostile.alias("text"), "lang", "source")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        spark.read.schema(_JSONL_SCHEMA)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+    )
+
+
+DUCK_CSV_DOCS = (
+    "SELECT doc_id, lang, source, "
+    "CAST(length('say \"' || text || '\",' || chr(10) || ' end') AS BIGINT)"
+    " AS text_len FROM documents"
+)
+
+
 def partitioned_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned sink + partition-PRUNED source: documents
     written `partitionBy(lang)`, then one language read back with a
@@ -271,6 +318,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=DUCK_ORC_DOCS,
         note="ORC sink + source round-trip, md5 content integrity vs "
         "parquet-side oracle",
+    ),
+    "csv_documents_roundtrip": QuerySpec(
+        fn=csv_documents_roundtrip,
+        oracle=DUCK_CSV_DOCS,
+        note="RFC-4180 CSV sink + multiLine source round-trip with "
+        "SEEDED quotes/commas/newlines — escaping loss fails the value "
+        "hash; documents the unsplittable-format scale caveat",
     ),
     "partitioned_lang_source": QuerySpec(
         fn=partitioned_lang_source,
