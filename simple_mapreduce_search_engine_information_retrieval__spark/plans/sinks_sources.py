@@ -183,9 +183,11 @@ def csv_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → RFC-4180 CSV sink (quote doubling) → multiLine CSV
     source. The fixture text is CSV-clean, so the CSV-hostile payload is
     SEEDED (the pii_scrub precedent): every text is wrapped in literal
-    quotes, a comma, and an embedded newline before writing, and the
-    length is recomputed AFTER the trip — any quoting/escape loss in
-    the writer/reader pair surfaces as a value mismatch.
+    quotes, a comma, and an embedded newline before writing, and md5 is
+    recomputed over the text AFTER the trip (the ORC sibling's
+    discipline — a length check would pass length-preserving corruption
+    like newline normalization), so any writer/reader escaping or
+    encoding drift fails the value hash.
 
     Scale caveat (why parquet/ORC are the 100 TB formats): multiLine CSV
     is unsplittable — Spark reads each file single-threaded, so
@@ -214,15 +216,15 @@ def csv_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "source",
-            F.length("text").cast("long").alias("text_len"),
+            F.md5("text").alias("text_md5"),
         )
     )
 
 
 DUCK_CSV_DOCS = (
     "SELECT doc_id, lang, source, "
-    "CAST(length('say \"' || text || '\",' || chr(10) || ' end') AS BIGINT)"
-    " AS text_len FROM documents"
+    "md5('say \"' || text || '\",' || chr(10) || ' end')"
+    " AS text_md5 FROM documents"
 )
 
 
