@@ -26,6 +26,12 @@ def _rows(df):
         "text_backoff_lm_score",
         "text_quality_by_source",
         "embedding_label_centroid_norms",
+        # r7 continuation: the new float-derived micro-unit outputs —
+        # per-row cosines are narrow (no partition fold), but pin the
+        # end-to-end invariance the same way
+        "embedding_margin_bitext",
+        "embedding_srp_lsh_pairs",
+        "embedding_covariance",
     ],
 )
 def test_micro_unit_folds_are_partition_invariant(spark, sf_dir, qname):
