@@ -228,6 +228,55 @@ DUCK_CSV_DOCS = (
 )
 
 
+BINARYFILE_N = 150  # bounded raw-file slice (constant at every fixture scale)
+
+
+def binaryfile_documents_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file corpus ingest via Spark's ``binaryFile`` source — THE
+    entry path for image/audio/document-file corpora (one row per file:
+    path, modificationTime, length, content as BINARY). The fixture
+    step writes a bounded {BINARYFILE_N}-doc slice as individual UTF-8
+    files (driver-side by design: real corpora already exist as files;
+    the bounded collect is fixture CONSTRUCTION, not the operator). The
+    QUERY is the distributed read: binaryFile parallelizes by file
+    (parallelism = file count — the multimodal shard story in
+    SCALE.md), content arrives as raw bytes and is never re-encoded.
+    doc_id is recovered from the filename; md5 runs over the raw bytes,
+    so the oracle's md5(text) over the same UTF-8 must match
+    byte-for-byte — any encoding drift in the trip fails the hash, and
+    ``length`` must equal the oracle's byte (not char) length."""
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARYFILE_N)
+        .select("doc_id", "text")
+        .collect()  # bounded: BINARYFILE_N fixture-construction rows
+    )
+    path = _out_path("binfiles", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(path, f"{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.regexp_extract(fname, r"^(\d+)", 1).cast("long").alias(
+                "doc_id"
+            ),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
+
+
+DUCK_BINARYFILE = (
+    f"SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+    f"md5(text) AS content_md5 FROM documents WHERE doc_id < {BINARYFILE_N}"
+)
+
+
 def partitioned_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned sink + partition-PRUNED source: documents
     written `partitionBy(lang)`, then one language read back with a
@@ -325,8 +374,17 @@ QUERIES: dict[str, QuerySpec] = {
         fn=csv_documents_roundtrip,
         oracle=DUCK_CSV_DOCS,
         note="RFC-4180 CSV sink + multiLine source round-trip with "
-        "SEEDED quotes/commas/newlines — escaping loss fails the value "
-        "hash; documents the unsplittable-format scale caveat",
+        "SEEDED quotes/commas/newlines — escaping or encoding drift "
+        "fails the md5 value hash; documents the unsplittable-format "
+        "scale caveat",
+    ),
+    "binaryfile_documents_ingest": QuerySpec(
+        fn=binaryfile_documents_ingest,
+        oracle=DUCK_BINARYFILE,
+        note="raw-file corpus ingest via the binaryFile source (the "
+        "image/audio-corpus entry path): per-file rows, byte-exact "
+        "content md5 + byte length vs the parquet-side oracle, "
+        "parallelism = file count",
     ),
     "partitioned_lang_source": QuerySpec(
         fn=partitioned_lang_source,
