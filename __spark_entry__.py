@@ -50,6 +50,7 @@ def _registry():
         "layout",
         "resolution",
         "mining",
+        "bpe",
     ):
         try:
             mod = __import__(
