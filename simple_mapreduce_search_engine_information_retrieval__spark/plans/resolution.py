@@ -19,9 +19,11 @@ dedup catalog does not cover:
 Scale notes (100 TB):
 - record linkage: the distinct-name dictionary is the only relation the
   pair join ever sees; token blocking bounds candidates by per-token
-  bucket size (the knob a production run censuses first — the
-  ``diag_key_skew`` discipline applies to the blocking key too, and a
-  stopword-ish token cap is the standard guard).
+  bucket size, and the hot-token guard (r8) censuses the blocking
+  tokens and drops any electing more than LINKAGE_HOT_TOKEN_PPM of the
+  dictionary — a stopword-like name token ("inc", "ltd") would
+  otherwise inflate one bucket quadratically. Both engines apply the
+  identical guard, so the oracle verifies the guarded form.
 - SRP: one narrow scan computes all 64 signature bits as integer dot
   products (micro-unit components x integer hyperplane weights — every
   partial value is an integer < 2^53, so the fold is exact in either
@@ -62,6 +64,12 @@ from .similarity import _dot, _micro
 # --- record linkage ------------------------------------------------------
 
 LINKAGE_MAX_LEV = 2  # verify threshold: near-identical entity names
+# Hot-blocking-token guard: a token blocking more than this share of the
+# distinct-name dictionary (in ppm: 200_000 = 20%) is dropped from
+# blocking. Uniform vocabularies (TPC-H part names: ~5.4% per color
+# token at every sf) pass untouched; a stopword-like token spanning the
+# dictionary is excluded before the self-join can square its bucket.
+LINKAGE_HOT_TOKEN_PPM = 200_000
 
 # Distinct-name dictionary memo: dictionary-sized (Heaps-bounded), read
 # by FOUR consumers (both token-block sides + both count joins) — cache
@@ -86,21 +94,48 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(name_a, name_b, lev, recs_a, recs_b): distinct part-name pairs
     within edit distance LINKAGE_MAX_LEV, found via token blocking.
 
+    Recall contract, stated precisely: the output is the lev<=2 pairs
+    that SHARE AT LEAST ONE INTACT non-empty, non-hot whitespace token.
+    That is weaker than full lev<=2 recall — a pair whose two edits land
+    in different tokens of a two-word name, any edit to a single-token
+    name, and a pair whose only shared token is dropped by the hot-token
+    guard are all silently missed. This is the standard
+    blocking-tradeoff (recall bounded by the blocking key), not a bug;
+    callers needing full lev<=2 recall need a different blocking key
+    (e.g. character k-grams, the wildcard-index discipline).
+
     Stage 1 collapses the record stream to the distinct-name dictionary
     (one combinable groupBy — the only record-stream pass, memoized and
-    cached so its four consumers read the in-memory dictionary instead
-    of re-deriving it). Stage 2 blocks the dictionary on shared
-    whitespace tokens (an edit of <=2 chars in a multi-word name leaves
-    at least one token intact, so token blocking loses no pair whose
-    words are >2 chars apart in only one word). Stage 3 verifies with
-    levenshtein — builtin, JVM-side, identical DP semantics in DuckDB."""
+    cached so its consumers read the in-memory dictionary instead of
+    re-deriving it). Stage 2 blocks the dictionary on shared whitespace
+    tokens, after (a) dropping empty tokens (consecutive/leading spaces
+    under split) and (b) the hot-token census: any token blocking more
+    than LINKAGE_HOT_TOKEN_PPM of the dictionary is excluded, so no
+    blocking bucket can grow quadratic under a stopword-like name token
+    (the search_related_docs common-feature discipline). Stage 3
+    verifies with levenshtein — builtin, JVM-side, identical DP
+    semantics in DuckDB. The DuckDB oracle replays the identical guard,
+    so the guarded form is value-verified, not just exercised."""
     names = _names_cached(spark, sf_dir)
     toks = names.select(
         "p_name", F.explode(F.split(F.col("p_name"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    # hot-token census over the dictionary: names is distinct per row,
+    # so count(*) per token IS the bucket size in names. The dictionary
+    # total is read driver-side at plan time (one count of the CACHED
+    # dictionary — the pagerank/ANN-probe discipline) so the keep-filter
+    # is a literal comparison, not a 1-row BNLJ cross.
+    nn = names.count()
+    keep = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") * F.lit(1_000_000) <= F.lit(LINKAGE_HOT_TOKEN_PPM * nn))
+        .select("token")
     )
+    blocked = toks.join(keep, "token")  # token-vocabulary join, unhinted
     cand = (
-        toks.alias("a")
-        .join(toks.alias("b"), "token")
+        blocked.alias("a")
+        .join(blocked.alias("b"), "token")
         .filter(F.col("a.p_name") < F.col("b.p_name"))
         .select(
             F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
@@ -124,10 +159,17 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUCK_RECORD_LINKAGE = f"""
 WITH names AS (SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name),
-     toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS token
-              FROM names),
+     toks AS (SELECT p_name, token FROM (
+                SELECT p_name, unnest(string_split(p_name, ' ')) AS token
+                FROM names) WHERE token <> ''),
+     nn AS (SELECT count(*) AS nn FROM names),
+     keep AS (SELECT token FROM (
+                SELECT token, count(*) AS bn FROM toks GROUP BY token)
+              CROSS JOIN nn
+              WHERE bn * 1000000 <= {LINKAGE_HOT_TOKEN_PPM} * nn),
+     blocked AS (SELECT p_name, token FROM toks JOIN keep USING (token)),
      cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-              FROM toks a JOIN toks b USING (token)
+              FROM blocked a JOIN blocked b USING (token)
               WHERE a.p_name < b.p_name),
      verified AS (SELECT name_a, name_b,
                          CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev

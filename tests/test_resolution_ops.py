@@ -37,12 +37,37 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _expected_linkage(names: dict[str, int]) -> dict:
+    """Plain-Python replica of the guarded blocking contract: lev<=2
+    pairs sharing at least one intact NON-EMPTY, NON-HOT token."""
+    from collections import Counter
+
+    census: Counter = Counter()
+    for name in names:
+        for t in set(name.split(" ")):
+            if t:
+                census[t] += 1
+    cap_ok = {
+        t
+        for t, bn in census.items()
+        if bn * 1_000_000 <= R.LINKAGE_HOT_TOKEN_PPM * len(names)
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(names), 2):
+        if set(a.split(" ")) & set(b.split(" ")) & cap_ok:
+            d = _lev(a, b)
+            if d <= R.LINKAGE_MAX_LEV:
+                expected[(a, b)] = (d, names[a], names[b])
+    return expected
+
+
 def test_record_linkage_matches_brute_force_within_contract(spark, sf_dir):
     """Exhaustive O(n^2) over the distinct-name dictionary (62 names at
     sf0.001 — free here, the thing the operator exists to avoid at
     scale): the query must return EXACTLY the lev<=2 pairs that share at
-    least one whitespace token (the blocking contract), and every
-    returned pair must carry correct lev and record counts."""
+    least one non-empty, sub-cap whitespace token (the guarded blocking
+    contract), and every returned pair must carry correct lev and
+    record counts."""
     names = {
         r["p_name"]: r["n"]
         for r in table(spark, sf_dir, "part")
@@ -50,17 +75,78 @@ def test_record_linkage_matches_brute_force_within_contract(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    expected = {}
-    for a, b in itertools.combinations(sorted(names), 2):
-        if set(a.split(" ")) & set(b.split(" ")):
-            d = _lev(a, b)
-            if d <= R.LINKAGE_MAX_LEV:
-                expected[(a, b)] = (d, names[a], names[b])
+    expected = _expected_linkage(names)
     got = {
         (r["name_a"], r["name_b"]): (r["lev"], r["recs_a"], r["recs_b"])
         for r in R.record_linkage(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_record_linkage_hot_token_guard(spark, tmp_path):
+    """Seed a stopword-like token ('inc') across 500 of 620 synthetic
+    entities: the guard must (1) drop that token from blocking — no
+    bucket in the blocked relation exceeds the cap, so the candidate
+    join is bounded by the benign buckets — while (2) still finding the
+    lev<=2 pairs linked by their intact benign token, and (3) agreeing
+    with the identically-guarded DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import (
+        caches,
+        oracle,
+    )
+
+    # 500 hot-token names ('alpha0 inc' ... pairwise lev>2 via distinct
+    # numerals) + 120 benign two-token names forming 60 lev=1 pairs
+    rows = [f"alpha{i} inc" for i in range(500)]
+    for i in range(60):
+        rows.append(f"widget{i}x brand{i}")
+        rows.append(f"widget{i}y brand{i}")
+    sf_dir = str(tmp_path / "skew")
+    (tmp_path / "skew").mkdir()
+    pd.DataFrame({"p_name": rows}).to_parquet(f"{sf_dir}/part.parquet")
+    try:
+        names = {n: 1 for n in rows}
+        expected = _expected_linkage(names)
+        # the seeded benign pairs are found; 'inc' links nothing
+        assert len(expected) == 60
+        got = {
+            (r["name_a"], r["name_b"]): (r["lev"], r["recs_a"], r["recs_b"])
+            for r in R.record_linkage(spark, sf_dir).collect()
+        }
+        assert got == expected
+        # bucket-census assert: no blocked token elects more names than
+        # the cap allows (i.e. 'inc' at 500/620 = 81% was excluded)
+        cap = R.LINKAGE_HOT_TOKEN_PPM * len(rows) / 1_000_000
+        toks = R._names_cached(spark, sf_dir).select(
+            "p_name",
+            F.explode(F.split(F.col("p_name"), " ")).alias("token"),
+        )
+        # replicate the query's keep-set and census the blocked relation
+        census = (
+            toks.filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") * 1_000_000 <= R.LINKAGE_HOT_TOKEN_PPM * len(rows))
+            .agg(F.max("bn").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert census <= cap
+        # oracle agreement on the same synthetic corpus
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/part.parquet')"
+        )
+        issues = oracle.compare(
+            R.record_linkage(spark, sf_dir), con, R.DUCK_RECORD_LINKAGE
+        )
+        con.close()
+        assert not issues, issues
+    finally:
+        caches.evict(sf_dir)
 
 
 def test_record_linkage_pair_join_is_dictionary_sized(spark, sf_dir):
