@@ -534,7 +534,175 @@ FROM tagged
 """
 
 
+# --- IVF rebalance EXECUTION ----------------------------------------------
+# layout_ivf_rebalance above EMITS the plan; these execute it against a
+# persisted write_ivf_store layout and serve from the result — the
+# index_compaction_roundtrip contract applied to the ANN store (r7
+# verdict, Next-round #4). The rebalanced layout partitions vectors by
+# serving UNIT instead of raw cell:
+#   keep  -> one unit per cell                     (unit "k<cell>")
+#   merge -> undersized cells share a bin unit     (unit "m<bin>")
+#   split -> an oversized cell shards by xxhash64  (unit "s<cell>-<shard>")
+# The cell id stays a DATA column, so probe-time cell filtering is
+# unchanged and served top-k is identical pre/post BY CONSTRUCTION —
+# proven, not assumed, by the oracled roundtrip query + the pre/post
+# equality test. What changes is the layout economics: merge collapses
+# per-cell file/partition overhead into ~avg-sized units, split bounds
+# the largest scan unit (shards scan in parallel at 100 TB).
+# Plan arithmetic is the planner's exact integer form, computed on the
+# bounded K-row census driver-side (the probe-planning discipline).
+
+
+def _rebalance_plan_rows(census: list[tuple[int, int]]) -> list[tuple]:
+    """[(cell, n_vecs, action, n_shards, unit_base)] from a [(cell, n)]
+    census — the planner's integer thresholds (split 2nk>3t, merge
+    4nk<3t) and first-fit exclusive-cumsum merge binning, in cell order."""
+    total = sum(n for _, n in census)
+    k = len(census)
+    avg = total // k
+    out, running = [], 0
+    for cell, n in sorted(census):
+        if 2 * n * k > 3 * total:
+            shards = (n * k + total - 1) // total
+            out.append((cell, n, "split", shards, f"s{cell}"))
+        elif 4 * n * k < 3 * total:
+            out.append((cell, n, "merge", 1, f"m{running // avg}"))
+            running += n
+        else:
+            out.append((cell, n, "keep", 1, f"k{cell}"))
+    return out
+
+
+def rebalance_ivf_store(
+    spark: SparkSession, store_path: str, out_path: str
+) -> list[tuple]:
+    """Rewrite a write_ivf_store layout into the unit-partitioned
+    rebalanced layout; copies the codebook, persists the cell->unit map,
+    and returns the executed plan rows (bounded: K) for assertions."""
+    vec = spark.read.parquet(f"{store_path}/vectors")
+    census = [
+        (int(r["cell"]), int(r["n"]))
+        for r in vec.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    plan = _rebalance_plan_rows(census)
+    plan_df = spark.createDataFrame(
+        plan,
+        "cell LONG, n_vecs LONG, action STRING, n_shards LONG, unit_base STRING",
+    )
+    data_cols = [c for c in vec.columns if c != "cell"]
+    (
+        # bounded: K-row plan
+        vec.join(F.broadcast(plan_df), "cell")
+        .withColumn(
+            "unit",
+            F.when(
+                F.col("action") == "split",
+                F.concat(
+                    F.col("unit_base"),
+                    F.lit("-"),
+                    F.pmod(F.xxhash64("vec_id"), F.col("n_shards")).cast(
+                        "string"
+                    ),
+                ),
+            ).otherwise(F.col("unit_base")),
+        )
+        .select("cell", *data_cols, "unit")
+        .write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(f"{out_path}/vectors")
+    )
+    spark.read.parquet(f"{store_path}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/centroids")
+    plan_df.write.mode("overwrite").parquet(f"{out_path}/units")
+    return plan
+
+
+def query_rebalanced_store(
+    spark: SparkSession, path: str, qvec: list[float], *, where=None
+):
+    """query_ivf_store over the rebalanced layout: probe planning reads
+    the K-row codebook, the probed cells map to their serving units via
+    the K-row unit map (split cells expand to their shard list), and the
+    scan prunes on the static unit IN-list exactly as the cell layout
+    pruned on cells. Cell filtering stays (a merge unit holds >1 cell)."""
+    from .similarity import NPROBE, TOP_K, _cos
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = [
+        r.cent_id
+        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(NPROBE)
+        .collect()
+    ]
+    units: list[str] = []
+    for r in (
+        spark.read.parquet(f"{path}/units")
+        .filter(F.col("cell").isin(probes))
+        .collect()  # bounded: <= NPROBE rows of the K-row unit map
+    ):
+        if r["action"] == "split":
+            units += [f"{r['unit_base']}-{s}" for s in range(r["n_shards"])]
+        else:
+            units.append(r["unit_base"])
+    scan = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("unit").isin(units) & F.col("cell").isin(probes)
+    )
+    if where is not None:
+        scan = scan.filter(where)
+    return (
+        scan.select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(_cos(F.col("embedding"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def ivf_rebalanced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the IVF store, EXECUTE the rebalance plan against it, and
+    serve the standard top-k query from the rebalanced layout. The value
+    oracle is the in-plan IVF serving SQL (DUCK_KNN_IVF) — i.e. the
+    rebalanced store must serve exactly what the original cell layout
+    serves, the compaction-roundtrip contract for the ANN store."""
+    from .similarity import QUERY_VEC_ID, write_ivf_store
+    from .sinks_sources import _out_path
+
+    store = _out_path("ivf_rebal_base", sf_dir)
+    out = _out_path("ivf_rebal_out", sf_dir)
+    write_ivf_store(spark, sf_dir, store)
+    rebalance_ivf_store(spark, store, out)
+    qvec = [
+        float(x)
+        for x in table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .head()
+        .embedding
+    ]
+    return query_rebalanced_store(
+        spark, out, qvec, where=F.col("vec_id") != QUERY_VEC_ID
+    )
+
+
+def _duck_rebalanced_roundtrip() -> str:
+    from .similarity import DUCK_KNN_IVF
+
+    return DUCK_KNN_IVF
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "knn_ivf_rebalanced_roundtrip": QuerySpec(
+        fn=ivf_rebalanced_roundtrip,
+        oracle=_duck_rebalanced_roundtrip(),
+        note="EXECUTES the ivf_rebalance plan against the persisted "
+        "store (split cells shard, merge cells bin into shared units, "
+        "codebook copied) and serves from the rebalanced layout — "
+        "value-equal to the original cell-layout serving plan",
+    ),
     "layout_zorder_files": QuerySpec(
         fn=zorder_files,
         oracle=DUCK_ZORDER_FILES,

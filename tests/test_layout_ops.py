@@ -206,3 +206,123 @@ def test_ivf_rebalance_plan_invariants(spark, sf_dir):
     if merges:
         n_bins = merges[-1]["bin_id"] + 1
         assert cum >= (n_bins - 1) * avg
+
+
+def test_rebalance_execution_serves_identically(spark, sf_dir, tmp_path):
+    """The r8 execution contract: served top-k from the REBALANCED
+    layout equals query_ivf_store over the ORIGINAL cell layout,
+    row-for-row (vec_id, cos)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        query_rebalanced_store,
+        rebalance_ivf_store,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        QUERY_VEC_ID,
+        query_ivf_store,
+        write_ivf_store,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "rebal")
+    write_ivf_store(spark, sf_dir, store)
+    rebalance_ivf_store(spark, store, out)
+    qvec = [
+        float(x)
+        for x in table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .head()
+        .embedding
+    ]
+    pre = [
+        (r["vec_id"], r["cos"])
+        for r in query_ivf_store(
+            spark, store, qvec, where=F.col("vec_id") != QUERY_VEC_ID
+        ).collect()
+    ]
+    post = [
+        (r["vec_id"], r["cos"])
+        for r in query_rebalanced_store(
+            spark, out, qvec, where=F.col("vec_id") != QUERY_VEC_ID
+        ).collect()
+    ]
+    assert pre == post
+    assert len(pre) > 0
+
+
+def test_rebalance_execution_all_arms_on_skewed_store(spark, sf_dir, tmp_path):
+    """Craft a deliberately skewed store (one mega-cell, several tiny
+    cells, mid cells) from fixture vectors: the executor must split the
+    mega-cell into >1 hash shards, first-fit-merge the tiny cells into
+    shared units, keep the mid cells — and the rebalanced layout must
+    still serve exactly what the crafted cell layout serves."""
+    from collections import Counter
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        query_rebalanced_store,
+        rebalance_ivf_store,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        query_ivf_store,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(100).collect()
+    assert len(emb) == 100
+    # cells: 0 -> 60 vecs (split), 1..4 -> 2 vecs each (merge),
+    # 5..6 -> 16 vecs each (keep); avg = 100/7 ~ 14
+    def cell_of(i):
+        if i < 60:
+            return 0
+        if i < 68:
+            return 1 + (i - 60) // 2
+        return 5 + (i - 68) // 16
+
+    store = str(tmp_path / "skewstore")
+    rows = [
+        (r["vec_id"], r["embedding"], cell_of(i), 0)
+        for i, r in enumerate(emb)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, cell LONG, ingest LONG"
+    ).write.partitionBy("cell", "ingest").parquet(f"{store}/vectors")
+    # centroids: first vector of each cell, so probing is well-defined
+    firsts = {}
+    for i, r in enumerate(emb):
+        firsts.setdefault(cell_of(i), r["embedding"])
+    spark.createDataFrame(
+        [(c, v) for c, v in sorted(firsts.items())],
+        "cent_id LONG, cvec ARRAY<FLOAT>",
+    ).write.parquet(f"{store}/centroids")
+
+    out = str(tmp_path / "skewrebal")
+    plan = rebalance_ivf_store(spark, store, out)
+    by_action = Counter(a for _, _, a, _, _ in plan)
+    assert by_action["split"] >= 1 and by_action["merge"] >= 2
+    assert by_action["keep"] >= 1
+    split_rows = [p for p in plan if p[2] == "split"]
+    assert all(p[3] >= 2 for p in split_rows)  # mega-cell really shards
+    # tiny cells share merge units (first-fit put >=2 cells in a bin)
+    merge_units = Counter(p[4] for p in plan if p[2] == "merge")
+    assert max(merge_units.values()) >= 2
+    # the physical layout agrees with the plan: every unit directory of
+    # a split cell holds < the original cell's rows
+    units = {
+        r["unit"]: r["n"]
+        for r in spark.read.parquet(f"{out}/vectors")
+        .groupBy("unit")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for cell, n, action, shards, base in split_rows:
+        shard_rows = [units[u] for u in units if u.startswith(base + "-")]
+        assert sum(shard_rows) == n and all(s < n for s in shard_rows)
+    # serving equivalence on the crafted store
+    qvec = [float(x) for x in emb[99]["embedding"]]
+    pre = [
+        (r["vec_id"], r["cos"])
+        for r in query_ivf_store(spark, store, qvec).collect()
+    ]
+    post = [
+        (r["vec_id"], r["cos"])
+        for r in query_rebalanced_store(spark, out, qvec).collect()
+    ]
+    assert pre == post and len(pre) > 0
