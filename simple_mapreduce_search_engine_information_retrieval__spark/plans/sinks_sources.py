@@ -228,6 +228,88 @@ DUCK_CSV_DOCS = (
 )
 
 
+# Sharded twins of the unsplittable sources (r7 verdict #6): multiLine
+# CSV and gzip text are read one-file-one-task, so 100 TB ingest shards
+# the corpus into N files at WRITE time and re-read parallelism = file
+# count. Both roundtrips below write N range-sharded files with
+# distributed writer tasks (no driver-side rendering) and re-read the
+# whole directory; tests/test_scale_paths.py asserts the shard files
+# exist and that no file ever splits across partitions (the
+# unsplittable contract — Spark may PACK small files into shared
+# partitions, which is the benign direction).
+SOURCE_SHARDS = 6
+
+
+def csv_documents_sharded_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """csv_documents_roundtrip's sharded twin: the same CSV-hostile
+    payload and md5 contract, but written as SOURCE_SHARDS range-sharded
+    multiLine CSV files (each with its own header) — the layout that
+    makes an unsplittable format scale by file count."""
+    hostile = F.concat(F.lit('say "'), F.col("text"), F.lit('",\n end'))
+    path = _out_path("csv_docs_sharded", sf_dir)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", hostile.alias("text"), "lang", "source")
+        .repartitionByRange(SOURCE_SHARDS, "doc_id")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        spark.read.schema(_JSONL_SCHEMA)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+        .select("doc_id", "lang", "source", F.md5("text").alias("text_md5"))
+    )
+
+
+def trec_gzip_sharded_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TREC-over-gzip at the 100 TB ingest shape: the corpus rendered as
+    SOURCE_SHARDS gzip-compressed TREC XML shard files by DISTRIBUTED
+    writer tasks (text sink + gzip codec — no driver-side fixture
+    rendering), then re-read through the S1/S2 record scanner
+    (sources/trec.py) over the whole directory. gzip is non-seekable so
+    each shard is one stream — exactly the reference's single-split
+    fallback (XMLInputFormat.java:82-90) — and parallelism comes from
+    the shard count, which is why the sharded WRITE is the scale path.
+    md5 over the re-parsed body proves byte-level fidelity through
+    render -> gzip -> record-split -> envelope-strip."""
+    from ..sources.trec import read_trec
+
+    path = _out_path("trec_gz_shards", sf_dir)
+    rec = F.concat(
+        F.lit("<DOC>\n<DOCNO> "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </DOCNO>\n<TEXT>\n"),
+        F.col("text"),
+        F.lit("\n</TEXT>\n</DOC>"),
+    )
+    (
+        table(spark, sf_dir, "documents")
+        .repartitionByRange(SOURCE_SHARDS, "doc_id")
+        .select(rec.alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+    return read_trec(spark, path).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+DUCK_TREC_GZ_SHARDED = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
 BINARYFILE_N = 150  # bounded raw-file slice (constant at every fixture scale)
 
 
@@ -377,6 +459,21 @@ QUERIES: dict[str, QuerySpec] = {
         "SEEDED quotes/commas/newlines — escaping or encoding drift "
         "fails the md5 value hash; documents the unsplittable-format "
         "scale caveat",
+    ),
+    "csv_documents_sharded_roundtrip": QuerySpec(
+        fn=csv_documents_sharded_roundtrip,
+        oracle=DUCK_CSV_DOCS,
+        note="sharded twin of the CSV roundtrip: N range-sharded "
+        "multiLine files written by distributed tasks — re-read "
+        "parallelism = file count, the unsplittable-format scale path",
+    ),
+    "trec_gzip_sharded_roundtrip": QuerySpec(
+        fn=trec_gzip_sharded_roundtrip,
+        oracle=DUCK_TREC_GZ_SHARDED,
+        note="TREC XML over N gzip shards written distributed, re-read "
+        "through the S1/S2 record scanner — one stream per shard (the "
+        "reference's non-seekable fallback), parallelism = shard count; "
+        "md5 body fidelity through render/gzip/split/strip",
     ),
     "binaryfile_documents_ingest": QuerySpec(
         fn=binaryfile_documents_ingest,

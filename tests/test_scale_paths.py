@@ -46,3 +46,54 @@ def test_ivf_store_partition_pruning(spark, sf_dir, tmp_path):
         if vid in got:
             assert got[vid] == cos
     assert len(set(got) & set(want)) >= len(want) - 1
+
+
+def test_sharded_unsplittable_sources_layout(spark, sf_dir):
+    """The r8 sharded-ingest contract for unsplittable formats: the
+    sharded writes produce SOURCE_SHARDS shard files, and on re-read no
+    file is ever split across partitions (gzip/multiLine are stream-
+    per-file; Spark may PACK small files together, the benign
+    direction). Parallelism at 100 TB therefore = shard count."""
+    import os
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.sinks_sources import (
+        SOURCE_SHARDS,
+        _out_path,
+        csv_documents_sharded_roundtrip,
+        trec_gzip_sharded_roundtrip,
+    )
+
+    n_docs = table(spark, sf_dir, "documents").count()
+
+    # --- gzip TREC shards
+    df = trec_gzip_sharded_roundtrip(spark, sf_dir)
+    gz_dir = _out_path("trec_gz_shards", sf_dir)
+    gz_files = [f for f in os.listdir(gz_dir) if f.endswith(".gz")]
+    assert len(gz_files) == SOURCE_SHARDS
+    assert df.count() == n_docs
+    raw = spark.read.text(gz_dir, lineSep="</DOC>")
+    placement = (
+        raw.select(
+            F.input_file_name().alias("f"), F.spark_partition_id().alias("p")
+        )
+        .groupBy("f")
+        .agg(F.count_distinct("p").alias("np"))
+        .collect()
+    )
+    assert placement and all(r["np"] == 1 for r in placement)
+
+    # --- sharded CSV
+    df = csv_documents_sharded_roundtrip(spark, sf_dir)
+    csv_dir = _out_path("csv_docs_sharded", sf_dir)
+    csv_files = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
+    assert len(csv_files) == SOURCE_SHARDS
+    assert df.count() == n_docs
+    placement = (
+        df.select(
+            F.input_file_name().alias("f"), F.spark_partition_id().alias("p")
+        )
+        .groupBy("f")
+        .agg(F.count_distinct("p").alias("np"))
+        .collect()
+    )
+    assert placement and all(r["np"] == 1 for r in placement)
