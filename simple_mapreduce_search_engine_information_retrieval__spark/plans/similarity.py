@@ -31,6 +31,23 @@ from . import QuerySpec
 QUERY_VEC_ID = 0
 TOP_K = 10
 
+# Rendering-canon note (r7 ADVICE): the knn family emits round(cos, 6)
+# as DOUBLE rather than the *_ppm integer rendering. Documented
+# exemption, not an oversight: cos derives from float embeddings via
+# double sqrt/divide, so NO rendering removes the half-boundary 1-ulp
+# residual — floor(cos*1e6 + 0.5) carries exactly the same knife edge
+# at integer boundaries that round(,6) carries at 5e-7 boundaries (the
+# micro-unit canon eliminates the risk only where the UPSTREAM math is
+# integer, as in SRP's int64 signature dots). Spark's HALF_UP and
+# DuckDB's half-away-from-zero agree for every sign, both engines fold
+# the identical zip_with/list_dot_product sums, and six rounds of
+# tri-scale sweeps pin the realized cosine population boundary-free —
+# the same accepted-residual class as the documented libm-ln note in
+# plans/pipeline.py. Converting the ~12 green queries would re-spend
+# driver re-check budget for zero risk reduction; NEW float-similarity
+# operators should still prefer *_ppm (srp_lsh_pairs is the model) so
+# the BIGINT output also dodges float-dtype hash hazards.
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -649,16 +666,31 @@ def append_ivf_store(
     written = {
         int(r.cell) for r in cells.select("cell").distinct().collect()
     }
+    sweep_orphan_ingest_partitions(spark, out_path, int(batch_id), written)
+
+
+def sweep_orphan_ingest_partitions(
+    spark: SparkSession, store_path: str, ingest_id: int, written_cells: set
+) -> None:
+    """Delete ingest=<ingest_id> partitions under cells this attempt did
+    NOT write — the post-commit orphan sweep shared by append_ivf_store
+    and the streaming twin (streaming/jobs.py::incremental_vector_ingest,
+    r7 ADVICE): a replayed ingest whose cell assignment differs from a
+    prior partially-committed attempt would otherwise leave stale
+    (cell, ingest) partitions that dynamic overwrite never touches.
+    MUST run AFTER the write commits (sweeping first opens a crash
+    window where the prior attempt's data is gone and nothing replaced
+    it). Bounded: one directory glob over #cells entries, no data read."""
     jvm = spark._jvm
     glob = jvm.org.apache.hadoop.fs.Path(
-        f"{out_path}/vectors/cell=*/ingest={int(batch_id)}"
+        f"{store_path}/vectors/cell=*/ingest={ingest_id}"
     )
-    fs = jvm.org.apache.hadoop.fs.Path(f"{out_path}/vectors").getFileSystem(
+    fs = jvm.org.apache.hadoop.fs.Path(f"{store_path}/vectors").getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
     for st in fs.globStatus(glob) or []:
         cell_dir = st.getPath().getParent().getName()  # "cell=<n>"
-        if int(cell_dir.split("=", 1)[1]) not in written:
+        if int(cell_dir.split("=", 1)[1]) not in written_cells:
             fs.delete(st.getPath(), True)
 
 

@@ -342,12 +342,23 @@ def incremental_vector_ingest(
     checkpoint replays a failed epoch with the same epoch_id, and
     dynamic partition overwrite rewrites that epoch's partitions
     instead of duplicating them (epoch+1 keeps ingest=0 reserved for
-    the base build). Base partitions are never read or rewritten."""
-    from ..plans.similarity import _ivf_cells, _ivf_pairs
+    the base build). Base partitions are never read or rewritten.
+    Like the batch twin, each epoch ends with the post-commit orphan
+    sweep (r7 ADVICE): deterministic assignment against the frozen
+    codebook makes a replay normally land on the same cells, but a
+    codebook file swapped between attempts would re-cell the epoch and
+    strand the first attempt's partitions — the sweep closes that the
+    same way append_ivf_store does, and ordering (sweep AFTER commit)
+    carries the same crash-window argument."""
+    from ..plans.similarity import (
+        _ivf_cells,
+        _ivf_pairs,
+        sweep_orphan_ingest_partitions,
+    )
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         cents = spark.read.parquet(f"{store_path}/centroids")
-        cells = _ivf_cells(_ivf_pairs(batch, cents))
+        cells = _ivf_cells(_ivf_pairs(batch, cents)).localCheckpoint()
         (
             batch.join(cells, "vec_id")
             .withColumn("ingest", F.lit(int(epoch_id) + 1))
@@ -355,6 +366,12 @@ def incremental_vector_ingest(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "ingest")
             .parquet(f"{store_path}/vectors")
+        )
+        written = {
+            int(r.cell) for r in cells.select("cell").distinct().collect()
+        }
+        sweep_orphan_ingest_partitions(
+            spark, store_path, int(epoch_id) + 1, written
         )
 
     q = (

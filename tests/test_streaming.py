@@ -301,3 +301,25 @@ def test_vector_ingest_checkpoint_resume(spark, sf_dir):
         run()
         assert spark.read.parquet(f"{store}/vectors").count() == want_rows
         assert served() == want
+        # orphan sweep (r8): strand a partition under this epoch's
+        # ingest id at a cell the replay will NOT write (as if a prior
+        # attempt's codebook had assigned there), forge another replay,
+        # and the post-commit sweep must remove it — store back to
+        # exactly the replay's own rows
+        last = sorted(
+            f for f in os.listdir(commits) if not f.startswith(".")
+        )[-1]
+        orphan = f"{store}/vectors/cell=888888/ingest={int(last) + 1}"
+        spark.createDataFrame(
+            [(-5, [0.0] * 64, 0)],
+            "vec_id LONG, embedding ARRAY<FLOAT>, label LONG",
+        ).coalesce(1).write.parquet(orphan)
+        assert spark.read.parquet(f"{store}/vectors").count() == want_rows + 1
+        os.remove(f"{commits}/{last}")
+        crc = f"{commits}/.{last}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        assert not os.path.exists(orphan)
+        assert spark.read.parquet(f"{store}/vectors").count() == want_rows
+        assert served() == want
