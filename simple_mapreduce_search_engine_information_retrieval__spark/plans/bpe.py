@@ -137,11 +137,20 @@ def learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     text_tokenize_ids share one learning run."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _bpe_cache:
+        # The merge loop is N_MERGES sequential driver-synchronized
+        # barriers over a vocabulary-sized relation, so per-stage task
+        # COUNT is the latency knob, not per-task width: coalescing the
+        # cached vocab to a handful of fuller partitions halved the
+        # cold learning run at sf0.1 (9.0 -> 4.0 s; warm ~3.5 s either
+        # way). Scaled off defaultParallelism so a cluster still gets
+        # map-side width proportional to its size.
+        n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
         v0 = (
             _pieces(spark, sf_dir)
             .groupBy("piece")
             .agg(F.count("*").alias("cnt"))
             .select(_wrap(F.col("piece")).alias("r"), "cnt")
+            .coalesce(n_parts)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         merges: list[tuple] = []
