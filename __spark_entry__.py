@@ -115,28 +115,20 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r7: integer micro-unit fold conversions (the r6 DSIR
-        # hash-fail class): schemas changed to *_ppm / *_micro columns
-        "pipeline_importance_weights",
-        "text_unigram_surprisal",
-        "text_bigram_surprisal",
-        "text_quality_by_source",
-        "embedding_label_centroid_norms",
-        # r7: mega-cluster shard guard added to the pairwise block
-        # (no-op below the cap — outputs identical, re-check anyway)
-        "dedup_semdedup_prune",
-        # r7: pq_codes rewritten to one-scan/one-shuffle — same argmin
-        # math, new code path; knn_ivfpq_adc serves from those codes
-        "embedding_pq_codes",
-        "knn_ivfpq_adc",
-        # r7 late: tf compression on the token-x-vocab joins (floor
-        # once per (doc, term), weight by tf — arithmetic-equal,
-        # parity-proven against the UNCHANGED oracles). The DSIR /
-        # surprisal rows are already listed above; knn_ivf_filtered and
-        # text_backoff_lm_score are brand-new this round, so they sit
-        # in the never-checked bucket without an entry here. The
-        # filtered-ANN cell-assignment narrowing is output-identical
-        # and its query is likewise never-checked.
+        # r8: hot-blocking-token cap + empty-token filter added to the
+        # blocking stage (guard mirrored in the oracle; output can
+        # legitimately shrink where a pair's only shared token is hot)
+        "dedup_record_linkage",
+        # r8: per-epoch post-commit orphan-partition sweep added to the
+        # streaming ingest (output identical on a clean run — re-check
+        # the new code path anyway); the batch twin's sweep moved into
+        # the shared helper the same commit
+        "streaming_vector_ingest",
+        "knn_ivf_incremental",
+        # The five r8-NEW queries (text_bpe_merges, text_tokenize_ids,
+        # knn_ivf_rebalanced_roundtrip, csv_documents_sharded_roundtrip,
+        # trec_gzip_sharded_roundtrip) sit in the never-checked bucket
+        # without an entry here.
     }
 )
 
