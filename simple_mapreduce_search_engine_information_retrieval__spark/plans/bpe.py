@@ -88,8 +88,12 @@ def _pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wrap(piece_col) -> F.Column:
-    """piece -> SEP-wrapped char symbolization: 'ab' -> ␟a␟␟b␟."""
-    return F.regexp_replace(piece_col, "(.)", SEP + "$1" + SEP)
+    """piece -> SEP-wrapped char symbolization: 'ab' -> ␟a␟␟b␟.
+    (?s) because a piece can legally contain Unicode line terminators
+    (U+0085/U+2028/U+2029 are not \\s in Java or RE2, so BPE_PATTERN
+    admits them into punctuation runs) and a bare '.' skips them —
+    Java and RE2 would then frame DIFFERENT symbol sets (r8 review)."""
+    return F.regexp_replace(piece_col, "(?s)(.)", SEP + "$1" + SEP)
 
 
 def _syms(repr_col) -> F.Column:
@@ -199,7 +203,10 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _wrap(F.col("piece"))
     for _rank, lhs, rhs, _n in merges:
         r = _apply_merge(r, lhs, rhs)
-    es = dp.select("piece", _syms(r).alias("syms"))
+    # localCheckpoint: es feeds BOTH the driver-side vocab collect and
+    # the pe encode below — without it the distinct-piece scan and the
+    # 16-replace chain evaluate twice per execution (r8 review)
+    es = dp.select("piece", _syms(r).alias("syms")).localCheckpoint()
     # bounded vocabulary (<= alphabet + N_MERGES, see module doc) —
     # collected and compiled to a literal map, the codebook discipline
     symbols = sorted(
@@ -260,7 +267,7 @@ def _duck_merge_chain(n: int) -> list[str]:
     ctes = [
         f"p AS MATERIALIZED ({_duck_piece_counts()})",
         "v0 AS MATERIALIZED (SELECT "
-        f"regexp_replace(piece, '(.)', '{s}\\1{s}', 'g') AS r, cnt FROM p)",
+        f"regexp_replace(piece, '(?s)(.)', '{s}\\1{s}', 'g') AS r, cnt FROM p)",
     ]
     for i in range(1, n + 1):
         prev = f"v{i - 1}"
@@ -307,7 +314,7 @@ def _duck_tokenize_ids() -> str:
     chain.append("dp AS MATERIALIZED (SELECT DISTINCT piece FROM pp)")
     chain.append(
         "e0 AS (SELECT piece, "
-        f"regexp_replace(piece, '(.)', '{s}\\1{s}', 'g') AS r FROM dp)"
+        f"regexp_replace(piece, '(?s)(.)', '{s}\\1{s}', 'g') AS r FROM dp)"
     )
     for i in range(1, N_MERGES + 1):
         chain.append(

@@ -626,17 +626,10 @@ def query_rebalanced_store(
     the K-row unit map (split cells expand to their shard list), and the
     scan prunes on the static unit IN-list exactly as the cell layout
     pruned on cells. Cell filtering stays (a merge unit holds >1 cell)."""
-    from .similarity import NPROBE, TOP_K, _cos
+    from .similarity import NPROBE, TOP_K, _cos, probe_cells
 
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    cents = spark.read.parquet(f"{path}/centroids")
-    probes = [
-        r.cent_id
-        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("cent_id"))
-        .limit(NPROBE)
-        .collect()
-    ]
+    probes = probe_cells(spark, path, q, NPROBE)
     units: list[str] = []
     for r in (
         spark.read.parquet(f"{path}/units")
@@ -668,7 +661,12 @@ def ivf_rebalanced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve the standard top-k query from the rebalanced layout. The value
     oracle is the in-plan IVF serving SQL (DUCK_KNN_IVF) — i.e. the
     rebalanced store must serve exactly what the original cell layout
-    serves, the compaction-roundtrip contract for the ANN store."""
+    serves, the compaction-roundtrip contract for the ANN store.
+    Rendering note: emits the knn family's round(cos, 6) DOUBLE —
+    a conscious reuse of the long-green DUCK_KNN_IVF oracle (the whole
+    point is value-equality with the ORIGINAL serving plan), covered by
+    the documented family exemption in plans/similarity.py; a ppm twin
+    would need its own oracle and lose that equivalence proof."""
     from .similarity import QUERY_VEC_ID, write_ivf_store
     from .sinks_sources import _out_path
 

@@ -117,14 +117,23 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics in DuckDB. The DuckDB oracle replays the identical guard,
     so the guarded form is value-verified, not just exercised."""
     names = _names_cached(spark, sf_dir)
-    toks = names.select(
-        "p_name", F.explode(F.split(F.col("p_name"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    # hot-token census over the dictionary: names is distinct per row,
-    # so count(*) per token IS the bucket size in names. The dictionary
-    # total is read driver-side at plan time (one count of the CACHED
-    # dictionary — the pagerank/ANN-probe discipline) so the keep-filter
-    # is a literal comparison, not a 1-row BNLJ cross.
+    # per-name token DEDUP before anything else: a name repeating a
+    # token ("tan tan lace") must count once in the census (bucket size
+    # = distinct NAMES electing the token) and join once per token in
+    # the candidate stage (r8 review — without distinct the census
+    # over-counts repeats and the self-join squares them)
+    toks = (
+        names.select(
+            "p_name", F.explode(F.split(F.col("p_name"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    # hot-token census over the deduped dictionary: count(*) per token
+    # IS the number of names electing it. The dictionary total is read
+    # driver-side at plan time (one count of the CACHED dictionary —
+    # the pagerank/ANN-probe discipline) so the keep-filter is a
+    # literal comparison, not a 1-row BNLJ cross.
     nn = names.count()
     keep = (
         toks.groupBy("token")
@@ -159,7 +168,7 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUCK_RECORD_LINKAGE = f"""
 WITH names AS (SELECT p_name, count(*) AS n_recs FROM part GROUP BY p_name),
-     toks AS (SELECT p_name, token FROM (
+     toks AS (SELECT DISTINCT p_name, token FROM (
                 SELECT p_name, unnest(string_split(p_name, ' ')) AS token
                 FROM names) WHERE token <> ''),
      nn AS (SELECT count(*) AS nn FROM names),

@@ -545,6 +545,23 @@ def write_ivf_store(
     )
 
 
+def probe_cells(spark: SparkSession, path: str, q, nprobe: int) -> list:
+    """Probe planning over a persisted store's K-row codebook: the
+    query's nprobe nearest cell ids, collected driver-side so the scan
+    filter is a static IN-list (partition pruning, not a runtime join).
+    ONE definition shared by query_ivf_store and the rebalanced-layout
+    reader (plans/layout.py) so the probe tiebreak cannot drift between
+    the two serving paths (r8 review)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    return [
+        r.cent_id
+        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cent_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+
+
 def query_ivf_store(
     spark: SparkSession,
     path: str,
@@ -565,16 +582,7 @@ def query_ivf_store(
     knn_ivf_filtered for the probe-widening rule that preserves recall
     under selective predicates)."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    cents = spark.read.parquet(f"{path}/centroids")
-    probes = [
-        r.cent_id
-        for r in cents.select(
-            "cent_id", _cos(F.col("cvec"), q).alias("sim")
-        )
-        .orderBy(F.desc("sim"), F.asc("cent_id"))
-        .limit(nprobe)
-        .collect()
-    ]
+    probes = probe_cells(spark, path, q, nprobe)
     scan = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probes)
     )
