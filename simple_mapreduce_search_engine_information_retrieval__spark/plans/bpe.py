@@ -353,7 +353,61 @@ def _duck_tokenize_ids() -> str:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_bytes, total_ids, bytes_per_id_ppm): the
+    tokenizer-eval dashboard per feed — compression rate (UTF-8 bytes
+    per emitted token id) under the learned merges. A source whose
+    ratio drifts is either a content change or a tokenizer mismatch
+    (non-English feed under an English-trained vocab reads LOW here);
+    this is the per-feed monitor a tokenizer rollout watches. Derives
+    from text_tokenize_ids' per-doc encoding (one aggregate on top —
+    the encode work is shared via the merge memo and the checkpointed
+    piece encoding), byte length measured with octet_length/strlen so
+    multibyte text counts bytes, not chars. Docs with zero pieces drop
+    out of the encoding in BOTH engines (inner join, same convention
+    as the encoder itself)."""
+    ids = tokenize_ids(spark, sf_dir).select("doc_id", "n_ids")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.octet_length("text").cast("long").alias("nb")
+    )
+    return (
+        docs.join(ids, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum("n_ids").cast("long").alias("total_ids"),
+            F.floor(
+                F.sum("nb") * F.lit(1_000_000) / F.sum("n_ids") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("bytes_per_id_ppm"),
+        )
+    )
+
+
+def _duck_tokenizer_fertility() -> str:
+    return f"""
+WITH enc AS MATERIALIZED ({_duck_tokenize_ids()})
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
+       CAST(sum(enc.n_ids) AS BIGINT) AS total_ids,
+       CAST(floor(sum(strlen(d.text)) * 1000000.0 / sum(enc.n_ids) + 0.5)
+            AS BIGINT) AS bytes_per_id_ppm
+FROM documents d JOIN enc ON enc.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_tokenizer_fertility": QuerySpec(
+        fn=tokenizer_fertility,
+        oracle=_duck_tokenizer_fertility(),
+        note="per-source tokenizer compression dashboard (UTF-8 bytes "
+        "per token id under the learned merges) — the per-feed monitor "
+        "a tokenizer rollout watches; one aggregate over the shared "
+        "encode pass",
+    ),
     "text_bpe_merges": QuerySpec(
         fn=bpe_merges,
         oracle=_duck_bpe_merges(),

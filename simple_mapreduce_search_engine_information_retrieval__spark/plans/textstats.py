@@ -712,6 +712,125 @@ LEFT JOIN fs USING (doc_id)
 """
 
 
+# --- intra-doc repetition SCRUB ------------------------------------------
+# text_repetition_signals DETECTS boilerplate; this TRANSFORMS it away —
+# the C4/Gopher-style cleaning step that removes repeated spans inside a
+# document (log spam, templated headers, copy-paste loops) while keeping
+# the first occurrence. Contract: over the full token stream, every
+# NON-FIRST occurrence of a SCRUB_N-gram marks its SCRUB_N token
+# positions dropped; kept tokens reassemble in order. Deterministic set
+# algebra on integer positions — no scoring, no floats — so the oracle
+# is exact. Scale shape: per-doc aggregates only (first-occurrence min
+# per (doc, gram), span explode to <=SCRUB_N rows per repeat, one
+# anti-join on (doc, pos), one per-doc reassembly aggregate) — nothing
+# windows over the corpus, and the span->position explode keeps the
+# coverage test LINEAR in repeats instead of a token x span range join.
+SCRUB_N = 5
+# Fixture honesty (the pii_scrub/SRP-clone precedent): the synthetic
+# prose contains NO repeated 5-gram, so the scrub arm would be dead
+# code on the raw fixture. Every SCRUB_SEED_MOD-th doc therefore gets
+# its own first SCRUB_SEED_LEN tokens re-appended — the copy-paste-loop
+# shape the operator exists for — constructed identically in both
+# engines, so the oracle verifies real span removal, not a no-op.
+SCRUB_SEED_MOD = 7
+SCRUB_SEED_LEN = 8
+
+
+def repetition_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, kept_hash): the corpus after
+    first-occurrence-wins repeated-{SCRUB_N}-gram span removal.
+    kept_hash = md5 over the space-joined kept stream (no-raw-lists
+    canon); docs shorter than SCRUB_N tokens pass through unchanged."""
+    from .corpus import tokenized_docs
+
+    seeded = F.when(
+        (F.col("doc_id") % SCRUB_SEED_MOD == 0)
+        & (F.size("toks") >= SCRUB_SEED_LEN),
+        F.concat(F.col("toks"), F.slice(F.col("toks"), 1, SCRUB_SEED_LEN)),
+    ).otherwise(F.col("toks"))
+    t = tokenized_docs(spark, sf_dir).select(
+        "doc_id", seeded.alias("toks")
+    )
+    gr = t.select(
+        "doc_id",
+        F.posexplode(kgrams_col(F.col("toks"), SCRUB_N)).alias("gpos", "g"),
+    )
+    first = gr.groupBy("doc_id", "g").agg(F.min("gpos").alias("g0"))
+    dropped = (
+        gr.join(first, ["doc_id", "g"])
+        .filter(F.col("gpos") > F.col("g0"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (SCRUB_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = t.select("doc_id", F.posexplode("toks").alias("p", "tok"))
+    kept = tokpos.join(dropped, ["doc_id", "p"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_hash"),
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('') — all-dropped/empty docs
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_hash"), F.lit(empty_md5)).alias("kept_hash"),
+        )
+    )
+
+
+def _duck_repetition_scrub() -> str:
+    lst = duck_tokens_list("text", stopworded=False)
+    n = SCRUB_N
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SCRUB_SEED_MOD} = 0
+                   AND len(toks0) >= {SCRUB_SEED_LEN}
+              THEN toks0 || toks0[1:{SCRUB_SEED_LEN}] ELSE toks0 END AS toks
+  FROM (SELECT doc_id, {lst} AS toks0 FROM documents)),
+gr AS MATERIALIZED (
+  SELECT doc_id, (u.i - 1) AS gpos, u.g FROM (
+    SELECT doc_id, unnest(list_transform({duck_kgrams('toks', n)},
+                                         (g, i) -> {{'i': i, 'g': g}})) AS u
+    FROM t)),
+first AS (SELECT doc_id, g, min(gpos) AS g0 FROM gr GROUP BY doc_id, g),
+dropped AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(gpos, gpos + {n - 1})) AS p
+  FROM gr JOIN first USING (doc_id, g) WHERE gpos > g0),
+tokpos AS (
+  SELECT doc_id, (u.i - 1) AS p, u.t AS tok FROM (
+    SELECT doc_id, unnest(list_transform(toks, (t, i) -> {{'i': i, 't': t}})) AS u
+    FROM t)),
+kept AS (
+  SELECT tokpos.* FROM tokpos
+  LEFT JOIN dropped USING (doc_id, p) WHERE dropped.p IS NULL),
+outp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS kept_hash
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       coalesce(outp.n_kept, 0) AS n_kept,
+       coalesce(outp.kept_hash, md5('')) AS kept_hash
+FROM t LEFT JOIN outp USING (doc_id)
+"""
+
+
 def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health profile: the dashboard aggregate a
     pipeline watches to catch one feed going bad (ratio drift = tokenizer
@@ -1150,6 +1269,15 @@ QUERIES: dict[str, QuerySpec] = {
         fn=split_summary,
         oracle=DUCK_SPLIT_SUMMARY,
         note="per-split doc/char profile of the reproducible split",
+    ),
+    "text_repetition_scrub": QuerySpec(
+        fn=repetition_scrub,
+        oracle=_duck_repetition_scrub(),
+        note="C4/Gopher-style intra-doc repetition REMOVAL (first "
+        "occurrence of a repeated 5-gram wins, its later spans "
+        "dropped) — the content transform behind the repetition "
+        "signals; exact integer position algebra, linear span "
+        "explode instead of a token x span range join",
     ),
     "text_repetition_signals": QuerySpec(
         fn=repetition_signals,
