@@ -125,9 +125,10 @@ CHANGED_THIS_ROUND = frozenset(
         # the shared helper the same commit
         "streaming_vector_ingest",
         "knn_ivf_incremental",
-        # The five r8-NEW queries (text_bpe_merges, text_tokenize_ids,
+        # The seven r8-NEW queries (text_bpe_merges, text_tokenize_ids,
         # knn_ivf_rebalanced_roundtrip, csv_documents_sharded_roundtrip,
-        # trec_gzip_sharded_roundtrip) sit in the never-checked bucket
+        # trec_gzip_sharded_roundtrip, text_repetition_scrub,
+        # text_tokenizer_fertility) sit in the never-checked bucket
         # without an entry here.
     }
 )

@@ -398,8 +398,14 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("nb").cast("long").alias("total_bytes"),
             F.sum("n_ids").cast("long").alias("total_ids"),
+            # divide-FIRST ppm discipline (pipeline.py precedent): a
+            # long sum(nb)*1e6 product overflows int64 past ~9.2 TB of
+            # text per source — exactly the design point. Both engines
+            # run the identical double divide-then-multiply, and the
+            # byte/id sums stay exact in double far past 100 TB (<2^53).
             F.floor(
-                F.sum("nb") * F.lit(1_000_000) / F.sum("n_ids") + F.lit(0.5)
+                F.sum("nb").cast("double") / F.sum("n_ids") * F.lit(1_000_000.0)
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("bytes_per_id_ppm"),
@@ -413,7 +419,8 @@ WITH enc AS MATERIALIZED ({_duck_tokenize_ids()})
 SELECT d.source, count(*) AS n_docs,
        CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
        CAST(sum(enc.n_ids) AS BIGINT) AS total_ids,
-       CAST(floor(sum(strlen(d.text)) * 1000000.0 / sum(enc.n_ids) + 0.5)
+       CAST(floor(CAST(sum(strlen(d.text)) AS DOUBLE) / sum(enc.n_ids)
+                  * 1000000.0 + 0.5)
             AS BIGINT) AS bytes_per_id_ppm
 FROM documents d JOIN enc ON enc.doc_id = d.doc_id
 GROUP BY d.source

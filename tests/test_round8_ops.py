@@ -64,8 +64,9 @@ def test_repetition_scrub_matches_python_replay(spark):
         # short docs pass through whole
         if len(toks) < textstats.SCRUB_N:
             assert len(kept) == len(toks)
-    # the fixture prose genuinely contains repeated 5-grams — the
-    # operator must do real work somewhere, not vacuously pass
+    # the raw fixture prose has NO repeated 5-grams (why the seeded
+    # copy-paste tails exist — see textstats.SCRUB_SEED_MOD); the
+    # seeding must make the scrub arm do real work, not vacuously pass
     assert any_scrubbed
 
 
@@ -98,10 +99,10 @@ def test_tokenizer_fertility_accounting(spark):
         )
         for r in bpe.tokenizer_fertility(spark, SF).collect()
     }
+    import math
+
     assert set(got) == set(want)
     for src, (nd, nb, ni) in want.items():
-        ppm = int(nb * 1_000_000 / ni + 0.5)  # floor(x + .5) on exact ints
-        import math
-
-        ppm = math.floor(nb * 1_000_000 / ni + 0.5)
+        # the query's divide-first double form, replayed exactly
+        ppm = math.floor(nb / ni * 1_000_000.0 + 0.5)
         assert got[src] == (nd, nb, ni, ppm), src
