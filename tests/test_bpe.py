@@ -175,3 +175,55 @@ def test_doc_hash_matches_python_replay(spark, corpus_pieces):
             hashlib.md5(csv.encode()).hexdigest(),
         )
         assert got[int(row["doc_id"])] == want
+
+
+def test_hostile_corpus_cross_engine(spark, tmp_path):
+    """Crafted corpus with the divergence hazards the fixture lacks:
+    contractions, digit and punctuation runs, a literal SEP byte (the
+    framing guard must drop that piece in BOTH engines), Unicode line
+    terminators U+2028/U+0085 (not \\s in Java or RE2 -- they land in
+    punct pieces; the (?s) wrap must frame them identically), em-dash,
+    quotes, repeated whitespace. Both BPE queries must match their
+    DuckDB oracles on this corpus."""
+    import duckdb
+    import pandas as pd
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import (
+        caches,
+        oracle,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.bpe import (
+        QUERIES,
+    )
+
+    texts = [
+        "it's the engine's test \u2014 really, REALLY!! 123 456 tokens...",
+        "line one\u2028line two\u0085line three   spaced    out",
+        "bad\x1fbyte piece must drop identically; ok piece stays",
+        "repeat me repeat me repeat me 'til the merges learn it",
+        'quotes "inside" and commas, plus 9,001 numbers and #tags!!',
+        "the the the the an an an of of to to to in in is is it's",
+    ] * 4  # enough mass that 16 merges never exhaust the pair supply
+    sf_dir = str(tmp_path / "hostile")
+    (tmp_path / "hostile").mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["seed"] * len(texts),
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        for name in ("text_bpe_merges", "text_tokenize_ids"):
+            spec = QUERIES[name]
+            issues = oracle.compare(spec.fn(spark, sf_dir), con, spec.oracle)
+            assert not issues, (name, issues)
+    finally:
+        con.close()
+        caches.evict(sf_dir)
