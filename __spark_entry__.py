@@ -125,11 +125,11 @@ CHANGED_THIS_ROUND = frozenset(
         # the shared helper the same commit
         "streaming_vector_ingest",
         "knn_ivf_incremental",
-        # The seven r8-NEW queries (text_bpe_merges, text_tokenize_ids,
+        # The eight r8-NEW queries (text_bpe_merges, text_tokenize_ids,
         # knn_ivf_rebalanced_roundtrip, csv_documents_sharded_roundtrip,
         # trec_gzip_sharded_roundtrip, text_repetition_scrub,
-        # text_tokenizer_fertility) sit in the never-checked bucket
-        # without an entry here.
+        # text_tokenizer_fertility, dedup_source_overlap) sit in the
+        # never-checked bucket without an entry here.
     }
 )
 

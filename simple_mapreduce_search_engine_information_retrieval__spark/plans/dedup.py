@@ -1357,7 +1357,103 @@ FROM g GROUP BY source
 """
 
 
+# --- cross-source overlap matrix ------------------------------------------
+# The feed-selection dashboard behind "which sources duplicate each
+# other": verified near-dup pairs rolled up to a source x source matrix
+# with a pair-space-normalized rate (n_pairs / possible cross pairs).
+# A web snapshot pair with high mutual overlap is the classic candidate
+# for dropping one side before training. Composes the MEMOIZED verified
+# pair set (plans-level reuse: the LSH build runs once per session) +
+# two doc-keyed source lookups (the pair side is the tiny verified
+# residue; AQE broadcasts it) + a dictionary-sized per-source census.
+# Rate follows the divide-first double discipline: the pair-space
+# denominator n_a*n_b overflows int64 past ~3e9 docs per source, so
+# both engines compute it in DOUBLE (exact until 2^53 — far past the
+# design point; the r8 fertility lesson applied at authoring time).
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs, rate_ppm): near-dup pair counts and
+    pair-space rates between (and within) sources; source_a <= source_b
+    so each unordered source pair appears once."""
+    pairs = minhash_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    counts = tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    census = src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    na = census.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("na")
+    )
+    nb = census.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("nb")
+    )
+    space = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("na").cast("double") * (F.col("na") - 1) / 2.0,
+    ).otherwise(F.col("na").cast("double") * F.col("nb"))
+    return (
+        counts.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.floor(F.col("n_pairs") / space * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+
+
+def _duck_source_overlap() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_duck_near_dups()}),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b),
+counts AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM tagged GROUP BY source_a, source_b),
+census AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT c.source_a, c.source_b, c.n_pairs,
+       CAST(floor(c.n_pairs /
+              (CASE WHEN c.source_a = c.source_b
+                    THEN CAST(na.n_docs AS DOUBLE) * (na.n_docs - 1) / 2.0
+                    ELSE CAST(na.n_docs AS DOUBLE) * nb.n_docs END)
+              * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm
+FROM counts c
+JOIN census na ON na.source = c.source_a
+JOIN census nb ON nb.source = c.source_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_source_overlap": QuerySpec(
+        fn=source_overlap,
+        oracle=_duck_source_overlap(),
+        note="cross-source near-dup overlap matrix (n_pairs + pair-"
+        "space rate per unordered source pair) — the feed-selection "
+        "dashboard over the memoized verified pair set; divide-first "
+        "double rate (int64-safe past the design point)",
+    ),
     "dedup_url_canonical": QuerySpec(
         fn=url_canonical_dedup,
         oracle=_duck_url_canonical(),
