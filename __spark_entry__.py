@@ -115,21 +115,21 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r8: hot-blocking-token cap + empty-token filter added to the
-        # blocking stage (guard mirrored in the oracle; output can
-        # legitimately shrink where a pair's only shared token is hot)
-        "dedup_record_linkage",
-        # r8: per-epoch post-commit orphan-partition sweep added to the
-        # streaming ingest (output identical on a clean run — re-check
-        # the new code path anyway); the batch twin's sweep moved into
-        # the shared helper the same commit
-        "streaming_vector_ingest",
-        "knn_ivf_incremental",
-        # The eight r8-NEW queries (text_bpe_merges, text_tokenize_ids,
-        # knn_ivf_rebalanced_roundtrip, csv_documents_sharded_roundtrip,
-        # trec_gzip_sharded_roundtrip, text_repetition_scrub,
-        # text_tokenizer_fertility, dedup_source_overlap) sit in the
-        # never-checked bucket without an entry here.
+        # r9: BPE_PATTERN's \s replaced with an explicit whitespace
+        # class (Java \s has \x0B, RE2's does not — r8 ADVICE); output
+        # changes only on VT-bearing docs, but the pattern feeds every
+        # query below, so re-check all consumers
+        "text_bpe_vocab",
+        # r9: plans/bpe.py restructured around the durable store —
+        # parameterized learner (lineage-checkpoint cadence, r8 ADVICE
+        # quadratic-recompute fix), encode split into reusable stages;
+        # behavior-identical by construction, re-verify anyway
+        "text_bpe_merges",
+        "text_tokenize_ids",
+        "text_tokenizer_fertility",
+        # The r9-NEW queries (text_bpe_store_roundtrip,
+        # text_tokenize_ids_incremental, text_tokenizer_fertility_lang)
+        # sit in the never-checked bucket without an entry here.
     }
 )
 

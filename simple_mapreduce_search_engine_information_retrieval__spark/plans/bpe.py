@@ -3,8 +3,10 @@
 Closes the last capability gap in the LLM-data-pipeline catalog (r7
 verdict, Next-round #1): ``text_bpe_vocab`` (plans/textstats.py) builds
 the pre-tokenizer piece vocabulary; this module LEARNS the BPE merge
-table from it and ENCODES the corpus to token ids — the artifact a
-training-data pipeline actually ships.
+table from it, ENCODES the corpus to token ids, and (round 9) PERSISTS
+the tokenizer as a durable store with frozen-merge incremental encode —
+the artifact a training-data pipeline actually ships (tokenizer.json +
+the encoded corpus), maintained without re-learning per doc batch.
 
 Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
 Words with Subword Units", public ACL): merges are learned over the
@@ -39,16 +41,34 @@ learning AND encoding (the documents fixture contains none — this is a
 framing guard, not a semantic choice; disclosed).
 
 Scale shape: piece counting is the only corpus pass in learning; the
-N_MERGES pair-count aggregates shuffle vocabulary-sized data. Encoding
-applies the merges once per DISTINCT piece (vocabulary-sized work),
-then joins the corpus piece stream to that encoded dictionary on the
-Zipf-skewed piece key — deliberately UNHINTED under the AQE skew-join
-posture (the token x vocab canon; tests/test_round7_ops.py) — and
-reassembles per doc with one aggregate. The symbol vocabulary is
-bounded by construction (<= base alphabet + N_MERGES merge products:
-every post-merge symbol is either a single character or the product of
-some learned merge), so the id table is a collected literal map, the
-same class as top-k lists and codebook probes.
+N_MERGES pair-count aggregates shuffle vocabulary-sized data. Lineage
+is truncated every CKPT_EVERY merges (localCheckpoint) so iteration i
+re-evaluates at most CKPT_EVERY replace passes, not i — without it
+total learning work is O(N_MERGES^2) replace passes over the
+vocabulary, a quadratic cliff at a production merge budget (r8 ADVICE;
+the 16/64/256 measurements behind the 32k extrapolation live in
+SCALE.md's "BPE at a production merge count" section). Encoding applies
+the merges once per DISTINCT piece (vocabulary-sized work), then joins
+the corpus piece stream to that encoded dictionary on the Zipf-skewed
+piece key — deliberately UNHINTED under the AQE skew-join posture (the
+token x vocab canon; tests/test_round7_ops.py) — and reassembles per
+doc with one aggregate. The symbol vocabulary is bounded by
+construction (<= base alphabet + N_MERGES merge products: every
+post-merge symbol is either a single character or the product of some
+learned merge), so the id table is a collected literal map, the same
+class as top-k lists and codebook probes.
+
+Durable store (round 9, the write_ivf_store discipline applied here):
+``write_bpe_store`` persists merges/ + vocab/ + encoded/ (partitioned
+by ingest, ingest=0 = the build); ``append_bpe_store`` encodes a NEW
+doc batch under the FROZEN persisted merge table and vocab — never
+re-learned — and lands it under its own ingest=<batch_id> partition
+with dynamic partition overwrite, so a replayed batch rewrites itself
+instead of duplicating (exactly-once; each batch owns exactly one
+partition, so no orphan sweep is needed — unlike the IVF store, whose
+batches spread over data-dependent cell partitions). A symbol absent
+from the frozen vocab encodes as UNK_ID — the real OOV semantics of a
+frozen char-level tokenizer, exercised by a crafted test.
 
 Reference parity note: the reference engine (Hadoop-era Java, see
 SURVEY.md §2) has no subword tokenizer — this is a first-class
@@ -68,15 +88,17 @@ from .textstats import _BPE_SQL_LIT, BPE_PATTERN
 
 SEP = "\x1f"  # U+001F unit separator — the wrap framing character
 N_MERGES = 16  # fixed-iteration budget (unrolled in the oracle)
+CKPT_EVERY = 8  # merge-loop lineage-truncation cadence (see module doc)
+DOC_DELTA_MOD = 10  # doc_id % 10 == 0 plays the newly-arrived doc batch
+UNK_ID = -1  # frozen-vocab OOV id (LEFT-JOIN coalesce in the oracle)
 
 _bpe_cache: dict = register_cache({})
 
 
-def _pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus piece stream with per-doc position: (doc_id, pos, piece).
-    Same pre-tokenizer as text_bpe_vocab; SEP-bearing pieces dropped
+def _pieces_of(docs: DataFrame) -> DataFrame:
+    """Piece stream with per-doc position: (doc_id, pos, piece). Same
+    pre-tokenizer as text_bpe_vocab; SEP-bearing pieces dropped
     (framing guard, mirrored in every oracle below)."""
-    docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.posexplode(
@@ -85,6 +107,10 @@ def _pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "piece"),
     ).filter(~F.col("piece").contains(SEP))
+
+
+def _pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pieces_of(table(spark, sf_dir, "documents"))
 
 
 def _wrap(piece_col) -> F.Column:
@@ -135,46 +161,144 @@ def _pair_counts(vdf: DataFrame) -> DataFrame:
     ).agg(F.sum("cnt").cast("long").alias("n_occ"))
 
 
+def _learn_merges(
+    spark: SparkSession, pieces: DataFrame, n_merges: int
+) -> list[tuple]:
+    """[(merge_rank, lhs, rhs, n_occ)] learned from a piece stream.
+    The merge loop is n_merges sequential driver-synchronized barriers
+    over a vocabulary-sized relation, so per-stage task COUNT is the
+    latency knob, not per-task width: coalescing the cached vocab to a
+    handful of fuller partitions halved the cold learning run at sf0.1
+    (9.0 -> 4.0 s; warm ~3.5 s either way). Scaled off
+    defaultParallelism so a cluster still gets map-side width
+    proportional to its size. Lineage: `cur` is lazy — iteration i
+    would otherwise re-run all i replace passes from v0 (O(n^2) total,
+    r8 ADVICE) — so every CKPT_EVERY merges the current vocabulary is
+    localCheckpoint-ed, bounding re-evaluation per iteration to
+    CKPT_EVERY replaces."""
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    v0 = (
+        pieces.groupBy("piece")
+        .agg(F.count("*").alias("cnt"))
+        .select(_wrap(F.col("piece")).alias("r"), "cnt")
+        .coalesce(n_parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: list[tuple] = []
+    cur = v0
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # below-fixture-scale corpora only; surfacing loudly beats
+            # silently diverging from the N-merge oracle
+            raise RuntimeError(f"BPE pair supply exhausted at merge {rank}")
+        lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n_occ"]
+        merges.append((rank, lhs, rhs, int(n)))
+        cur = cur.select(_apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt")
+        if rank % CKPT_EVERY == 0 and rank < n_merges:
+            cur = cur.localCheckpoint()
+    v0.unpersist()
+    return merges
+
+
+def learn_merges_batched(
+    spark: SparkSession,
+    pieces: DataFrame,
+    n_merges: int,
+    *,
+    batch_m: int = 16,
+) -> tuple[list[tuple], list[int]]:
+    """Batched BPE learning — the production-merge-budget path (r8
+    verdict, Next-round #2). Exact greedy learning is inherently
+    sequential: one driver-synchronized barrier PER MERGE, so a 32k-
+    merge vocabulary is 32k round trips no matter how wide the cluster
+    (the arithmetic lives in SCALE.md, "BPE at a production merge
+    count"). The standard batched variant (as in public BPE trainers'
+    frequency-threshold batching) selects up to ``batch_m`` pairwise
+    symbol-DISJOINT top pairs per round from ONE pair-count aggregate:
+    merging (a,b) only perturbs counts of pairs touching a or b, so
+    disjoint picks all carry their true pre-round counts and their
+    replaces commute — barriers drop n_merges -> ~n_merges/batch_m.
+
+    DIVERGENCE from exact greedy, disclosed: a round cannot see pairs
+    EMERGING from its own merges (e.g. ("th","e") only exists after
+    ("t","h")), so an emergent pair competes one round late and round
+    boundaries can reorder the tail of the merge table. The canon
+    queries therefore stay on the exact learner at N_MERGES=16 (their
+    unrolled oracles ARE the exact loop); this learner is for merge
+    budgets where 1-barrier-per-merge is the bottleneck. Fixture
+    agreement and the measured speedup are recorded in SCALE.md;
+    construction invariants are pinned in tests/test_bpe_scale.py.
+
+    Returns (merges, round_sizes) — len(round_sizes) is the driver-
+    barrier count the batching is buying down; the sizes let tests pin
+    the per-round disjointness invariant on exact round boundaries."""
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
+    v0 = (
+        pieces.groupBy("piece")
+        .agg(F.count("*").alias("cnt"))
+        .select(_wrap(F.col("piece")).alias("r"), "cnt")
+        .coalesce(n_parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: list[tuple] = []
+    round_sizes: list[int] = []
+    cur = v0
+    while len(merges) < n_merges:
+        # bounded collect: 4*batch_m candidate rows (disjointness can
+        # reject at most 3 per accepted pair's two members + product)
+        cand = (
+            _pair_counts(cur)
+            .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+            .limit(4 * batch_m)
+            .collect()
+        )
+        if not cand:
+            raise RuntimeError(
+                f"BPE pair supply exhausted at merge {len(merges) + 1}"
+            )
+        used: set[str] = set()
+        picked: list[tuple] = []
+        want = min(batch_m, n_merges - len(merges))
+        for r in cand:
+            if len(picked) >= want:
+                break
+            lhs, rhs, prod = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+            # symbol-disjoint within the round, product included: a
+            # pick whose member IS another pick's product (or vice
+            # versa) would invalidate the pre-round count argument
+            if lhs in used or rhs in used or prod in used:
+                continue
+            used.update((lhs, rhs, prod))
+            picked.append((lhs, rhs, int(r["n_occ"])))
+        # the first candidate always passes (used starts empty), so
+        # every round makes progress and picked is never empty
+        for lhs, rhs, n in picked:
+            merges.append((len(merges) + 1, lhs, rhs, n))
+            cur = cur.select(
+                _apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt"
+            )
+        round_sizes.append(len(picked))
+        if len(merges) < n_merges:
+            # lineage bound: <= batch_m replaces re-evaluate per round
+            cur = cur.localCheckpoint()
+    v0.unpersist()
+    return merges, round_sizes
+
+
 def learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """[(merge_rank, lhs, rhs, n_occ)] — the learned merge table,
-    memoized per (session, corpus) so text_bpe_merges and
-    text_tokenize_ids share one learning run."""
+    memoized per (session, corpus) so text_bpe_merges, text_tokenize_ids
+    and the store build share one learning run."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _bpe_cache:
-        # The merge loop is N_MERGES sequential driver-synchronized
-        # barriers over a vocabulary-sized relation, so per-stage task
-        # COUNT is the latency knob, not per-task width: coalescing the
-        # cached vocab to a handful of fuller partitions halved the
-        # cold learning run at sf0.1 (9.0 -> 4.0 s; warm ~3.5 s either
-        # way). Scaled off defaultParallelism so a cluster still gets
-        # map-side width proportional to its size.
-        n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
-        v0 = (
-            _pieces(spark, sf_dir)
-            .groupBy("piece")
-            .agg(F.count("*").alias("cnt"))
-            .select(_wrap(F.col("piece")).alias("r"), "cnt")
-            .coalesce(n_parts)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        merges: list[tuple] = []
-        cur = v0
-        for rank in range(1, N_MERGES + 1):
-            top = (
-                _pair_counts(cur)
-                .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                # below-fixture-scale corpora only; surfacing loudly beats
-                # silently diverging from the N-merge oracle
-                raise RuntimeError(f"BPE pair supply exhausted at merge {rank}")
-            lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n_occ"]
-            merges.append((rank, lhs, rhs, int(n)))
-            cur = cur.select(_apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt")
-        _bpe_cache[key] = (merges, v0)
-    return _bpe_cache[key][0]
+        _bpe_cache[key] = _learn_merges(spark, _pieces(spark, sf_dir), N_MERGES)
+    return _bpe_cache[key]
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,29 +306,41 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The output relation is definitionally bounded (N rows), so
     materializing it driver-side is the codebook-probe pattern, not a
     corpus collect — the learning itself ran distributed."""
-    rows = [
-        (int(r), lhs, rhs, int(n)) for r, lhs, rhs, n in learned_merges(spark, sf_dir)
-    ]
+    return _merges_df(spark, learned_merges(spark, sf_dir))
+
+
+def _merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
+    rows = [(int(r), lhs, rhs, int(n)) for r, lhs, rhs, n in merges]
     return spark.createDataFrame(
         rows, schema="merge_rank BIGINT, lhs STRING, rhs STRING, n_occ BIGINT"
     )
 
 
-# Encoded-corpus memo: the per-doc encoding feeds BOTH text_tokenize_ids
-# and text_tokenizer_fertility — cache it per (session, corpus) so the
-# corpus piece scan + Zipf join + reassembly aggregate run once (the
-# warm-index build/serve-split discipline; the relation is corpus-
-# cardinality but narrow — doc_id + two longs + one md5).
+# Encoded-corpus memo: the per-doc encoding feeds text_tokenize_ids,
+# both fertility dashboards AND the full-corpus store build — cache
+# (symbols, encoded) per (session, corpus) so the corpus piece scan +
+# Zipf join + reassembly aggregate run once (the warm-index build/serve-
+# split discipline; the relation is corpus-cardinality but narrow —
+# doc_id + two longs + one md5).
 _enc_cache: dict = register_cache({})
 
 
-def encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_encoding(spark: SparkSession, sf_dir: str):
+    """(symbols, encoded_df) under the full-corpus learned merges."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _enc_cache:
-        _enc_cache[key] = _encode_corpus(spark, sf_dir).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        merges = learned_merges(spark, sf_dir)
+        pieces = _pieces(spark, sf_dir)
+        es = _merged_symbolization(pieces, merges)
+        symbols = _vocab_symbols(es)
+        pe = _piece_encoding(es, [(s, i) for i, s in enumerate(symbols)])
+        enc = _assemble_docs(pieces, pe).persist(StorageLevel.MEMORY_AND_DISK)
+        _enc_cache[key] = (symbols, enc)
     return _enc_cache[key]
+
+
+def encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_encoding(spark, sf_dir)[1]
 
 
 def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,28 +353,45 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded_docs(spark, sf_dir)
 
 
-def _encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = learned_merges(spark, sf_dir)
-    pp = _pieces(spark, sf_dir)
-    dp = pp.select("piece").distinct()
+def _merged_symbolization(pieces: DataFrame, merges: list[tuple]) -> DataFrame:
+    """(piece, syms) for every DISTINCT piece under the given merge
+    table — the merges applied once per distinct piece (vocabulary-sized
+    work). localCheckpoint: the result feeds BOTH the driver-side vocab
+    collect and the piece encoding — without it the distinct-piece scan
+    and the N-replace chain evaluate twice per execution (r8 review)."""
+    dp = pieces.select("piece").distinct()
     r = _wrap(F.col("piece"))
     for _rank, lhs, rhs, _n in merges:
         r = _apply_merge(r, lhs, rhs)
-    # localCheckpoint: es feeds BOTH the driver-side vocab collect and
-    # the pe encode below — without it the distinct-piece scan and the
-    # 16-replace chain evaluate twice per execution (r8 review)
-    es = dp.select("piece", _syms(r).alias("syms")).localCheckpoint()
-    # bounded vocabulary (<= alphabet + N_MERGES, see module doc) —
-    # collected and compiled to a literal map, the codebook discipline
-    symbols = sorted(
+    return dp.select("piece", _syms(r).alias("syms")).localCheckpoint()
+
+
+def _vocab_symbols(es: DataFrame) -> list[str]:
+    """Sorted distinct symbols — bounded (<= alphabet + N_MERGES, see
+    module doc), collected per the codebook discipline; id = list index."""
+    return sorted(
         row["sym"]
         for row in es.select(F.explode("syms").alias("sym")).distinct().collect()
     )
+
+
+def _piece_encoding(
+    es: DataFrame, id_pairs: list[tuple[str, int]], *, unk: int | None = None
+) -> DataFrame:
+    """(piece, n_sym, sum_sym, csv): each distinct piece's id sequence
+    under a literal sym->id map. unk=None asserts total coverage (the
+    build path: the vocab was derived from these very pieces); an
+    integer unk is the frozen-vocab OOV id (the append path)."""
     id_map = F.create_map(
-        *[c for i, s in enumerate(symbols) for c in (F.lit(s), F.lit(i))]
+        *[c for s, i in id_pairs for c in (F.lit(s), F.lit(int(i)))]
     )
-    ids = F.transform(F.col("syms"), lambda s: F.element_at(id_map, s))
-    pe = es.select(
+    lookup = lambda s: (  # noqa: E731
+        F.element_at(id_map, s)
+        if unk is None
+        else F.coalesce(F.element_at(id_map, s), F.lit(int(unk)))
+    )
+    ids = F.transform(F.col("syms"), lambda s: lookup(s).cast("long"))
+    return es.select(
         "piece",
         F.size("syms").cast("long").alias("n_sym"),
         F.aggregate(
@@ -248,9 +401,15 @@ def _encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "csv"
         ),
     )
-    # Zipf-skewed piece key: unhinted, AQE skew posture (token x vocab canon)
+
+
+def _assemble_docs(pieces: DataFrame, pe: DataFrame) -> DataFrame:
+    """Per-doc reassembly: one aggregate over the piece stream joined to
+    the encoded piece dictionary. Zipf-skewed piece key: unhinted, AQE
+    skew posture (token x vocab canon). Zero-piece docs drop (inner
+    join) — the documented encoder convention, both engines."""
     return (
-        pp.join(pe, "piece")
+        pieces.join(pe, "piece")
         .groupBy("doc_id")
         .agg(
             F.sum("n_sym").cast("long").alias("n_ids"),
@@ -268,25 +427,165 @@ def _encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- durable tokenizer store (round 9) -------------------------------------
+
+
+def write_bpe_store(
+    spark: SparkSession, sf_dir: str, out_path: str, *, where=None
+) -> None:
+    """Persist the tokenizer artifact — the write_ivf_store discipline
+    applied to the BPE session memos (r8 verdict, Next-round #1):
+
+    - ``merges/``   (merge_rank, lhs, rhs, n_occ) — tokenizer.json's core
+    - ``vocab/``    (sym, id) — the frozen symbol-id table
+    - ``encoded/``  (doc_id, n_ids, sum_ids, ids_hash) PARTITIONED BY
+      ingest; ingest=0 marks the build, each later doc batch lands under
+      its own ingest=<batch_id> (append_bpe_store) — the same
+      exactly-once partition discipline as the IVF vector store.
+
+    ``where`` restricts the build corpus (the base-only build the
+    incremental path starts from). With where=None the build serves the
+    session memos, so a warm session pays only the writes."""
+    docs = table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
+        pieces = _pieces_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        merges = _learn_merges(spark, pieces, N_MERGES)
+        es = _merged_symbolization(pieces, merges)
+        symbols = _vocab_symbols(es)
+        pe = _piece_encoding(es, [(s, i) for i, s in enumerate(symbols)])
+        enc = _assemble_docs(pieces, pe)
+    else:
+        merges = learned_merges(spark, sf_dir)
+        symbols, enc = _corpus_encoding(spark, sf_dir)
+    _merges_df(spark, merges).write.mode("overwrite").parquet(
+        f"{out_path}/merges"
+    )
+    spark.createDataFrame(
+        [(s, i) for i, s in enumerate(symbols)], schema="sym STRING, id BIGINT"
+    ).write.mode("overwrite").parquet(f"{out_path}/vocab")
+    (
+        enc.withColumn("ingest", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{out_path}/encoded")
+    )
+    if where is not None:
+        pieces.unpersist()
+
+
+def read_bpe_merges(spark: SparkSession, store_path: str) -> list[tuple]:
+    """The persisted merge table in rank order — bounded: N_MERGES rows
+    (the codebook-read discipline, same as probe_cells)."""
+    return [
+        (int(r["merge_rank"]), r["lhs"], r["rhs"], int(r["n_occ"]))
+        for r in spark.read.parquet(f"{store_path}/merges")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def append_bpe_store(
+    spark: SparkSession, docs: DataFrame, store_path: str, *, batch_id: int = 1
+) -> None:
+    """Encode a NEW doc batch under the FROZEN persisted tokenizer and
+    land it under ingest=<batch_id> — the knn_ivf_incremental contract
+    for the tokenizer: merges and vocab are read from the store (bounded
+    relations, never re-learned), the batch pays one piece scan + the
+    vocabulary-sized replace chain over ITS distinct pieces + one
+    assembly aggregate — O(increment), base partitions never read or
+    rewritten. EXACTLY-ONCE: dynamic partition overwrite replaces this
+    batch's single ingest partition, so a replayed batch rewrites itself
+    (one partition per batch by construction — no orphan-sweep hazard;
+    contrast sweep_orphan_ingest_partitions, where a batch spreads over
+    data-dependent cell partitions). Symbols outside the frozen vocab
+    encode as UNK_ID — frozen-tokenizer OOV semantics, disclosed and
+    crafted-tested."""
+    if int(batch_id) == 0:
+        raise ValueError("batch_id 0 is reserved for the store build")
+    merges = read_bpe_merges(spark, store_path)
+    id_pairs = [
+        (r["sym"], int(r["id"]))
+        for r in spark.read.parquet(f"{store_path}/vocab").collect()
+        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
+    ]
+    pieces = _pieces_of(docs)
+    es = _merged_symbolization(pieces, merges)
+    pe = _piece_encoding(es, id_pairs, unk=UNK_ID)
+    (
+        _assemble_docs(pieces, pe)
+        .withColumn("ingest", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(f"{store_path}/encoded")
+    )
+
+
+def read_bpe_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(doc_id, n_ids, sum_ids, ids_hash) served from the store — all
+    ingest generations."""
+    return spark.read.parquet(f"{store_path}/encoded").select(
+        "doc_id", "n_ids", "sum_ids", "ids_hash"
+    )
+
+
+def bpe_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_bpe_store over the full corpus, then serve the encoded docs
+    back from disk. Value oracle: the in-session encode's own oracle —
+    the persisted artifact must serve exactly what the session memo
+    computes (the store write/read roundtrip contract, same as
+    trec_gzip_sharded_roundtrip)."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("bpe_store", sf_dir)
+    write_bpe_store(spark, sf_dir, out)
+    return read_bpe_store(spark, out)
+
+
+def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer maintenance contract end-to-end: build the store
+    from the BASE docs only (doc_id % DOC_DELTA_MOD != 0 — merges and
+    vocab FROZEN at build time), append the delta batch encoded under
+    the frozen artifact, serve the full encoded corpus from the store.
+    Must equal a one-shot encode of the WHOLE corpus under the
+    base-learned merges (frozen-vocab LEFT-JOIN/UNK semantics) — the
+    oracle learns on the base subset and encodes everything."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("bpe_store_inc", sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    write_bpe_store(
+        spark, sf_dir, out, where=F.col("doc_id") % DOC_DELTA_MOD != 0
+    )
+    append_bpe_store(
+        spark,
+        docs.filter(F.col("doc_id") % DOC_DELTA_MOD == 0),
+        out,
+        batch_id=1,
+    )
+    return read_bpe_store(spark, out)
+
+
 # --- DuckDB oracles -------------------------------------------------------
 # The merge loop unrolls to a WITH chain (v0 -> c1 -> m1 -> v1 -> ...).
 # Every v_i / m_i is MATERIALIZED: v_i is referenced by both c_{i+1} and
 # v_{i+1}, so an unmaterialized chain re-evaluates exponentially.
 
 
-def _duck_piece_counts() -> str:
+def _duck_piece_counts(where: str = "") -> str:
     return (
         "SELECT piece, count(*) AS cnt FROM ("
         f"SELECT unnest(regexp_extract_all(lower(text), '{_BPE_SQL_LIT}')) AS piece "
-        "FROM documents) "
+        f"FROM documents{where}) "
         f"WHERE piece NOT LIKE '%{SEP}%' GROUP BY piece"
     )
 
 
-def _duck_merge_chain(n: int) -> list[str]:
+def _duck_merge_chain(n: int, where: str = "") -> list[str]:
     s = SEP
     ctes = [
-        f"p AS MATERIALIZED ({_duck_piece_counts()})",
+        f"p AS MATERIALIZED ({_duck_piece_counts(where)})",
         "v0 AS MATERIALIZED (SELECT "
         f"regexp_replace(piece, '(?s)(.)', '{s}\\1{s}', 'g') AS r, cnt FROM p)",
     ]
@@ -322,9 +621,14 @@ def _duck_bpe_merges() -> str:
     return f"WITH {chain}\n{union}"
 
 
-def _duck_tokenize_ids() -> str:
+def _duck_encode_ctes(chain: list[str], *, frozen: bool = False) -> list[str]:
+    """Append the encode CTEs to a merge chain: pp (all docs' pieces),
+    the per-distinct-piece replace chain, symbol split, vocab, piece
+    encoding, ready for the final per-doc assembly. frozen=True takes
+    the vocab from the BASE piece vocabulary's final symbolization —
+    v{N} of the merge chain IS that relation — and encodes via LEFT
+    JOIN + coalesce(UNK_ID), the frozen-tokenizer OOV semantics."""
     s = SEP
-    chain = _duck_merge_chain(N_MERGES)
     chain.append(
         "pp AS MATERIALIZED (SELECT doc_id, u.i AS pos, u.p AS piece FROM ("
         "SELECT doc_id, unnest(list_transform("
@@ -349,29 +653,56 @@ def _duck_tokenize_ids() -> str:
         f"string_split(substring(r, 2, length(r) - 2), '{s}{s}') AS syms "
         f"FROM e{N_MERGES})"
     )
+    vocab_src = (
+        "(SELECT DISTINCT unnest(string_split(substring(r, 2, length(r) - 2), "
+        f"'{s}{s}')) AS sym FROM v{N_MERGES})"
+        if frozen
+        else "(SELECT DISTINCT unnest(syms) AS sym FROM es)"
+    )
     chain.append(
         "vocab AS MATERIALIZED (SELECT sym, "
         "CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id "
-        "FROM (SELECT DISTINCT unnest(syms) AS sym FROM es))"
+        f"FROM {vocab_src})"
     )
     chain.append(
         "ps AS (SELECT piece, u.i AS spos, u.s AS sym FROM ("
         "SELECT piece, unnest(list_transform(syms, (t, j) -> {'i': j, 's': t})) "
         "AS u FROM es))"
     )
+    id_expr = f"coalesce(id, {UNK_ID})" if frozen else "id"
+    join = "LEFT JOIN" if frozen else "JOIN"
     chain.append(
         "pe AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS n_sym, "
-        "CAST(sum(id) AS BIGINT) AS sum_sym, "
-        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS csv "
-        "FROM ps JOIN vocab USING (sym) GROUP BY piece)"
+        f"CAST(sum({id_expr}) AS BIGINT) AS sum_sym, "
+        f"string_agg(CAST({id_expr} AS VARCHAR), ',' ORDER BY spos) AS csv "
+        f"FROM ps {join} vocab USING (sym) GROUP BY piece)"
     )
-    return (
-        "WITH " + ",\n".join(chain) + "\n"
-        "SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_ids, "
-        "CAST(sum(sum_sym) AS BIGINT) AS sum_ids, "
-        "md5(string_agg(csv, ',' ORDER BY pos)) AS ids_hash "
-        "FROM pp JOIN pe USING (piece) GROUP BY doc_id"
+    return chain
+
+
+_DUCK_ASSEMBLE = (
+    "SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_ids, "
+    "CAST(sum(sum_sym) AS BIGINT) AS sum_ids, "
+    "md5(string_agg(csv, ',' ORDER BY pos)) AS ids_hash "
+    "FROM pp JOIN pe USING (piece) GROUP BY doc_id"
+)
+
+
+def _duck_tokenize_ids() -> str:
+    chain = _duck_encode_ctes(_duck_merge_chain(N_MERGES))
+    return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
+
+
+def _duck_tokenize_ids_frozen(mod: int) -> str:
+    """One-shot oracle for the incremental store: merges + vocab learned
+    from the BASE docs only, every doc encoded under that frozen
+    artifact (LEFT-JOIN/UNK) — what the build+append+serve composition
+    must equal in ANY batch arrival order."""
+    chain = _duck_encode_ctes(
+        _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0"),
+        frozen=True,
     )
+    return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
 
 
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,36 +725,82 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(ids, "doc_id")
         .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("nb").cast("long").alias("total_bytes"),
-            F.sum("n_ids").cast("long").alias("total_ids"),
-            # divide-FIRST ppm discipline (pipeline.py precedent): a
-            # long sum(nb)*1e6 product overflows int64 past ~9.2 TB of
-            # text per source — exactly the design point. Both engines
-            # run the identical double divide-then-multiply, and the
-            # byte/id sums stay exact in double far past 100 TB (<2^53).
-            F.floor(
-                F.sum("nb").cast("double") / F.sum("n_ids") * F.lit(1_000_000.0)
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("bytes_per_id_ppm"),
-        )
+        .agg(*_fertility_aggs())
     )
+
+
+def _fertility_aggs() -> list:
+    # divide-FIRST ppm discipline (pipeline.py precedent): a long
+    # sum(nb)*1e6 product overflows int64 past ~9.2 TB of text per
+    # source — exactly the design point. Both engines run the identical
+    # double divide-then-multiply, and the byte/id sums stay exact in
+    # double far past 100 TB (<2^53).
+    return [
+        F.count("*").alias("n_docs"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+        F.sum("n_ids").cast("long").alias("total_ids"),
+        F.floor(
+            F.sum("nb").cast("double") / F.sum("n_ids") * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("bytes_per_id_ppm"),
+    ]
+
+
+def tokenizer_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, pred_lang, n_docs, total_bytes, total_ids,
+    bytes_per_id_ppm): the fertility dashboard crossed with the lang-id
+    gate (plans/textstats.py) — the actual rollout monitor for a
+    multilingual corpus: an English-trained vocab reads structurally
+    WORSE (more ids per byte) on the non-English slice of the SAME
+    feed, and only the (source, lang) cross separates "feed went
+    multilingual" from "feed content drifted". One groupBy over the
+    memoized encode joined to the lang-id verdict (r8 verdict,
+    Next-round #6)."""
+    from .textstats import lang_id
+
+    ids = encoded_docs(spark, sf_dir).select("doc_id", "n_ids")
+    langs = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.octet_length("text").cast("long").alias("nb")
+    )
+    return (
+        docs.join(ids, "doc_id")
+        .join(langs, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(*_fertility_aggs())
+    )
+
+
+_DUCK_FERTILITY_AGGS = """count(*) AS n_docs,
+       CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
+       CAST(sum(enc.n_ids) AS BIGINT) AS total_ids,
+       CAST(floor(CAST(sum(strlen(d.text)) AS DOUBLE) / sum(enc.n_ids)
+                  * 1000000.0 + 0.5)
+            AS BIGINT) AS bytes_per_id_ppm"""
 
 
 def _duck_tokenizer_fertility() -> str:
     return f"""
 WITH enc AS MATERIALIZED ({_duck_tokenize_ids()})
-SELECT d.source, count(*) AS n_docs,
-       CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
-       CAST(sum(enc.n_ids) AS BIGINT) AS total_ids,
-       CAST(floor(CAST(sum(strlen(d.text)) AS DOUBLE) / sum(enc.n_ids)
-                  * 1000000.0 + 0.5)
-            AS BIGINT) AS bytes_per_id_ppm
+SELECT d.source, {_DUCK_FERTILITY_AGGS}
 FROM documents d JOIN enc ON enc.doc_id = d.doc_id
 GROUP BY d.source
+"""
+
+
+def _duck_tokenizer_fertility_lang() -> str:
+    from .textstats import _duck_lang_id
+
+    return f"""
+WITH enc AS MATERIALIZED ({_duck_tokenize_ids()}),
+     lang AS MATERIALIZED (SELECT doc_id, pred_lang FROM ({_duck_lang_id()}))
+SELECT d.source, lang.pred_lang, {_DUCK_FERTILITY_AGGS}
+FROM documents d
+JOIN enc ON enc.doc_id = d.doc_id
+JOIN lang ON lang.doc_id = d.doc_id
+GROUP BY d.source, lang.pred_lang
 """
 
 
@@ -435,6 +812,14 @@ QUERIES: dict[str, QuerySpec] = {
         "per token id under the learned merges) — the per-feed monitor "
         "a tokenizer rollout watches; one aggregate over the shared "
         "encode pass",
+    ),
+    "text_tokenizer_fertility_lang": QuerySpec(
+        fn=tokenizer_fertility_lang,
+        oracle=_duck_tokenizer_fertility_lang(),
+        note="fertility crossed with the lang-id gate — the "
+        "multilingual rollout monitor: (source, lang) bytes/id "
+        "separates 'feed went multilingual' from 'content drifted'; "
+        "one groupBy over the memoized encode + lang-id verdict",
     ),
     "text_bpe_merges": QuerySpec(
         fn=bpe_merges,
@@ -452,5 +837,23 @@ QUERIES: dict[str, QuerySpec] = {
         "merges applied once per DISTINCT piece, Zipf piece-key join "
         "unhinted (AQE skew posture), bounded symbol vocab as literal "
         "map; md5 id-sequence hash per the no-raw-lists canon",
+    ),
+    "text_bpe_store_roundtrip": QuerySpec(
+        fn=bpe_store_roundtrip,
+        oracle=_duck_tokenize_ids(),
+        note="durable tokenizer store (merges/ + vocab/ + encoded/ "
+        "partitioned by ingest) written and served back — must equal "
+        "the in-session encode's own value oracle; the write_ivf_store "
+        "discipline applied to the BPE session memos",
+    ),
+    "text_tokenize_ids_incremental": QuerySpec(
+        fn=tokenize_ids_incremental,
+        oracle=_duck_tokenize_ids_frozen(DOC_DELTA_MOD),
+        note="frozen-merge incremental encode: store built from the "
+        "base docs, delta batch encoded under the FROZEN persisted "
+        "merges+vocab (OOV -> UNK_ID) and appended exactly-once under "
+        "its own ingest partition; serve equals a one-shot frozen "
+        "encode of the whole corpus — the knn_ivf_incremental contract "
+        "for the tokenizer",
     ),
 }

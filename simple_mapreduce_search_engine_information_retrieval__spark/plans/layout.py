@@ -557,6 +557,10 @@ def _rebalance_plan_rows(census: list[tuple[int, int]]) -> list[tuple]:
     """[(cell, n_vecs, action, n_shards, unit_base)] from a [(cell, n)]
     census — the planner's integer thresholds (split 2nk>3t, merge
     4nk<3t) and first-fit exclusive-cumsum merge binning, in cell order."""
+    if not census:
+        # surfacing loudly beats an opaque ZeroDivisionError at avg
+        # below (r8 ADVICE; the BPE pair-supply guard's precedent)
+        raise RuntimeError("rebalance: empty vector store census")
     total = sum(n for _, n in census)
     k = len(census)
     avg = total // k

@@ -216,10 +216,17 @@ GROUP BY 1
 
 # GPT-2-style pre-tokenizer pattern, restricted to constructs with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB): no
-# lookahead (RE2 has none), explicit ASCII classes instead of \p{L}.
+# lookahead (RE2 has none), explicit ASCII classes instead of \p{L},
+# and an EXPLICIT whitespace class instead of \s — Java's \s is
+# [ \t\n\x0B\f\r] but RE2's omits \x0B (vertical tab), so a bare \s
+# makes the engines frame VT-bearing text differently (r8 ADVICE;
+# Python re's \s is wider still — the explicit class aligns all three,
+# pinned by the \x0b row of tests/test_bpe.py's hostile corpus).
 # Pieces: contraction suffixes, space-prefixed letter runs, digit runs,
 # punctuation runs.
-BPE_PATTERN = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+BPE_PATTERN = (
+    "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\x0b\\f\\r']+"
+)
 
 
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,9 +182,12 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
     contractions, digit and punctuation runs, a literal SEP byte (the
     framing guard must drop that piece in BOTH engines), Unicode line
     terminators U+2028/U+0085 (not \\s in Java or RE2 -- they land in
-    punct pieces; the (?s) wrap must frame them identically), em-dash,
-    quotes, repeated whitespace. Both BPE queries must match their
-    DuckDB oracles on this corpus."""
+    punct pieces; the (?s) wrap must frame them identically), a
+    vertical tab \\x0b (Java \\s contains it, RE2's does not -- the
+    explicit whitespace class in BPE_PATTERN must make both engines
+    read it as a piece SEPARATOR, r8 ADVICE), em-dash, quotes,
+    repeated whitespace. Both BPE queries must match their DuckDB
+    oracles on this corpus."""
     import duckdb
     import pandas as pd
 
@@ -199,6 +202,7 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
     texts = [
         "it's the engine's test \u2014 really, REALLY!! 123 456 tokens...",
         "line one\u2028line two\u0085line three   spaced    out",
+        "vertical\x0btab splits\x0bpieces like a space, not punct!",
         "bad\x1fbyte piece must drop identically; ok piece stays",
         "repeat me repeat me repeat me 'til the merges learn it",
         'quotes "inside" and commas, plus 9,001 numbers and #tags!!',
@@ -220,10 +224,138 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     try:
-        for name in ("text_bpe_merges", "text_tokenize_ids"):
+        for name in (
+            "text_bpe_merges",
+            "text_tokenize_ids",
+            # the frozen-encode path (base-learned merges, LEFT-JOIN/UNK
+            # vocab) must survive the same hostile input
+            "text_tokenize_ids_incremental",
+        ):
             spec = QUERIES[name]
             issues = oracle.compare(spec.fn(spark, sf_dir), con, spec.oracle)
             assert not issues, (name, issues)
     finally:
         con.close()
+        caches.evict(sf_dir)
+
+
+# --- durable tokenizer store (round 9) -------------------------------------
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["n_ids"], r["sum_ids"], r["ids_hash"])
+        for r in df.collect()
+    )
+
+
+def test_store_roundtrip_serves_session_encode(spark, tmp_path):
+    """write_bpe_store(full corpus) read back == the in-session encode,
+    row for row — and the persisted merge table equals the learned one."""
+    out = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, SF, out)
+    assert _rows(bpe.read_bpe_store(spark, out)) == _rows(
+        bpe.tokenize_ids(spark, SF)
+    )
+    assert bpe.read_bpe_merges(spark, out) == bpe.learned_merges(spark, SF)
+
+
+def test_incremental_append_matches_one_shot_and_replays(spark, tmp_path):
+    """The maintenance contract: base build + delta appends (in two
+    batches, one REPLAYED) equals the one-shot frozen encode of the
+    whole corpus — the kill-resume discipline for the tokenizer store."""
+    import pyspark.sql.functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    docs = table(spark, SF, "documents")
+    mod = bpe.DOC_DELTA_MOD
+    base_where = F.col("doc_id") % mod != 0
+
+    # one-shot under the SAME frozen artifact: base-built store, whole
+    # corpus appended as a single batch over a fresh store
+    ref = str(tmp_path / "oneshot")
+    bpe.write_bpe_store(spark, SF, ref, where=base_where)
+    bpe.append_bpe_store(
+        spark, docs.filter(F.col("doc_id") % mod == 0), ref, batch_id=1
+    )
+    want = _rows(bpe.read_bpe_store(spark, ref))
+
+    # incremental: two delta batches, the second one replayed
+    out = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, SF, out, where=base_where)
+    b1 = docs.filter((F.col("doc_id") % mod == 0) & (F.col("doc_id") % 20 == 0))
+    b2 = docs.filter((F.col("doc_id") % mod == 0) & (F.col("doc_id") % 20 != 0))
+    bpe.append_bpe_store(spark, b1, out, batch_id=1)
+    bpe.append_bpe_store(spark, b2, out, batch_id=2)
+    bpe.append_bpe_store(spark, b2, out, batch_id=2)  # "crash" replay
+    assert _rows(bpe.read_bpe_store(spark, out)) == want
+
+    with pytest.raises(ValueError):
+        bpe.append_bpe_store(spark, b1, out, batch_id=0)
+
+
+def test_frozen_vocab_oov_encodes_as_unk(spark, tmp_path):
+    """A delta symbol absent from the frozen vocab encodes as UNK_ID in
+    BOTH renderings: base corpus is letters-only, the delta doc is a
+    digit run no base merge or symbol covers."""
+    import hashlib
+
+    import pandas as pd
+
+    base_texts = [
+        "repeat me repeat me repeat me 'til the merges learn it",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "it's the engine's test and the engine keeps on testing it",
+        "merge pairs merge pairs merge pairs until supply runs dry",
+    ] * 8  # enough pair mass that 16 merges never exhaust
+    texts = base_texts + ["999"]
+    sf_dir = str(tmp_path / "oov")
+    (tmp_path / "oov").mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["seed"] * len(texts),
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    delta_id = len(texts) - 1
+
+    import pyspark.sql.functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import (
+        caches,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    out = str(tmp_path / "store")
+    try:
+        bpe.write_bpe_store(
+            spark, sf_dir, out, where=F.col("doc_id") != delta_id
+        )
+        vocab = {
+            r["sym"]
+            for r in spark.read.parquet(f"{out}/vocab").collect()
+        }
+        assert "9" not in vocab  # the OOV premise holds
+        delta = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") == delta_id
+        )
+        bpe.append_bpe_store(spark, delta, out, batch_id=1)
+        row = (
+            bpe.read_bpe_store(spark, out)
+            .filter(F.col("doc_id") == delta_id)
+            .head()
+        )
+        # "999" is one piece -> syms ['9','9','9'], every id UNK_ID
+        assert row["n_ids"] == 3
+        assert row["sum_ids"] == 3 * bpe.UNK_ID
+        csv = ",".join(str(bpe.UNK_ID) for _ in range(3))
+        assert row["ids_hash"] == hashlib.md5(csv.encode()).hexdigest()
+    finally:
         caches.evict(sf_dir)

@@ -208,6 +208,19 @@ def test_ivf_rebalance_plan_invariants(spark, sf_dir):
         assert cum >= (n_bins - 1) * avg
 
 
+def test_rebalance_empty_census_raises_descriptively():
+    """An empty vector store must surface loudly (r8 ADVICE), not as an
+    opaque ZeroDivisionError inside the plan arithmetic."""
+    import pytest
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.layout import (
+        _rebalance_plan_rows,
+    )
+
+    with pytest.raises(RuntimeError, match="empty vector store"):
+        _rebalance_plan_rows([])
+
+
 def test_rebalance_execution_serves_identically(spark, sf_dir, tmp_path):
     """The r8 execution contract: served top-k from the REBALANCED
     layout equals query_ivf_store over the ORIGINAL cell layout,
