@@ -449,7 +449,14 @@ def write_bpe_store(
     docs = table(spark, sf_dir, "documents")
     if where is not None:
         docs = docs.filter(where)
-        pieces = _pieces_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        # the piece stream is NOT persisted: it is corpus-sized (an
+        # exploded superset of the text), so caching it would spill
+        # ~corpus bytes to executor disk at the design point — the
+        # learn/vocab/assemble passes instead re-scan the pruned
+        # (doc_id, text) columns, the same trade the session memo path
+        # makes; what IS persisted is the vocabulary-sized v0 inside
+        # _learn_merges
+        pieces = _pieces_of(docs)
         merges = _learn_merges(spark, pieces, N_MERGES)
         es = _merged_symbolization(pieces, merges)
         symbols = _vocab_symbols(es)
@@ -470,8 +477,6 @@ def write_bpe_store(
         .partitionBy("ingest")
         .parquet(f"{out_path}/encoded")
     )
-    if where is not None:
-        pieces.unpersist()
 
 
 def read_bpe_merges(spark: SparkSession, store_path: str) -> list[tuple]:

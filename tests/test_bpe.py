@@ -297,6 +297,40 @@ def test_incremental_append_matches_one_shot_and_replays(spark, tmp_path):
         bpe.append_bpe_store(spark, b1, out, batch_id=0)
 
 
+def test_append_never_rewrites_base_partition(spark, tmp_path):
+    """The O(increment) claim made physical: appending a delta batch
+    must leave every ingest=0 file byte-identical (same path, size,
+    mtime) — dynamic partition overwrite only touches the batch's own
+    ingest partition."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.sources.tables import (
+        table,
+    )
+
+    out = str(tmp_path / "store")
+    mod = bpe.DOC_DELTA_MOD
+    bpe.write_bpe_store(
+        spark, SF, out, where=F.col("doc_id") % mod != 0
+    )
+
+    def snapshot(root):
+        return {
+            os.path.join(d, f): os.stat(os.path.join(d, f)).st_mtime_ns
+            for d, _dirs, files in os.walk(root)
+            for f in files
+        }
+
+    base_dir = f"{out}/encoded/ingest=0"
+    before = snapshot(base_dir)
+    delta = table(spark, SF, "documents").filter(F.col("doc_id") % mod == 0)
+    bpe.append_bpe_store(spark, delta, out, batch_id=1)
+    assert snapshot(base_dir) == before
+    assert os.path.isdir(f"{out}/encoded/ingest=1")
+
+
 def test_frozen_vocab_oov_encodes_as_unk(spark, tmp_path):
     """A delta symbol absent from the frozen vocab encodes as UNK_ID in
     BOTH renderings: base corpus is letters-only, the delta doc is a
