@@ -127,6 +127,14 @@ CHANGED_THIS_ROUND = frozenset(
         "text_bpe_merges",
         "text_tokenize_ids",
         "text_tokenizer_fertility",
+        # r9 review sweep: every OTHER dual-rendered \s swapped to the
+        # explicit class too — Spark sides are behavior-identical (Java
+        # \s already contained \x0B), the DuckDB sides gain \x0b, so
+        # outputs only change on VT-bearing docs; re-check the consumers
+        "text_token_counts",
+        "trec_text_parsed",
+        "trec_web_urls",
+        "trec_gzip_sharded_roundtrip",
         # The r9-NEW queries (text_bpe_store_roundtrip,
         # text_tokenize_ids_incremental, text_tokenizer_fertility_lang)
         # sit in the never-checked bucket without an entry here.

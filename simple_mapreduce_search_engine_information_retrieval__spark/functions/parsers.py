@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .tokenize import WS_CHARS
+
 # TrecTextParser.java:58-63
 TEXT_TAG_WHITELIST = (
     "TEXT", "HEADLINE", "TITLE", "HL", "HEAD",
@@ -34,7 +36,7 @@ def whitelisted_text(record: Column) -> Column:
         for t in TEXT_TAG_WHITELIST
     ]
     joined = F.concat_ws(" ", *parts)
-    return F.regexp_replace(joined, r"(?s)^\s+|\s+$", "")
+    return F.regexp_replace(joined, f"(?s)^[{WS_CHARS}]+|[{WS_CHARS}]+$", "")
 
 
 def scrub_url(url: Column) -> Column:
@@ -50,5 +52,7 @@ def scrub_url(url: Column) -> Column:
 def dochdr_url(record: Column) -> Column:
     """First line of the <DOCHDR> block = the crawled URL
     (TrecWebParser.java:65-96)."""
-    raw = F.regexp_extract(record, r"(?s)<DOCHDR>\s*(\S+)", 1)
+    raw = F.regexp_extract(
+        record, f"(?s)<DOCHDR>[{WS_CHARS}]*([^{WS_CHARS}]+)", 1
+    )
     return scrub_url(raw)

@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 from .stopwords import STOPWORDS, sql_not_in_stopwords
 
+# ASCII-whitespace class BODY for dual-rendered regexes (wrap in
+# [...] / [^...]): Java's \s is [ \t\n\x0B\f\r] but RE2's omits \x0B
+# (vertical tab) and Python re's is full-Unicode, so a bare \s (or \S)
+# makes the engines disagree on VT-bearing text (r8 ADVICE on
+# BPE_PATTERN; r9 review swept every other dual-rendered \s to this).
+# Spelled with escapes so it embeds identically in Java regex, RE2 via
+# SQL literals, and Python re.
+WS_CHARS = "\\t\\n\\x0b\\f\\r "
+
 # <script>/<style> contents die entirely; comments, processing
 # instructions, tags and XML entities become token breaks.
 TAG_NOISE_RE = (

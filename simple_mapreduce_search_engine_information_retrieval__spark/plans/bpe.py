@@ -161,29 +161,38 @@ def _pair_counts(vdf: DataFrame) -> DataFrame:
     ).agg(F.sum("cnt").cast("long").alias("n_occ"))
 
 
-def _learn_merges(
-    spark: SparkSession, pieces: DataFrame, n_merges: int
-) -> list[tuple]:
-    """[(merge_rank, lhs, rhs, n_occ)] learned from a piece stream.
-    The merge loop is n_merges sequential driver-synchronized barriers
-    over a vocabulary-sized relation, so per-stage task COUNT is the
-    latency knob, not per-task width: coalescing the cached vocab to a
-    handful of fuller partitions halved the cold learning run at sf0.1
-    (9.0 -> 4.0 s; warm ~3.5 s either way). Scaled off
-    defaultParallelism so a cluster still gets map-side width
-    proportional to its size. Lineage: `cur` is lazy — iteration i
-    would otherwise re-run all i replace passes from v0 (O(n^2) total,
-    r8 ADVICE) — so every CKPT_EVERY merges the current vocabulary is
-    localCheckpoint-ed, bounding re-evaluation per iteration to
-    CKPT_EVERY replaces."""
+def _piece_vocab(spark: SparkSession, pieces: DataFrame) -> DataFrame:
+    """v0 for a merge-learning loop: (r, cnt) — the SEP-wrapped piece
+    vocabulary weighted by corpus count, persisted. The loops are
+    sequential driver-synchronized barriers over this vocabulary-sized
+    relation, so per-stage task COUNT is the latency knob, not per-task
+    width: coalescing to a handful of fuller partitions halved the cold
+    learning run at sf0.1 (9.0 -> 4.0 s; warm ~3.5 s either way).
+    Scaled off defaultParallelism so a cluster still gets map-side
+    width proportional to its size. ONE definition shared by the exact
+    and batched learners so this tuning cannot drift between them
+    (r9 review)."""
     n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
-    v0 = (
+    return (
         pieces.groupBy("piece")
         .agg(F.count("*").alias("cnt"))
         .select(_wrap(F.col("piece")).alias("r"), "cnt")
         .coalesce(n_parts)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _learn_merges(
+    spark: SparkSession, pieces: DataFrame, n_merges: int
+) -> list[tuple]:
+    """[(merge_rank, lhs, rhs, n_occ)] learned from a piece stream —
+    exact greedy, one barrier per merge over the shared _piece_vocab
+    relation. Lineage: `cur` is lazy — iteration i
+    would otherwise re-run all i replace passes from v0 (O(n^2) total,
+    r8 ADVICE) — so every CKPT_EVERY merges the current vocabulary is
+    localCheckpoint-ed, bounding re-evaluation per iteration to
+    CKPT_EVERY replaces."""
+    v0 = _piece_vocab(spark, pieces)
     merges: list[tuple] = []
     cur = v0
     for rank in range(1, n_merges + 1):
@@ -238,44 +247,49 @@ def learn_merges_batched(
     Returns (merges, round_sizes) — len(round_sizes) is the driver-
     barrier count the batching is buying down; the sizes let tests pin
     the per-round disjointness invariant on exact round boundaries."""
-    n_parts = max(4, spark.sparkContext.defaultParallelism // 8)
-    v0 = (
-        pieces.groupBy("piece")
-        .agg(F.count("*").alias("cnt"))
-        .select(_wrap(F.col("piece")).alias("r"), "cnt")
-        .coalesce(n_parts)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    v0 = _piece_vocab(spark, pieces)
     merges: list[tuple] = []
     round_sizes: list[int] = []
     cur = v0
     while len(merges) < n_merges:
-        # bounded collect: 4*batch_m candidate rows (disjointness can
-        # reject at most 3 per accepted pair's two members + product)
-        cand = (
-            _pair_counts(cur)
-            .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
-            .limit(4 * batch_m)
-            .collect()
-        )
-        if not cand:
-            raise RuntimeError(
-                f"BPE pair supply exhausted at merge {len(merges) + 1}"
-            )
-        used: set[str] = set()
-        picked: list[tuple] = []
         want = min(batch_m, n_merges - len(merges))
-        for r in cand:
-            if len(picked) >= want:
+        # bounded collect with ADAPTIVE widening (r9 review): a hot
+        # symbol (think the space-prefix piece head on a Zipf corpus)
+        # can disqualify unboundedly many candidates in its window —
+        # one used symbol rejects every candidate sharing it — so a
+        # fixed window can starve a round down to a handful of picks
+        # and regress the barrier count toward exact greedy. Widen 4x
+        # until the round fills or the window held the WHOLE pair
+        # census (len(cand) < limit), in which case a partial round is
+        # the true disjoint supply, not a window artifact.
+        limit = 4 * batch_m
+        while True:
+            cand = (
+                _pair_counts(cur)
+                .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+                .limit(limit)
+                .collect()
+            )
+            if not cand:
+                raise RuntimeError(
+                    f"BPE pair supply exhausted at merge {len(merges) + 1}"
+                )
+            used: set[str] = set()
+            picked: list[tuple] = []
+            for r in cand:
+                if len(picked) >= want:
+                    break
+                lhs, rhs, prod = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+                # symbol-disjoint within the round, product included: a
+                # pick whose member IS another pick's product (or vice
+                # versa) would invalidate the pre-round count argument
+                if lhs in used or rhs in used or prod in used:
+                    continue
+                used.update((lhs, rhs, prod))
+                picked.append((lhs, rhs, int(r["n_occ"])))
+            if len(picked) >= want or len(cand) < limit:
                 break
-            lhs, rhs, prod = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
-            # symbol-disjoint within the round, product included: a
-            # pick whose member IS another pick's product (or vice
-            # versa) would invalidate the pre-round count argument
-            if lhs in used or rhs in used or prod in used:
-                continue
-            used.update((lhs, rhs, prod))
-            picked.append((lhs, rhs, int(r["n_occ"])))
+            limit *= 4
         # the first candidate always passes (used starts empty), so
         # every round makes progress and picked is never empty
         for lhs, rhs, n in picked:
@@ -325,17 +339,27 @@ def _merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
 _enc_cache: dict = register_cache({})
 
 
+def _encode_under(
+    spark: SparkSession, pieces: DataFrame, merges: list[tuple]
+):
+    """(symbols, encoded_df): strict encode of a piece stream under the
+    given merges, vocab derived from these very pieces (total coverage
+    by construction — the strict lookup still guards it loudly). ONE
+    composition shared by the session memo and the store build so the
+    encode stages cannot drift between them (r9 review)."""
+    es = _merged_symbolization(pieces, merges)
+    symbols = _vocab_symbols(es)
+    pe = _piece_encoding(es, [(s, i) for i, s in enumerate(symbols)])
+    return symbols, _assemble_docs(pieces, pe)
+
+
 def _corpus_encoding(spark: SparkSession, sf_dir: str):
     """(symbols, encoded_df) under the full-corpus learned merges."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _enc_cache:
         merges = learned_merges(spark, sf_dir)
-        pieces = _pieces(spark, sf_dir)
-        es = _merged_symbolization(pieces, merges)
-        symbols = _vocab_symbols(es)
-        pe = _piece_encoding(es, [(s, i) for i, s in enumerate(symbols)])
-        enc = _assemble_docs(pieces, pe).persist(StorageLevel.MEMORY_AND_DISK)
-        _enc_cache[key] = (symbols, enc)
+        symbols, enc = _encode_under(spark, _pieces(spark, sf_dir), merges)
+        _enc_cache[key] = (symbols, enc.persist(StorageLevel.MEMORY_AND_DISK))
     return _enc_cache[key]
 
 
@@ -379,17 +403,28 @@ def _piece_encoding(
     es: DataFrame, id_pairs: list[tuple[str, int]], *, unk: int | None = None
 ) -> DataFrame:
     """(piece, n_sym, sum_sym, csv): each distinct piece's id sequence
-    under a literal sym->id map. unk=None asserts total coverage (the
-    build path: the vocab was derived from these very pieces); an
-    integer unk is the frozen-vocab OOV id (the append path)."""
+    under a literal sym->id map. unk=None ENFORCES total coverage (the
+    build path: the vocab was derived from these very pieces) — a
+    missing key raises instead of null-propagating, because element_at's
+    NULL would otherwise be silently DROPPED by array_join and skipped
+    by the sums, shipping a plausible-looking but corrupt csv/ids_hash
+    (r9 review). An integer unk is the frozen-vocab OOV id (the append
+    path)."""
     id_map = F.create_map(
         *[c for s, i in id_pairs for c in (F.lit(s), F.lit(int(i)))]
     )
-    lookup = lambda s: (  # noqa: E731
-        F.element_at(id_map, s)
-        if unk is None
-        else F.coalesce(F.element_at(id_map, s), F.lit(int(unk)))
-    )
+
+    def lookup(sym):
+        hit = F.element_at(id_map, sym)
+        if unk is not None:
+            return F.coalesce(hit, F.lit(int(unk)))
+        return F.when(
+            hit.isNull(),
+            F.raise_error(
+                F.concat(F.lit("BPE encode: symbol outside vocab: "), sym)
+            ).cast("int"),
+        ).otherwise(hit)
+
     ids = F.transform(F.col("syms"), lambda s: lookup(s).cast("long"))
     return es.select(
         "piece",
@@ -458,10 +493,7 @@ def write_bpe_store(
         # _learn_merges
         pieces = _pieces_of(docs)
         merges = _learn_merges(spark, pieces, N_MERGES)
-        es = _merged_symbolization(pieces, merges)
-        symbols = _vocab_symbols(es)
-        pe = _piece_encoding(es, [(s, i) for i, s in enumerate(symbols)])
-        enc = _assemble_docs(pieces, pe)
+        symbols, enc = _encode_under(spark, pieces, merges)
     else:
         merges = learned_merges(spark, sf_dir)
         symbols, enc = _corpus_encoding(spark, sf_dir)

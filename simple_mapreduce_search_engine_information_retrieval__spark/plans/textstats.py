@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stopwords import sql_not_in_stopwords
 from ..functions.tokenize import (
+    WS_CHARS,
     duck_kgrams,
     duck_tokens_list,
     filter_stopwords,
@@ -37,7 +38,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kept", filter_stopwords(F.col("all_toks")))
     return staged.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), f"[{WS_CHARS}]+")).cast("long").alias("n_ws_tokens"),
         F.size("all_toks").cast("long").alias("n_tokens"),
         F.size("kept").cast("long").alias("n_kept"),
         F.size(F.array_distinct(F.col("kept"))).cast("long").alias("n_distinct"),
@@ -46,7 +47,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUCK_TOKEN_COUNTS = f"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(string_split_regex(trim(text), '[{WS_CHARS}]+')) AS n_ws_tokens,
        len({duck_tokens_list('text', stopworded=False)}) AS n_tokens,
        len({duck_tokens_list('text', stopworded=True)})  AS n_kept,
        len(list_distinct({duck_tokens_list('text', stopworded=True)})) AS n_distinct
@@ -225,7 +226,7 @@ GROUP BY 1
 # Pieces: contraction suffixes, space-prefixed letter runs, digit runs,
 # punctuation runs.
 BPE_PATTERN = (
-    "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\x0b\\f\\r']+"
+    "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9" + WS_CHARS + "']+"
 )
 
 

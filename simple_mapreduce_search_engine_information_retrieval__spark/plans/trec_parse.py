@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parsers import TEXT_TAG_WHITELIST, dochdr_url, whitelisted_text
+from ..functions.tokenize import WS_CHARS
 from ..sources.tables import table
 from . import QuerySpec
 
@@ -75,7 +76,10 @@ def _duck_whitelisted_text(rec_sql: str) -> str:
         for t in TEXT_TAG_WHITELIST
     )
     joined = f"concat_ws(' ', {parts})"
-    return f"regexp_replace({joined}, '(?s)^\\s+|\\s+$', '', 'g')"
+    return (
+        f"regexp_replace({joined}, "
+        f"'(?s)^[{WS_CHARS}]+|[{WS_CHARS}]+$', '', 'g')"
+    )
 
 
 def duck_trec_text_parsed() -> str:
@@ -97,7 +101,10 @@ def trec_web_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def duck_trec_web_urls() -> str:
     rec = _duck_record(_WEB_RECORD)
-    raw = f"regexp_extract({rec}, '(?s)<DOCHDR>\\s*(\\S+)', 1)"
+    raw = (
+        f"regexp_extract({rec}, "
+        f"'(?s)<DOCHDR>[{WS_CHARS}]*([^{WS_CHARS}]+)', 1)"
+    )
     u = f"lower(trim({raw}))"
     u = f"regexp_replace({u}, '#$', '')"
     u = f"regexp_replace({u}, ':80(/|$)', '\\1')"

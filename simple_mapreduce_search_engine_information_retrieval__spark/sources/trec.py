@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import WS_CHARS
+
 
 def read_trec(spark: SparkSession, path: str) -> DataFrame:
     """(doc_id string, text string) from concatenated
@@ -37,7 +39,7 @@ def read_trec(spark: SparkSession, path: str) -> DataFrame:
             r"(?s)<DOC>|</DOC>|<TEXT>|</TEXT>",
             " ",
         ),
-        r"(?s)^\s+|\s+$",
+        f"(?s)^[{WS_CHARS}]+|[{WS_CHARS}]+$",
         "",
     )
     return (

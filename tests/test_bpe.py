@@ -223,15 +223,30 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.textstats import (
+        QUERIES as TEXT_QUERIES,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.trec_parse import (
+        QUERIES as TREC_QUERIES,
+    )
+
     try:
-        for name in (
-            "text_bpe_merges",
-            "text_tokenize_ids",
+        for name, spec in (
+            ("text_bpe_merges", QUERIES["text_bpe_merges"]),
+            ("text_tokenize_ids", QUERIES["text_tokenize_ids"]),
             # the frozen-encode path (base-learned merges, LEFT-JOIN/UNK
             # vocab) must survive the same hostile input
-            "text_tokenize_ids_incremental",
+            (
+                "text_tokenize_ids_incremental",
+                QUERIES["text_tokenize_ids_incremental"],
+            ),
+            # r9 review sweep: the OTHER dual-rendered whitespace
+            # classes (ws-token split, TREC edge trim, DOCHDR \S) must
+            # read the VT row identically too
+            ("text_token_counts", TEXT_QUERIES["text_token_counts"]),
+            ("trec_text_parsed", TREC_QUERIES["trec_text_parsed"]),
+            ("trec_web_urls", TREC_QUERIES["trec_web_urls"]),
         ):
-            spec = QUERIES[name]
             issues = oracle.compare(spec.fn(spark, sf_dir), con, spec.oracle)
             assert not issues, (name, issues)
     finally:
@@ -316,12 +331,18 @@ def test_append_never_rewrites_base_partition(spark, tmp_path):
         spark, SF, out, where=F.col("doc_id") % mod != 0
     )
 
+    import hashlib
+
     def snapshot(root):
-        return {
-            os.path.join(d, f): os.stat(os.path.join(d, f)).st_mtime_ns
-            for d, _dirs, files in os.walk(root)
-            for f in files
-        }
+        out = {}
+        for d, _dirs, files in os.walk(root):
+            for f in files:
+                path = os.path.join(d, f)
+                st = os.stat(path)
+                with open(path, "rb") as fh:
+                    digest = hashlib.md5(fh.read()).hexdigest()
+                out[path] = (st.st_mtime_ns, st.st_size, digest)
+        return out
 
     base_dir = f"{out}/encoded/ingest=0"
     before = snapshot(base_dir)
@@ -329,6 +350,20 @@ def test_append_never_rewrites_base_partition(spark, tmp_path):
     bpe.append_bpe_store(spark, delta, out, batch_id=1)
     assert snapshot(base_dir) == before
     assert os.path.isdir(f"{out}/encoded/ingest=1")
+
+
+def test_strict_encode_raises_on_vocab_gap(spark):
+    """The build path's unk=None lookup must fail LOUDLY on a symbol
+    missing from the map (r9 review): element_at's NULL would otherwise
+    be silently dropped by array_join and skipped by the sums — a
+    plausible-looking but corrupt csv/ids_hash."""
+    es = spark.createDataFrame(
+        [("ab", ["a", "b"])], "piece STRING, syms ARRAY<STRING>"
+    )
+    pe = bpe._piece_encoding(es, [("a", 0)])  # 'b' deliberately absent
+    with pytest.raises(Exception) as ei:
+        pe.collect()
+    assert "symbol outside vocab" in str(ei.value)
 
 
 def test_frozen_vocab_oov_encodes_as_unk(spark, tmp_path):
