@@ -259,14 +259,20 @@ def learn_merges_batched(
         # one used symbol rejects every candidate sharing it — so a
         # fixed window can starve a round down to a handful of picks
         # and regress the barrier count toward exact greedy. Widen 4x
-        # until the round fills or the window held the WHOLE pair
-        # census (len(cand) < limit), in which case a partial round is
-        # the true disjoint supply, not a window artifact.
-        limit = 4 * batch_m
+        # until the round fills, the window held the WHOLE pair census
+        # (len(cand) < limit — a partial round is then the true
+        # disjoint supply), or the CAP is reached: without a cap a
+        # starved round on a web-scale census would widen until it
+        # collected millions of pair rows to the driver (r9 review
+        # pass 2) — at the cap we accept the partial round; progress
+        # is still guaranteed (the first candidate always passes a
+        # fresh round). The census is persisted on the first retry so
+        # widening pays sort+limit, not the aggregate again.
+        pc = _pair_counts(cur)
+        limit, persisted = 4 * batch_m, False
         while True:
             cand = (
-                _pair_counts(cur)
-                .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+                pc.orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
                 .limit(limit)
                 .collect()
             )
@@ -287,9 +293,18 @@ def learn_merges_batched(
                     continue
                 used.update((lhs, rhs, prod))
                 picked.append((lhs, rhs, int(r["n_occ"])))
-            if len(picked) >= want or len(cand) < limit:
+            if (
+                len(picked) >= want
+                or len(cand) < limit
+                or limit >= 64 * batch_m
+            ):
                 break
+            if not persisted:
+                pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
             limit *= 4
+        if persisted:
+            pc.unpersist()
         # the first candidate always passes (used starts empty), so
         # every round makes progress and picked is never empty
         for lhs, rhs, n in picked:
@@ -339,9 +354,7 @@ def _merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
 _enc_cache: dict = register_cache({})
 
 
-def _encode_under(
-    spark: SparkSession, pieces: DataFrame, merges: list[tuple]
-):
+def _encode_under(pieces: DataFrame, merges: list[tuple]):
     """(symbols, encoded_df): strict encode of a piece stream under the
     given merges, vocab derived from these very pieces (total coverage
     by construction — the strict lookup still guards it loudly). ONE
@@ -358,7 +371,7 @@ def _corpus_encoding(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _enc_cache:
         merges = learned_merges(spark, sf_dir)
-        symbols, enc = _encode_under(spark, _pieces(spark, sf_dir), merges)
+        symbols, enc = _encode_under(_pieces(spark, sf_dir), merges)
         _enc_cache[key] = (symbols, enc.persist(StorageLevel.MEMORY_AND_DISK))
     return _enc_cache[key]
 
@@ -415,15 +428,18 @@ def _piece_encoding(
     )
 
     def lookup(sym):
+        # coalesce short-circuits, so both paths scan the literal map
+        # ONCE per symbol (a when(isNull).otherwise form would scan it
+        # twice, doubling the dominant encode cost at a 32k-entry map)
         hit = F.element_at(id_map, sym)
         if unk is not None:
             return F.coalesce(hit, F.lit(int(unk)))
-        return F.when(
-            hit.isNull(),
+        return F.coalesce(
+            hit,
             F.raise_error(
                 F.concat(F.lit("BPE encode: symbol outside vocab: "), sym)
             ).cast("int"),
-        ).otherwise(hit)
+        )
 
     ids = F.transform(F.col("syms"), lambda s: lookup(s).cast("long"))
     return es.select(
@@ -493,7 +509,7 @@ def write_bpe_store(
         # _learn_merges
         pieces = _pieces_of(docs)
         merges = _learn_merges(spark, pieces, N_MERGES)
-        symbols, enc = _encode_under(spark, pieces, merges)
+        symbols, enc = _encode_under(pieces, merges)
     else:
         merges = learned_merges(spark, sf_dir)
         symbols, enc = _corpus_encoding(spark, sf_dir)

@@ -334,15 +334,15 @@ def test_append_never_rewrites_base_partition(spark, tmp_path):
     import hashlib
 
     def snapshot(root):
-        out = {}
+        entries = {}
         for d, _dirs, files in os.walk(root):
             for f in files:
                 path = os.path.join(d, f)
                 st = os.stat(path)
                 with open(path, "rb") as fh:
                     digest = hashlib.md5(fh.read()).hexdigest()
-                out[path] = (st.st_mtime_ns, st.st_size, digest)
-        return out
+                entries[path] = (st.st_mtime_ns, st.st_size, digest)
+        return entries
 
     base_dir = f"{out}/encoded/ingest=0"
     before = snapshot(base_dir)
