@@ -91,6 +91,10 @@ N_MERGES = 16  # fixed-iteration budget (unrolled in the oracle)
 CKPT_EVERY = 8  # merge-loop lineage-truncation cadence (see module doc)
 DOC_DELTA_MOD = 10  # doc_id % 10 == 0 plays the newly-arrived doc batch
 UNK_ID = -1  # frozen-vocab OOV id (LEFT-JOIN coalesce in the oracle)
+OOV_SEED = "\u00a7"  # '§': a char the ASCII fixture never contains —
+# appended to delta docs by text_tokenizer_oov_rate in BOTH engines so
+# the UNK path carries signal at every scale (the pii_scrub/
+# repetition_scrub seeding precedent; disclosed)
 
 _bpe_cache: dict = register_cache({})
 
@@ -513,6 +517,19 @@ def write_bpe_store(
     else:
         merges = learned_merges(spark, sf_dir)
         symbols, enc = _corpus_encoding(spark, sf_dir)
+    _write_store(spark, out_path, merges, symbols, enc)
+
+
+def _write_store(
+    spark: SparkSession,
+    out_path: str,
+    merges: list[tuple],
+    symbols: list[str],
+    enc: DataFrame,
+) -> None:
+    """The three store writes (merges/, vocab/, encoded/ at ingest=0) —
+    one definition shared by write_bpe_store and the memoized-artifact
+    callers so the layout cannot drift."""
     _merges_df(spark, merges).write.mode("overwrite").parquet(
         f"{out_path}/merges"
     )
@@ -525,6 +542,33 @@ def write_bpe_store(
         .partitionBy("ingest")
         .parquet(f"{out_path}/encoded")
     )
+
+
+# The DOC_DELTA_MOD-base frozen artifact feeds BOTH maintenance-contract
+# queries (text_tokenize_ids_incremental, text_tokenizer_oov_rate) —
+# memoize it per (session, corpus) so the base merge learning + base
+# encode run once (the build/serve-split discipline).
+_base_cache: dict = register_cache({})
+
+
+def _base_artifacts(spark: SparkSession, sf_dir: str):
+    """(merges, symbols, enc_base) learned/encoded over the UNSEEDED
+    base corpus (doc_id % DOC_DELTA_MOD != 0)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _base_cache:
+        pieces = _pieces_of(
+            table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % DOC_DELTA_MOD != 0
+            )
+        )
+        merges = _learn_merges(spark, pieces, N_MERGES)
+        symbols, enc = _encode_under(pieces, merges)
+        _base_cache[key] = (
+            merges,
+            symbols,
+            enc.persist(StorageLevel.MEMORY_AND_DISK),
+        )
+    return _base_cache[key]
 
 
 def read_bpe_merges(spark: SparkSession, store_path: str) -> list[tuple]:
@@ -608,9 +652,8 @@ def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _out_path("bpe_store_inc", sf_dir)
     docs = table(spark, sf_dir, "documents")
-    write_bpe_store(
-        spark, sf_dir, out, where=F.col("doc_id") % DOC_DELTA_MOD != 0
-    )
+    merges, symbols, enc = _base_artifacts(spark, sf_dir)
+    _write_store(spark, out, merges, symbols, enc)
     append_bpe_store(
         spark,
         docs.filter(F.col("doc_id") % DOC_DELTA_MOD == 0),
@@ -618,6 +661,64 @@ def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_id=1,
     )
     return read_bpe_store(spark, out)
+
+
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, total_ids, n_unk, unk_ppm): the frozen-tokenizer OOV
+    monitor — the metric a rollout pages on when the FROZEN artifact
+    meets new data: a source whose unk_ppm climbs is shipping content
+    the vocabulary has never seen (new language, new markup, encoding
+    corruption), and it climbs BEFORE the fertility ratio moves. Whole
+    corpus encoded under the DOC_DELTA_MOD-base frozen merges+vocab
+    (the memoized _base_artifacts shared with the incremental store);
+    per-source aggregate of ids and UNK hits, divide-first ppm.
+    Seeding: the fixture is pure ASCII and the base alphabet covers
+    the delta, so natural OOV is zero at every scale — each delta doc
+    gets ' '+OOV_SEED appended IDENTICALLY in both engines (one UNK
+    per delta doc by construction: the space symbol is in-vocab, the
+    seed char is not), the repetition_scrub seeding precedent."""
+    merges, symbols, _enc = _base_artifacts(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % DOC_DELTA_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + OOV_SEED)),
+        ).otherwise(F.col("text")),
+    )
+    pieces = _pieces_of(seeded)
+    es = _merged_symbolization(pieces, merges)
+    id_map = F.create_map(
+        *[c for i, sym in enumerate(symbols) for c in (F.lit(sym), F.lit(i))]
+    )
+    pu = es.select(
+        "piece",
+        F.size("syms").cast("long").alias("n_sym"),
+        F.size(
+            F.filter("syms", lambda t: F.element_at(id_map, t).isNull())
+        )
+        .cast("long")
+        .alias("n_unk"),
+    )
+    return (
+        pieces.join(pu, "piece")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_sym").cast("long").alias("total_ids"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            # divide-FIRST ppm (the fertility discipline): n_unk*1e6 in
+            # long would overflow past ~9.2e12 UNK hits per source
+            F.floor(
+                F.sum("n_unk").cast("double")
+                / F.sum("n_sym")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("unk_ppm"),
+        )
+    )
 
 
 # --- DuckDB oracles -------------------------------------------------------
@@ -674,19 +775,23 @@ def _duck_bpe_merges() -> str:
     return f"WITH {chain}\n{union}"
 
 
-def _duck_encode_ctes(chain: list[str], *, frozen: bool = False) -> list[str]:
+def _duck_encode_ctes(
+    chain: list[str], *, frozen: bool = False, docs_rel: str = "documents"
+) -> list[str]:
     """Append the encode CTEs to a merge chain: pp (all docs' pieces),
     the per-distinct-piece replace chain, symbol split, vocab, piece
     encoding, ready for the final per-doc assembly. frozen=True takes
     the vocab from the BASE piece vocabulary's final symbolization —
     v{N} of the merge chain IS that relation — and encodes via LEFT
-    JOIN + coalesce(UNK_ID), the frozen-tokenizer OOV semantics."""
+    JOIN + coalesce(UNK_ID), the frozen-tokenizer OOV semantics.
+    docs_rel lets a caller encode a derived document relation (the
+    OOV-rate query's seeded corpus) under a chain learned elsewhere."""
     s = SEP
     chain.append(
         "pp AS MATERIALIZED (SELECT doc_id, u.i AS pos, u.p AS piece FROM ("
         "SELECT doc_id, unnest(list_transform("
         f"regexp_extract_all(lower(text), '{_BPE_SQL_LIT}'), "
-        "(p, j) -> {'i': j, 'p': p})) AS u FROM documents) "
+        f"(p, j) -> {{'i': j, 'p': p}})) AS u FROM {docs_rel}) "
         f"WHERE u.p NOT LIKE '%{s}%')"
     )
     chain.append("dp AS MATERIALIZED (SELECT DISTINCT piece FROM pp)")
@@ -756,6 +861,34 @@ def _duck_tokenize_ids_frozen(mod: int) -> str:
         frozen=True,
     )
     return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
+
+
+def _duck_oov_rate(mod: int) -> str:
+    """Frozen-encode OOV aggregate: chain learned on the UNSEEDED base,
+    seeded corpus encoded under it, per-source UNK counts via the same
+    LEFT JOIN the frozen encode uses."""
+    chain = _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0")
+    chain.append(
+        "sd AS MATERIALIZED (SELECT doc_id, source, "
+        f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
+        "ELSE text END AS text FROM documents)"
+    )
+    chain = _duck_encode_ctes(chain, frozen=True, docs_rel="sd")
+    chain.append(
+        "pu AS MATERIALIZED (SELECT piece, "
+        "CAST(count(*) AS BIGINT) AS n_sym, "
+        "CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_unk FROM ps LEFT JOIN vocab USING (sym) GROUP BY piece)"
+    )
+    return (
+        "WITH " + ",\n".join(chain) + "\n"
+        "SELECT sd.source, CAST(sum(pu.n_sym) AS BIGINT) AS total_ids, "
+        "CAST(sum(pu.n_unk) AS BIGINT) AS n_unk, "
+        "CAST(floor(CAST(sum(pu.n_unk) AS DOUBLE) / sum(pu.n_sym) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS unk_ppm "
+        "FROM pp JOIN pu USING (piece) JOIN sd USING (doc_id) "
+        "GROUP BY sd.source"
+    )
 
 
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +1031,15 @@ QUERIES: dict[str, QuerySpec] = {
         "partitioned by ingest) written and served back — must equal "
         "the in-session encode's own value oracle; the write_ivf_store "
         "discipline applied to the BPE session memos",
+    ),
+    "text_tokenizer_oov_rate": QuerySpec(
+        fn=tokenizer_oov_rate,
+        oracle=_duck_oov_rate(DOC_DELTA_MOD),
+        note="frozen-tokenizer OOV monitor: whole corpus encoded under "
+        "the memoized base artifact, per-source UNK rate (divide-first "
+        "ppm); delta docs seeded with an out-of-vocabulary char "
+        "identically in both engines so the UNK path carries signal at "
+        "every scale",
     ),
     "text_tokenize_ids_incremental": QuerySpec(
         fn=tokenize_ids_incremental,

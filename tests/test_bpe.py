@@ -240,6 +240,9 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
                 "text_tokenize_ids_incremental",
                 QUERIES["text_tokenize_ids_incremental"],
             ),
+            # frozen-encode OOV aggregate over the same hostile input
+            # (here UNKs are real, not only seeded: delta-only chars)
+            ("text_tokenizer_oov_rate", QUERIES["text_tokenizer_oov_rate"]),
             # r9 review sweep: the OTHER dual-rendered whitespace
             # classes (ws-token split, TREC edge trim, DOCHDR \S) must
             # read the VT row identically too
@@ -350,6 +353,28 @@ def test_append_never_rewrites_base_partition(spark, tmp_path):
     bpe.append_bpe_store(spark, delta, out, batch_id=1)
     assert snapshot(base_dir) == before
     assert os.path.isdir(f"{out}/encoded/ingest=1")
+
+
+def test_oov_rate_counts_exactly_one_unk_per_delta_doc(spark):
+    """The seeding contract: the fixture is ASCII and the base alphabet
+    covers the delta, so the ONLY UNKs are the seeded OOV chars — one
+    per delta doc, attributed to exactly the delta docs' sources."""
+    got = {
+        r["source"]: (r["total_ids"], r["n_unk"], r["unk_ppm"])
+        for r in bpe.tokenizer_oov_rate(spark, SF).collect()
+    }
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    delta_per_source = (
+        docs[docs.doc_id % bpe.DOC_DELTA_MOD == 0].groupby("source").size()
+    )
+    for source, (total_ids, n_unk, unk_ppm) in got.items():
+        want_unk = int(delta_per_source.get(source, 0))
+        assert n_unk == want_unk, source
+        assert (unk_ppm > 0) == (want_unk > 0)
+        assert total_ids > 0
+    assert sum(u for _t, u, _p in got.values()) == int(delta_per_source.sum())
 
 
 def test_strict_encode_raises_on_vocab_gap(spark):
