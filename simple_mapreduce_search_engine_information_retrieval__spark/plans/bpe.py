@@ -427,9 +427,7 @@ def _piece_encoding(
     by the sums, shipping a plausible-looking but corrupt csv/ids_hash
     (r9 review). An integer unk is the frozen-vocab OOV id (the append
     path)."""
-    id_map = F.create_map(
-        *[c for s, i in id_pairs for c in (F.lit(s), F.lit(int(i)))]
-    )
+    id_map = _id_map(id_pairs)
 
     def lookup(sym):
         # coalesce short-circuits, so both paths scan the literal map
@@ -455,6 +453,14 @@ def _piece_encoding(
         F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
             "csv"
         ),
+    )
+
+
+def _id_map(id_pairs: list[tuple[str, int]]) -> F.Column:
+    """The bounded literal sym->id map — one construction shared by the
+    encoder and the OOV monitor so the idiom cannot drift."""
+    return F.create_map(
+        *[c for s, i in id_pairs for c in (F.lit(s), F.lit(int(i)))]
     )
 
 
@@ -674,9 +680,13 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate of ids and UNK hits, divide-first ppm.
     Seeding: the fixture is pure ASCII and the base alphabet covers
     the delta, so natural OOV is zero at every scale — each delta doc
-    gets ' '+OOV_SEED appended IDENTICALLY in both engines (one UNK
-    per delta doc by construction: the space symbol is in-vocab, the
-    seed char is not), the repetition_scrub seeding precedent."""
+    gets ' '+OOV_SEED appended IDENTICALLY in both engines — the
+    repetition_scrub seeding precedent. What IS guaranteed by
+    construction is only that the seed char is OOV on an ASCII corpus;
+    "exactly one UNK per delta doc" additionally needs the bare space
+    symbol to survive in the frozen base vocab, an empirical property
+    of this fixture (it does — pinned by the unit test, which would
+    surface a fixture change loudly)."""
     merges, symbols, _enc = _base_artifacts(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     seeded = docs.withColumn(
@@ -688,9 +698,7 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pieces = _pieces_of(seeded)
     es = _merged_symbolization(pieces, merges)
-    id_map = F.create_map(
-        *[c for i, sym in enumerate(symbols) for c in (F.lit(sym), F.lit(i))]
-    )
+    id_map = _id_map([(sym, i) for i, sym in enumerate(symbols)])
     pu = es.select(
         "piece",
         F.size("syms").cast("long").alias("n_sym"),

@@ -241,7 +241,10 @@ def test_hostile_corpus_cross_engine(spark, tmp_path):
                 QUERIES["text_tokenize_ids_incremental"],
             ),
             # frozen-encode OOV aggregate over the same hostile input
-            # (here UNKs are real, not only seeded: delta-only chars)
+            # (the *4 repetition puts every delta text in the base too,
+            # so the UNKs here are exactly the seeded chars — natural
+            # char-level OOV is pinned by
+            # test_frozen_vocab_oov_encodes_as_unk instead)
             ("text_tokenizer_oov_rate", QUERIES["text_tokenizer_oov_rate"]),
             # r9 review sweep: the OTHER dual-rendered whitespace
             # classes (ws-token split, TREC edge trim, DOCHDR \S) must
