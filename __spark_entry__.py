@@ -115,29 +115,25 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r9: BPE_PATTERN's \s replaced with an explicit whitespace
-        # class (Java \s has \x0B, RE2's does not — r8 ADVICE); output
-        # changes only on VT-bearing docs, but the pattern feeds every
-        # query below, so re-check all consumers
-        "text_bpe_vocab",
-        # r9: plans/bpe.py restructured around the durable store —
-        # parameterized learner (lineage-checkpoint cadence, r8 ADVICE
-        # quadratic-recompute fix), encode split into reusable stages;
-        # behavior-identical by construction, re-verify anyway
+        # r10: the encode path now carries a per-piece/per-doc n_unk
+        # column into the store (r9 verdict, Next-round #6) and the
+        # public ``learn`` selector sits in front of the exact learner
+        # (Next-round #3). Outputs are behavior-identical by
+        # construction (n_unk is projected away everywhere a 4-column
+        # oracle applies; N_MERGES=16 <= BATCHED_ABOVE keeps canon on
+        # exact greedy) — re-verify every consumer of the touched path
+        # anyway, per the r9 precedent.
         "text_bpe_merges",
         "text_tokenize_ids",
         "text_tokenizer_fertility",
-        # r9 review sweep: every OTHER dual-rendered \s swapped to the
-        # explicit class too — Spark sides are behavior-identical (Java
-        # \s already contained \x0B), the DuckDB sides gain \x0b, so
-        # outputs only change on VT-bearing docs; re-check the consumers
-        "text_token_counts",
-        "trec_text_parsed",
-        "trec_web_urls",
-        "trec_gzip_sharded_roundtrip",
-        # The r9-NEW queries (text_bpe_store_roundtrip,
-        # text_tokenize_ids_incremental, text_tokenizer_fertility_lang,
-        # text_tokenizer_oov_rate) sit in the never-checked bucket
+        "text_tokenizer_fertility_lang",
+        "text_bpe_store_roundtrip",
+        "text_tokenize_ids_incremental",
+        # r10: its oracle SQL dropped the unreferenced MATERIALIZED 'pe'
+        # CTE (r9 ADVICE) — Spark side untouched, values identical
+        "text_tokenizer_oov_rate",
+        # The r10-NEW queries (text_bpe_export_roundtrip,
+        # text_bpe_store_unk_rate) sit in the never-checked bucket
         # without an entry here.
     }
 )

@@ -42,7 +42,28 @@ from .stopwords import STOPWORDS, sql_not_in_stopwords
 # BPE_PATTERN; r9 review swept every other dual-rendered \s to this).
 # Spelled with escapes so it embeds identically in Java regex, RE2 via
 # SQL literals, and Python re.
-WS_CHARS = "\\t\\n\\x0b\\f\\r "
+
+
+def _class_safe(body: str) -> str:
+    """Guard for char-class BODIES that get interpolated raw into [...]
+    and [^...] across Java regex, RE2 AND single-quoted SQL literals
+    (r9 ADVICE): a ']' would close the class early, '^'/'-' change
+    meaning positionally, a quote breaks the SQL literal, and a
+    backslash is only safe when it starts an escape BOTH engines parse
+    identically inside a class. Enforced at import time so a future
+    edit cannot silently corrupt every derived regex in both engines."""
+    import re as _re
+
+    if _re.search(r"[\]\[^'\"-]", body):
+        raise ValueError(f"char-class body contains class-unsafe char: {body!r}")
+    # every backslash must start \t \n \f \r or \xHH (lowercase hex —
+    # the spelling both engines and the SQL renderings already use)
+    if not _re.fullmatch(r"(?:\\t|\\n|\\f|\\r|\\x[0-9a-f]{2}|[^\\])*", body):
+        raise ValueError(f"char-class body has an unsafe backslash: {body!r}")
+    return body
+
+
+WS_CHARS = _class_safe("\\t\\n\\x0b\\f\\r ")
 
 # <script>/<style> contents die entirely; comments, processing
 # instructions, tags and XML entities become token breaks.

@@ -77,6 +77,9 @@ extension operator of the training-data catalog, not a port.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -89,6 +92,17 @@ from .textstats import _BPE_SQL_LIT, BPE_PATTERN
 SEP = "\x1f"  # U+001F unit separator — the wrap framing character
 N_MERGES = 16  # fixed-iteration budget (unrolled in the oracle)
 CKPT_EVERY = 8  # merge-loop lineage-truncation cadence (see module doc)
+# Merge budget above which ``learn`` routes to the batched learner (r9
+# verdict, Next-round #3). Rationale (SCALE.md "BPE at a production
+# merge count"): exact learning is barrier-bound at ~165-190 ms/merge
+# regardless of cluster width, so 256 merges ≈ 45-50 s of pure driver
+# barriers — the point where barrier latency starts dominating any
+# corpus-side work and exactness stops being worth the wall-clock. At or
+# below the threshold exact greedy costs under a minute and its
+# determinism is what the unrolled oracles pin; above it the batched
+# learner's ~batch_m-fold barrier economy wins (6.0x wall measured at
+# sf0.1) at the disclosed cost of emergent pairs competing a round late.
+BATCHED_ABOVE = 256
 DOC_DELTA_MOD = 10  # doc_id % 10 == 0 plays the newly-arrived doc batch
 UNK_ID = -1  # frozen-vocab OOV id (LEFT-JOIN coalesce in the oracle)
 OOV_SEED = "\u00a7"  # '§': a char the ASCII fixture never contains —
@@ -324,13 +338,41 @@ def learn_merges_batched(
     return merges, round_sizes
 
 
+def learn(
+    spark: SparkSession,
+    pieces: DataFrame,
+    n_merges: int,
+    *,
+    batched_above: int = BATCHED_ABOVE,
+    batch_m: int = 16,
+) -> list[tuple]:
+    """The public merge-learning entry point — SELECTS the learner by
+    merge budget (r9 verdict, Next-round #3): exact greedy at or below
+    ``batched_above`` (one barrier per merge, deterministic, what the
+    unrolled oracles pin), the symbol-disjoint batched learner above it
+    (~batch_m-fold fewer barriers; divergence disclosed on
+    learn_merges_batched). Every in-repo caller passes N_MERGES=16 and
+    stays on the exact path — the canon oracles do not change — but a
+    caller asking for a production budget (32k) now gets the scalable
+    learner without having to know it exists. The flip is exercised by
+    tests/test_bpe_scale.py::test_learn_selector_routes_by_budget."""
+    if n_merges > batched_above:
+        merges, _round_sizes = learn_merges_batched(
+            spark, pieces, n_merges, batch_m=batch_m
+        )
+        return merges
+    return _learn_merges(spark, pieces, n_merges)
+
+
 def learned_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """[(merge_rank, lhs, rhs, n_occ)] — the learned merge table,
     memoized per (session, corpus) so text_bpe_merges, text_tokenize_ids
-    and the store build share one learning run."""
+    and the store build share one learning run. Routes through the
+    ``learn`` selector: N_MERGES=16 <= BATCHED_ABOVE, so the canon
+    queries stay on the exact learner their unrolled oracles replay."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _bpe_cache:
-        _bpe_cache[key] = _learn_merges(spark, _pieces(spark, sf_dir), N_MERGES)
+        _bpe_cache[key] = learn(spark, _pieces(spark, sf_dir), N_MERGES)
     return _bpe_cache[key]
 
 
@@ -390,8 +432,12 @@ def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     id sequence in document order (no-raw-lists canon); n_ids/sum_ids
     give order-insensitive integrity signals. Ids are assigned by
     lexicographic rank over the (bounded) final symbol vocabulary —
-    deterministic in both engines. Served from the encoded-corpus memo."""
-    return encoded_docs(spark, sf_dir)
+    deterministic in both engines. Served from the encoded-corpus memo
+    (which since r10 also carries n_unk for the store — projected away
+    here: this is the strict-encode path, where it is identically 0)."""
+    return encoded_docs(spark, sf_dir).select(
+        "doc_id", "n_ids", "sum_ids", "ids_hash"
+    )
 
 
 def _merged_symbolization(pieces: DataFrame, merges: list[tuple]) -> DataFrame:
@@ -419,20 +465,31 @@ def _vocab_symbols(es: DataFrame) -> list[str]:
 def _piece_encoding(
     es: DataFrame, id_pairs: list[tuple[str, int]], *, unk: int | None = None
 ) -> DataFrame:
-    """(piece, n_sym, sum_sym, csv): each distinct piece's id sequence
-    under a literal sym->id map. unk=None ENFORCES total coverage (the
-    build path: the vocab was derived from these very pieces) — a
-    missing key raises instead of null-propagating, because element_at's
-    NULL would otherwise be silently DROPPED by array_join and skipped
-    by the sums, shipping a plausible-looking but corrupt csv/ids_hash
-    (r9 review). An integer unk is the frozen-vocab OOV id (the append
-    path)."""
+    """(piece, n_sym, sum_sym, csv, n_unk): each distinct piece's id
+    sequence under a literal sym->id map. unk=None ENFORCES total
+    coverage (the build path: the vocab was derived from these very
+    pieces) — a missing key raises instead of null-propagating, because
+    element_at's NULL would otherwise be silently DROPPED by array_join
+    and skipped by the sums, shipping a plausible-looking but corrupt
+    csv/ids_hash (r9 review). An integer unk is the frozen-vocab OOV id
+    (the append path); n_unk counts how many symbols resolved to it —
+    carried into the store so a rollout can read a batch's UNK rate off
+    the persisted encoded/ partitions without re-encoding (r9 verdict,
+    Next-round #6). On the strict path n_unk is literally 0."""
     id_map = _id_map(id_pairs)
 
     def lookup(sym):
         # coalesce short-circuits, so both paths scan the literal map
         # ONCE per symbol (a when(isNull).otherwise form would scan it
-        # twice, doubling the dominant encode cost at a 32k-entry map)
+        # twice, doubling the dominant encode cost at a 32k-entry map).
+        # NOTE (r9 ADVICE): the strict arm relies on Coalesce evaluating
+        # children lazily left-to-right so raise_error only fires on an
+        # actual vocab gap — true today and pinned by
+        # test_strict_encode_raises_on_vocab_gap, but it is an optimizer
+        # behavior, not a documented contract; if a Spark upgrade starts
+        # raising on FULLY-COVERED vocab, suspect an eager-coalesce
+        # rewrite and fall back to when(hit.isNotNull(), hit).otherwise(
+        # raise) at the cost of the second map scan.
         hit = F.element_at(id_map, sym)
         if unk is not None:
             return F.coalesce(hit, F.lit(int(unk)))
@@ -444,6 +501,17 @@ def _piece_encoding(
         )
 
     ids = F.transform(F.col("syms"), lambda s: lookup(s).cast("long"))
+    if unk is None:
+        n_unk = F.lit(0).cast("long")
+    else:
+        # counted off the already-encoded ids (UNK_ID is never a real id
+        # — real ids are list indexes >= 0), NOT via a second isNull
+        # probe of the literal map, which would double the dominant
+        # per-symbol map-scan cost on the append path
+        n_unk = (
+            F.size(F.filter(ids, lambda x: x == F.lit(int(unk))))
+            .cast("long")
+        )
     return es.select(
         "piece",
         F.size("syms").cast("long").alias("n_sym"),
@@ -453,6 +521,7 @@ def _piece_encoding(
         F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
             "csv"
         ),
+        n_unk.alias("n_unk"),
     )
 
 
@@ -468,7 +537,9 @@ def _assemble_docs(pieces: DataFrame, pe: DataFrame) -> DataFrame:
     """Per-doc reassembly: one aggregate over the piece stream joined to
     the encoded piece dictionary. Zipf-skewed piece key: unhinted, AQE
     skew posture (token x vocab canon). Zero-piece docs drop (inner
-    join) — the documented encoder convention, both engines."""
+    join) — the documented encoder convention, both engines. n_unk rides
+    the same aggregate (0 on strict-encode paths) so appended store
+    partitions carry their per-doc UNK counts."""
     return (
         pieces.join(pe, "piece")
         .groupBy("doc_id")
@@ -484,6 +555,7 @@ def _assemble_docs(pieces: DataFrame, pe: DataFrame) -> DataFrame:
                     ",",
                 )
             ).alias("ids_hash"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
         )
     )
 
@@ -518,7 +590,7 @@ def write_bpe_store(
         # makes; what IS persisted is the vocabulary-sized v0 inside
         # _learn_merges
         pieces = _pieces_of(docs)
-        merges = _learn_merges(spark, pieces, N_MERGES)
+        merges = learn(spark, pieces, N_MERGES)
         symbols, enc = _encode_under(pieces, merges)
     else:
         merges = learned_merges(spark, sf_dir)
@@ -567,7 +639,7 @@ def _base_artifacts(spark: SparkSession, sf_dir: str):
                 F.col("doc_id") % DOC_DELTA_MOD != 0
             )
         )
-        merges = _learn_merges(spark, pieces, N_MERGES)
+        merges = learn(spark, pieces, N_MERGES)
         symbols, enc = _encode_under(pieces, merges)
         _base_cache[key] = (
             merges,
@@ -644,6 +716,137 @@ def bpe_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _out_path("bpe_store", sf_dir)
     write_bpe_store(spark, sf_dir, out)
     return read_bpe_store(spark, out)
+
+
+# --- JSON sidecar interchange (round 10) ------------------------------------
+# The artifact a training pipeline actually SHIPS to its serving stack is
+# a tokenizer.json-style sidecar (merges in rank order + the frozen
+# vocab), not a Parquet directory (r9 verdict, Next-round #2). Both
+# relations are bounded (N_MERGES rows; <= alphabet + N_MERGES symbols),
+# so the sidecar is a driver-side file by construction — the same class
+# as a collected codebook, never a corpus artifact.
+
+SIDECAR_FORMAT = "bpe-tokenizer"
+SIDECAR_VERSION = 1
+
+
+def export_bpe_json(
+    spark: SparkSession, store_path: str, sidecar_path: str
+) -> str:
+    """Render the persisted tokenizer store as a deterministic JSON
+    sidecar: merges as [lhs, rhs] PAIRS in rank order (a symbol can
+    legally contain a space — e.g. the space-prefixed piece heads — so
+    the space-joined "lhs rhs" convention of some public tokenizer
+    formats would be ambiguous here; JSON arrays are lossless), vocab as
+    [sym, id] pairs in id order. n_occ counts are training diagnostics,
+    not serving state, and are deliberately dropped (as public
+    tokenizer.json files do). Byte-STABLE: fixed key order via
+    sort_keys, ensure_ascii, compact separators, trailing newline — two
+    exports of the same store are byte-identical (pinned by test)."""
+    merges = read_bpe_merges(spark, store_path)
+    vocab = sorted(
+        (int(r["id"]), r["sym"])
+        for r in spark.read.parquet(f"{store_path}/vocab").collect()
+        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
+    )
+    doc = {
+        "format": SIDECAR_FORMAT,
+        "version": SIDECAR_VERSION,
+        "unk_id": UNK_ID,
+        "merges": [[lhs, rhs] for _rank, lhs, rhs, _n in merges],
+        "vocab": [[sym, i] for i, sym in vocab],
+    }
+    rendered = (
+        json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
+        + "\n"
+    )
+    os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
+    with open(sidecar_path, "w", encoding="ascii") as fh:
+        fh.write(rendered)
+    return sidecar_path
+
+
+def import_bpe_json(sidecar_path: str):
+    """(merges, id_pairs) from a sidecar — everything serving needs:
+    merges as (rank, lhs, rhs, 0) tuples (rank = list position; the
+    dropped n_occ slot is zero-filled so the serving helpers' 4-tuple
+    shape is uniform) and the frozen sym->id vocab."""
+    with open(sidecar_path, encoding="ascii") as fh:
+        doc = json.load(fh)
+    if doc.get("format") != SIDECAR_FORMAT or doc.get("version") != SIDECAR_VERSION:
+        raise ValueError(
+            f"not a {SIDECAR_FORMAT} v{SIDECAR_VERSION} sidecar: {sidecar_path}"
+        )
+    merges = [
+        (rank, lhs, rhs, 0)
+        for rank, (lhs, rhs) in enumerate(doc["merges"], start=1)
+    ]
+    id_pairs = [(sym, int(i)) for sym, i in doc["vocab"]]
+    return merges, id_pairs
+
+
+def bpe_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sidecar interchange contract end-to-end: build the store,
+    EXPORT it as the JSON sidecar, IMPORT the sidecar, and encode the
+    corpus under the imported artifact — no Parquet store in the serving
+    path. Must equal the in-session encode's own value oracle (strict
+    lookup: the full-corpus vocab covers by construction, so any
+    sidecar-rendering loss raises loudly instead of UNK-masking)."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("bpe_export", sf_dir)
+    store = os.path.join(out, "store")
+    write_bpe_store(spark, sf_dir, store)
+    sidecar = export_bpe_json(spark, store, os.path.join(out, "tokenizer.json"))
+    merges, id_pairs = import_bpe_json(sidecar)
+    pieces = _pieces(spark, sf_dir)
+    es = _merged_symbolization(pieces, merges)
+    pe = _piece_encoding(es, id_pairs)
+    return _assemble_docs(pieces, pe).select(
+        "doc_id", "n_ids", "sum_ids", "ids_hash"
+    )
+
+
+def bpe_store_unk_by_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ingest, n_docs, total_ids, n_unk, unk_ppm) read OFF THE STORE —
+    the OOV monitor a rollout actually pages on (r9 verdict, Next-round
+    #6): per-ingest UNK counts are persisted with each encoded batch
+    (n_unk carried through _piece_encoding/_assemble_docs), so a batch's
+    unk_ppm is one aggregate over the encoded/ partitions — NO
+    re-encoding, and no need for the batch's raw text to still exist.
+    Composition: base store build (strict encode — n_unk identically 0
+    at ingest=0), one seeded delta batch appended under the frozen vocab
+    (the text_tokenizer_oov_rate seeding: ' '+OOV_SEED on each delta
+    doc, identical in both engines), then the per-ingest rollup from
+    disk. Divide-first ppm per the fertility discipline."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("bpe_store_unk", sf_dir)
+    merges, symbols, enc = _base_artifacts(spark, sf_dir)
+    _write_store(spark, out, merges, symbols, enc)
+    delta = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DOC_DELTA_MOD == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + OOV_SEED)))
+    )
+    append_bpe_store(spark, delta, out, batch_id=1)
+    return (
+        spark.read.parquet(f"{out}/encoded")
+        .groupBy(F.col("ingest").cast("long").alias("ingest"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ids").cast("long").alias("total_ids"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.floor(
+                F.sum("n_unk").cast("double")
+                / F.sum("n_ids")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("unk_ppm"),
+        )
+    )
 
 
 def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,7 +987,11 @@ def _duck_bpe_merges() -> str:
 
 
 def _duck_encode_ctes(
-    chain: list[str], *, frozen: bool = False, docs_rel: str = "documents"
+    chain: list[str],
+    *,
+    frozen: bool = False,
+    docs_rel: str = "documents",
+    with_pe: bool = True,
 ) -> list[str]:
     """Append the encode CTEs to a merge chain: pp (all docs' pieces),
     the per-distinct-piece replace chain, symbol split, vocab, piece
@@ -793,7 +1000,11 @@ def _duck_encode_ctes(
     v{N} of the merge chain IS that relation — and encodes via LEFT
     JOIN + coalesce(UNK_ID), the frozen-tokenizer OOV semantics.
     docs_rel lets a caller encode a derived document relation (the
-    OOV-rate query's seeded corpus) under a chain learned elsewhere."""
+    OOV-rate query's seeded corpus) under a chain learned elsewhere.
+    with_pe=False stops the chain at ps/vocab for callers that build
+    their OWN per-piece aggregate (the UNK monitors) — the 'pe' stage is
+    MATERIALIZED, so leaving it dangling unreferenced risks a wasted
+    materialization pass (r9 ADVICE)."""
     s = SEP
     chain.append(
         "pp AS MATERIALIZED (SELECT doc_id, u.i AS pos, u.p AS piece FROM ("
@@ -835,14 +1046,15 @@ def _duck_encode_ctes(
         "SELECT piece, unnest(list_transform(syms, (t, j) -> {'i': j, 's': t})) "
         "AS u FROM es))"
     )
-    id_expr = f"coalesce(id, {UNK_ID})" if frozen else "id"
-    join = "LEFT JOIN" if frozen else "JOIN"
-    chain.append(
-        "pe AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS n_sym, "
-        f"CAST(sum({id_expr}) AS BIGINT) AS sum_sym, "
-        f"string_agg(CAST({id_expr} AS VARCHAR), ',' ORDER BY spos) AS csv "
-        f"FROM ps {join} vocab USING (sym) GROUP BY piece)"
-    )
+    if with_pe:
+        id_expr = f"coalesce(id, {UNK_ID})" if frozen else "id"
+        join = "LEFT JOIN" if frozen else "JOIN"
+        chain.append(
+            "pe AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS n_sym, "
+            f"CAST(sum({id_expr}) AS BIGINT) AS sum_sym, "
+            f"string_agg(CAST({id_expr} AS VARCHAR), ',' ORDER BY spos) AS csv "
+            f"FROM ps {join} vocab USING (sym) GROUP BY piece)"
+        )
     return chain
 
 
@@ -881,7 +1093,7 @@ def _duck_oov_rate(mod: int) -> str:
         f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
         "ELSE text END AS text FROM documents)"
     )
-    chain = _duck_encode_ctes(chain, frozen=True, docs_rel="sd")
+    chain = _duck_encode_ctes(chain, frozen=True, docs_rel="sd", with_pe=False)
     chain.append(
         "pu AS MATERIALIZED (SELECT piece, "
         "CAST(count(*) AS BIGINT) AS n_sym, "
@@ -896,6 +1108,43 @@ def _duck_oov_rate(mod: int) -> str:
         "* 1000000.0 + 0.5) AS BIGINT) AS unk_ppm "
         "FROM pp JOIN pu USING (piece) JOIN sd USING (doc_id) "
         "GROUP BY sd.source"
+    )
+
+
+def _duck_store_unk_by_ingest(mod: int) -> str:
+    """Per-ingest rollup the persisted store must reproduce: base docs
+    (ingest 0) are the strict base encode — zero UNK by construction —
+    and the seeded delta batch (ingest 1) is the frozen encode of the
+    seeded docs. The oracle re-derives both from first principles: chain
+    learned on the unseeded base, whole seeded corpus frozen-encoded,
+    per-doc UNK counts rolled up by the ingest label doc_id % mod."""
+    chain = _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0")
+    chain.append(
+        "sd AS MATERIALIZED (SELECT doc_id, "
+        f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
+        "ELSE text END AS text FROM documents)"
+    )
+    chain = _duck_encode_ctes(chain, frozen=True, docs_rel="sd", with_pe=False)
+    chain.append(
+        "pu AS MATERIALIZED (SELECT piece, "
+        "CAST(count(*) AS BIGINT) AS n_sym, "
+        "CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_unk FROM ps LEFT JOIN vocab USING (sym) GROUP BY piece)"
+    )
+    chain.append(
+        "perdoc AS (SELECT doc_id, CAST(sum(pu.n_sym) AS BIGINT) AS n_ids, "
+        "CAST(sum(pu.n_unk) AS BIGINT) AS n_unk "
+        "FROM pp JOIN pu USING (piece) GROUP BY doc_id)"
+    )
+    return (
+        "WITH " + ",\n".join(chain) + "\n"
+        f"SELECT CAST(CASE WHEN doc_id % {mod} = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS ingest, count(*) AS n_docs, "
+        "CAST(sum(n_ids) AS BIGINT) AS total_ids, "
+        "CAST(sum(n_unk) AS BIGINT) AS n_unk, "
+        "CAST(floor(CAST(sum(n_unk) AS DOUBLE) / sum(n_ids) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS unk_ppm "
+        "FROM perdoc GROUP BY 1"
     )
 
 
@@ -1048,6 +1297,25 @@ QUERIES: dict[str, QuerySpec] = {
         "ppm); delta docs seeded with an out-of-vocabulary char "
         "identically in both engines so the UNK path carries signal at "
         "every scale",
+    ),
+    "text_bpe_export_roundtrip": QuerySpec(
+        fn=bpe_export_roundtrip,
+        oracle=_duck_tokenize_ids(),
+        note="tokenizer.json-style sidecar interchange: store exported "
+        "as a byte-stable JSON sidecar (merges in rank order as lossless "
+        "pairs + frozen vocab), re-imported, and the corpus encoded "
+        "under the IMPORTED artifact — serving from the sidecar equals "
+        "the in-session encode's own value oracle",
+    ),
+    "text_bpe_store_unk_rate": QuerySpec(
+        fn=bpe_store_unk_by_ingest,
+        oracle=_duck_store_unk_by_ingest(DOC_DELTA_MOD),
+        note="per-ingest UNK rate served FROM the persisted store: "
+        "n_unk is carried through the encode into each encoded/ "
+        "partition, so a batch's unk_ppm is one aggregate over the "
+        "store — a rollout pages on a batch without re-encoding it; "
+        "base build at ingest 0 (strict, zero UNK), seeded delta batch "
+        "at ingest 1",
     ),
     "text_tokenize_ids_incremental": QuerySpec(
         fn=tokenize_ids_incremental,

@@ -456,3 +456,59 @@ def test_frozen_vocab_oov_encodes_as_unk(spark, tmp_path):
         assert row["ids_hash"] == hashlib.md5(csv.encode()).hexdigest()
     finally:
         caches.evict(sf_dir)
+
+
+# --- sidecar interchange + store UNK monitor (round 10) ---------------------
+
+
+def test_sidecar_export_is_byte_stable_and_lossless(spark, tmp_path):
+    """Two exports of the same store are byte-identical (the artifact a
+    serving stack pins by checksum), the rendering is pure ASCII, and
+    import returns exactly the store's merges (rank order, counts
+    dropped to the zero-filled diagnostic slot) and vocab (id order)."""
+    out = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, SF, out)
+    p1 = bpe.export_bpe_json(spark, out, str(tmp_path / "a" / "tokenizer.json"))
+    p2 = bpe.export_bpe_json(spark, out, str(tmp_path / "b" / "tokenizer.json"))
+    with open(p1, "rb") as fh:
+        b1 = fh.read()
+    with open(p2, "rb") as fh:
+        b2 = fh.read()
+    assert b1 == b2
+    b1.decode("ascii")  # raises on any non-ASCII byte
+    merges, id_pairs = bpe.import_bpe_json(p1)
+    assert merges == [
+        (rank, lhs, rhs, 0)
+        for rank, lhs, rhs, _n in bpe.read_bpe_merges(spark, out)
+    ]
+    vocab_rows = sorted(
+        (int(r["id"]), r["sym"])
+        for r in spark.read.parquet(f"{out}/vocab").collect()
+    )
+    assert id_pairs == [(sym, i) for i, sym in vocab_rows]
+
+
+def test_sidecar_import_rejects_foreign_files(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('{"format":"other-tokenizer","version":1}')
+    with pytest.raises(ValueError):
+        bpe.import_bpe_json(str(p))
+
+
+def test_store_unk_by_ingest_contract(spark):
+    """The persisted-store OOV monitor's invariants: the strict base
+    build carries identically-zero UNK counts at ingest 0, and the
+    seeded delta batch at ingest 1 carries exactly one UNK per delta
+    doc (the tokenizer_oov_rate seeding contract, now read off disk)."""
+    rows = {
+        int(r["ingest"]): r
+        for r in bpe.bpe_store_unk_by_ingest(spark, SF).collect()
+    }
+    assert set(rows) == {0, 1}
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    n_delta = int((docs.doc_id % bpe.DOC_DELTA_MOD == 0).sum())
+    assert rows[0]["n_unk"] == 0 and rows[0]["unk_ppm"] == 0
+    assert rows[1]["n_docs"] == n_delta
+    assert rows[1]["n_unk"] == n_delta  # one seeded UNK per delta doc
+    assert rows[1]["unk_ppm"] > 0
+    assert rows[1]["total_ids"] > rows[1]["n_unk"]

@@ -92,3 +92,22 @@ def test_batched_merges_still_roundtrip(batched):
                     i += 1
             syms = out
         assert "".join(syms) == piece
+
+
+def test_learn_selector_routes_by_budget(spark, batched):
+    """The public ``learn`` entry point flips learners at BATCHED_ABOVE
+    (r9 verdict, Next-round #3): at or below the threshold it IS exact
+    greedy (the canon path — equals the memoized exact table), above it
+    it IS the batched learner (same corpus + same batch_m reproduce the
+    module fixture's table exactly — both learners are deterministic)."""
+    exact = bpe.learn(spark, bpe._pieces(spark, SF), bpe.N_MERGES)
+    assert exact == bpe.learned_merges(spark, SF)
+    routed = bpe.learn(
+        spark,
+        bpe._pieces(spark, SF),
+        bpe.N_MERGES,
+        batched_above=bpe.N_MERGES - 1,
+        batch_m=4,
+    )
+    assert routed == batched[0]
+    assert bpe.BATCHED_ABOVE >= bpe.N_MERGES  # canon stays exact
