@@ -877,6 +877,181 @@ GROUP BY tok.doc_id
 """
 
 
+# --- DoReMi-style domain weights (round 10) -------------------------------
+# DoReMi (Xie et al. 2023, arXiv:2305.10429, public NeurIPS): domain
+# mixture weights from an exponentiated-gradient update on per-domain
+# EXCESS loss, smoothed toward uniform. The full algorithm alternates
+# the update with proxy-model retraining — model training is out of
+# scope for a data engine — so this op is the weight-computation step a
+# pipeline runs GIVEN per-domain losses: here the engine's own
+# LM-surprisal gate (the corpus-as-LM unigram surprisal the quality
+# family already uses), token-weighted per source. The output plugs
+# straight into the existing mix writers (temperature/epoch/stratified),
+# replacing their hand-set source weights with loss-derived ones.
+
+DOREMI_ETA = 1.0  # exponentiated-gradient step on excess loss (in nats)
+DOREMI_SMOOTH_PPM = 100_000  # c = 0.1 uniform smoothing (the paper's)
+
+
+def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, sum_micro): the corpus-pass stage of the
+    DoReMi weights — token-weighted per-source surprisal sums in
+    integer micro-units. Split out (uncheckpointed) so the skew-posture
+    plan test can assert the build-stage contract the localCheckpoint
+    in doremi_weights hides from PLAN_AUDIT: unhinted vocabulary join,
+    1-row-only broadcasts."""
+    toks = tokenized_docs(spark, sf_dir).select("doc_id", "toks")
+    docs = toks.join(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    tok = docs.select("source", F.explode("toks").alias("w"))
+    tfs = tok.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    wc = tfs.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("double").alias("tot"))
+    micro = F.floor(
+        -F.log(F.col("cnt") / F.col("tot")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        tfs.join(wc, "w")
+        .crossJoin(F.broadcast(tot))  # bounded: 1-row total
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * micro).cast("long").alias("sum_micro"),
+        )
+    )
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, loss_ppm, excess_ppm, weight_ppm): DoReMi
+    domain weights over sources. loss = token-weighted mean unigram
+    surprisal -ln p(w) under the corpus LM (the text_unigram_surprisal
+    model, aggregated per source instead of per doc); excess =
+    max(0, loss - corpus mean) — domains harder than the average get
+    upweighted, easy/boilerplate domains fall to the smoothing floor;
+    weight = (1-c) * softmax(eta * excess) + c/K, in ppm.
+
+    Shape at scale: ONE shared tokenized scan -> a (source, term) tf
+    compression (the importance_weights r7 argument: the Zipf head
+    compresses by its per-source tf, and the skewed term-keyed join
+    carries source x distinct-term rows, not raw occurrences) -> the
+    vocabulary-cardinality term join (unhinted — Heaps' law) -> a
+    K-row per-source aggregate. Everything after that is K-row math
+    (K = #domains, bounded like a codebook): the softmax runs over a
+    broadcast 1-row denominator, never a corpus relation.
+
+    Cross-engine float (the DSIR discipline): per-term surprisal is
+    floored to integer micro-units BEFORE aggregation so partial-agg
+    fold order cannot matter; the softmax numerators are floored to
+    integer micro-units before the K-row denominator sum for the same
+    reason; the one exp() per DOMAIN carries the same <=1-ulp libm
+    residual risk as the ln() family (importance_weights states it) at
+    K-row exposure, not corpus exposure."""
+    # K rows after the aggregate, but per_src feeds BOTH the reference-
+    # loss aggregate and the per-domain scoring — without lineage
+    # truncation the corpus-sized token join inside would evaluate
+    # once per consumer (the _merged_symbolization lesson)
+    per_src = _doremi_per_source(spark, sf_dir).localCheckpoint()
+    # K-row relation from here down. Reference loss = token-weighted
+    # corpus mean (integer sums -> exact); k rides the same 1-row agg.
+    glob = per_src.agg(
+        F.floor(
+            F.sum("sum_micro") / F.sum("n_tokens") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ref_ppm"),
+        F.count("*").cast("long").alias("k"),
+    )
+    loss = F.floor(
+        F.col("sum_micro") / F.col("n_tokens") + F.lit(0.5)
+    ).cast("long")
+    # bounded: 1-row reference-loss/domain-count aggregate
+    src = per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_tokens",
+        loss.alias("loss_ppm"),
+        "ref_ppm",
+        "k",
+    )
+    excess = F.greatest(
+        F.lit(0).cast("long"), F.col("loss_ppm") - F.col("ref_ppm")
+    )
+    e_micro = F.floor(
+        F.exp(
+            excess.cast("double") / F.lit(1_000_000.0) * F.lit(DOREMI_ETA)
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = src.select(
+        "source",
+        "n_tokens",
+        "loss_ppm",
+        excess.alias("excess_ppm"),
+        e_micro.alias("e_micro"),
+        "k",
+    )
+    den = scored.agg(F.sum("e_micro").cast("double").alias("den"))
+    # bounded: 1-row softmax denominator
+    return scored.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_tokens",
+        "loss_ppm",
+        "excess_ppm",
+        F.floor(
+            F.lit(1_000_000.0 - DOREMI_SMOOTH_PPM)
+            * (F.col("e_micro").cast("double") / F.col("den"))
+            + F.lit(float(DOREMI_SMOOTH_PPM)) / F.col("k").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+
+
+def _duck_doremi_weights() -> str:
+    from ..functions.tokenize import duck_tokens_list
+
+    lst = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source, {lst} AS toks FROM documents),
+tok AS MATERIALIZED (SELECT source, unnest(toks) AS w FROM t),
+tfs AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
+wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tfs GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM wc),
+ps AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_micro
+       FROM tfs JOIN wc USING (w) CROSS JOIN tot GROUP BY source),
+corpus_ref AS (SELECT CAST(floor(sum(sum_micro) / sum(n_tokens) + 0.5)
+                AS BIGINT) AS ref_ppm,
+         CAST(count(*) AS BIGINT) AS k FROM ps),
+scored AS (
+  SELECT source, n_tokens,
+         CAST(floor(sum_micro / n_tokens + 0.5) AS BIGINT) AS loss_ppm,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor(sum_micro / n_tokens + 0.5) AS BIGINT)
+                  - ref_ppm) AS excess_ppm,
+         k
+  FROM ps CROSS JOIN corpus_ref),
+emicro AS (
+  SELECT source, n_tokens, loss_ppm, excess_ppm, k,
+         CAST(floor(exp(CAST(excess_ppm AS DOUBLE) / 1000000.0
+                        * {DOREMI_ETA}) * 1000000.0 + 0.5)
+              AS BIGINT) AS e_micro
+  FROM scored),
+den AS (SELECT CAST(sum(e_micro) AS DOUBLE) AS den FROM emicro)
+SELECT source, n_tokens, loss_ppm, excess_ppm,
+       CAST(floor({1_000_000.0 - DOREMI_SMOOTH_PPM}
+                  * (CAST(e_micro AS DOUBLE) / den.den)
+                  + {float(DOREMI_SMOOTH_PPM)} / CAST(k AS DOUBLE)
+                  + 0.5) AS BIGINT) AS weight_ppm
+FROM emicro CROSS JOIN den
+"""
+
+
 # --- deterministic weighted sampling (without replacement) ---------------
 # Efraimidis–Spirakis exponential keys (public: Inf. Proc. Letters 97(5),
 # 2006): each item draws u ~ U(0,1) and the k items with the LARGEST
@@ -1035,6 +1210,15 @@ QUERIES: dict[str, QuerySpec] = {
         note="DSIR-style importance weights: mean per-token LLR of a "
         "Laplace-smoothed target-vs-raw unigram LM pair, both models "
         "estimated in one shared token pass (arXiv:2302.03169)",
+    ),
+    "pipeline_doremi_weights": QuerySpec(
+        fn=doremi_weights,
+        oracle=_duck_doremi_weights(),
+        note="DoReMi-style domain mixture weights (arXiv:2305.10429): "
+        "exponentiated-gradient update on per-source EXCESS surprisal "
+        "under the corpus LM, smoothed toward uniform — one token pass "
+        "+ the vocabulary term join, then K-row softmax math; feeds "
+        "the existing mix writers in place of hand-set source weights",
     ),
     "pipeline_temperature_mix": QuerySpec(
         fn=temperature_mix,
