@@ -48,13 +48,16 @@ def _class_safe(body: str) -> str:
     """Guard for char-class BODIES that get interpolated raw into [...]
     and [^...] across Java regex, RE2 AND single-quoted SQL literals
     (r9 ADVICE): a ']' would close the class early, '^'/'-' change
-    meaning positionally, a quote breaks the SQL literal, and a
-    backslash is only safe when it starts an escape BOTH engines parse
-    identically inside a class. Enforced at import time so a future
-    edit cannot silently corrupt every derived regex in both engines."""
+    meaning positionally, a quote breaks the SQL literal, '&' is the
+    Java-only class-intersection operator ('[a&&b]' intersects in Java
+    but is literal in RE2/Python — exactly the silent cross-engine
+    split this guard exists for; r10 review), and a backslash is only
+    safe when it starts an escape BOTH engines parse identically
+    inside a class. Enforced at import time so a future edit cannot
+    silently corrupt every derived regex in both engines."""
     import re as _re
 
-    if _re.search(r"[\]\[^'\"-]", body):
+    if _re.search(r"[\]\[^'\"&-]", body):
         raise ValueError(f"char-class body contains class-unsafe char: {body!r}")
     # every backslash must start \t \n \f \r or \xHH (lowercase hex —
     # the spelling both engines and the SQL renderings already use)

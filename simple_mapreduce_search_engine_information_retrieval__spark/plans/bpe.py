@@ -760,7 +760,9 @@ def export_bpe_json(
         json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
         + "\n"
     )
-    os.makedirs(os.path.dirname(sidecar_path), exist_ok=True)
+    parent = os.path.dirname(sidecar_path)
+    if parent:  # bare-filename target: cwd already exists (r10 review)
+        os.makedirs(parent, exist_ok=True)
     with open(sidecar_path, "w", encoding="ascii") as fh:
         fh.write(rendered)
     return sidecar_path
@@ -773,7 +775,16 @@ def import_bpe_json(sidecar_path: str):
     shape is uniform) and the frozen sym->id vocab."""
     with open(sidecar_path, encoding="ascii") as fh:
         doc = json.load(fh)
-    if doc.get("format") != SIDECAR_FORMAT or doc.get("version") != SIDECAR_VERSION:
+    # full shape validation, not just the header (r10 review): a
+    # non-dict top level or a header-only file must fail with the
+    # advertised ValueError, not an AttributeError/KeyError deep inside
+    if (
+        not isinstance(doc, dict)
+        or doc.get("format") != SIDECAR_FORMAT
+        or doc.get("version") != SIDECAR_VERSION
+        or not isinstance(doc.get("merges"), list)
+        or not isinstance(doc.get("vocab"), list)
+    ):
         raise ValueError(
             f"not a {SIDECAR_FORMAT} v{SIDECAR_VERSION} sidecar: {sidecar_path}"
         )
@@ -819,17 +830,9 @@ def bpe_store_unk_by_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the text_tokenizer_oov_rate seeding: ' '+OOV_SEED on each delta
     doc, identical in both engines), then the per-ingest rollup from
     disk. Divide-first ppm per the fertility discipline."""
-    from .sinks_sources import _out_path
-
-    out = _out_path("bpe_store_unk", sf_dir)
-    merges, symbols, enc = _base_artifacts(spark, sf_dir)
-    _write_store(spark, out, merges, symbols, enc)
-    delta = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % DOC_DELTA_MOD == 0)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" " + OOV_SEED)))
+    out = _write_base_store_with_delta(
+        spark, sf_dir, "bpe_store_unk", seed_delta=True
     )
-    append_bpe_store(spark, delta, out, batch_id=1)
     return (
         spark.read.parquet(f"{out}/encoded")
         .groupBy(F.col("ingest").cast("long").alias("ingest"))
@@ -849,6 +852,31 @@ def bpe_store_unk_by_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_base_store_with_delta(
+    spark: SparkSession, sf_dir: str, kind: str, *, seed_delta: bool
+) -> str:
+    """The shared maintenance-contract composition (r10 review: it was
+    duplicated between the incremental-encode and store-UNK queries):
+    base-built store (merges/vocab frozen over doc_id % DOC_DELTA_MOD
+    != 0), one delta batch appended under the frozen artifact at
+    ingest=1. seed_delta appends ' '+OOV_SEED to each delta doc (the
+    tokenizer_oov_rate seeding, mirrored in the oracles)."""
+    from .sinks_sources import _out_path
+
+    out = _out_path(kind, sf_dir)
+    merges, symbols, enc = _base_artifacts(spark, sf_dir)
+    _write_store(spark, out, merges, symbols, enc)
+    delta = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DOC_DELTA_MOD == 0
+    )
+    if seed_delta:
+        delta = delta.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" " + OOV_SEED))
+        )
+    append_bpe_store(spark, delta, out, batch_id=1)
+    return out
+
+
 def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer maintenance contract end-to-end: build the store
     from the BASE docs only (doc_id % DOC_DELTA_MOD != 0 — merges and
@@ -857,17 +885,8 @@ def tokenize_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Must equal a one-shot encode of the WHOLE corpus under the
     base-learned merges (frozen-vocab LEFT-JOIN/UNK semantics) — the
     oracle learns on the base subset and encodes everything."""
-    from .sinks_sources import _out_path
-
-    out = _out_path("bpe_store_inc", sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    merges, symbols, enc = _base_artifacts(spark, sf_dir)
-    _write_store(spark, out, merges, symbols, enc)
-    append_bpe_store(
-        spark,
-        docs.filter(F.col("doc_id") % DOC_DELTA_MOD == 0),
-        out,
-        batch_id=1,
+    out = _write_base_store_with_delta(
+        spark, sf_dir, "bpe_store_inc", seed_delta=False
     )
     return read_bpe_store(spark, out)
 
@@ -1083,13 +1102,16 @@ def _duck_tokenize_ids_frozen(mod: int) -> str:
     return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
 
 
-def _duck_oov_rate(mod: int) -> str:
-    """Frozen-encode OOV aggregate: chain learned on the UNSEEDED base,
-    seeded corpus encoded under it, per-source UNK counts via the same
-    LEFT JOIN the frozen encode uses."""
+def _duck_frozen_unk_chain(mod: int, *, sd_cols: str) -> list[str]:
+    """Base-learned merge chain + seeded corpus ('sd', carrying
+    sd_cols before the seeded text) frozen-encoded + per-piece UNK
+    aggregate ('pu') — ONE rendering shared by the two UNK monitors
+    (r10 review: the sd/pu blocks were pasted twice; a seeding or
+    UNK-count change applied to one oracle but not the other would be
+    a silent drift)."""
     chain = _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0")
     chain.append(
-        "sd AS MATERIALIZED (SELECT doc_id, source, "
+        f"sd AS MATERIALIZED (SELECT {sd_cols}"
         f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
         "ELSE text END AS text FROM documents)"
     )
@@ -1100,6 +1122,14 @@ def _duck_oov_rate(mod: int) -> str:
         "CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_unk FROM ps LEFT JOIN vocab USING (sym) GROUP BY piece)"
     )
+    return chain
+
+
+def _duck_oov_rate(mod: int) -> str:
+    """Frozen-encode OOV aggregate: chain learned on the UNSEEDED base,
+    seeded corpus encoded under it, per-source UNK counts via the same
+    LEFT JOIN the frozen encode uses."""
+    chain = _duck_frozen_unk_chain(mod, sd_cols="doc_id, source, ")
     return (
         "WITH " + ",\n".join(chain) + "\n"
         "SELECT sd.source, CAST(sum(pu.n_sym) AS BIGINT) AS total_ids, "
@@ -1118,19 +1148,7 @@ def _duck_store_unk_by_ingest(mod: int) -> str:
     seeded docs. The oracle re-derives both from first principles: chain
     learned on the unseeded base, whole seeded corpus frozen-encoded,
     per-doc UNK counts rolled up by the ingest label doc_id % mod."""
-    chain = _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0")
-    chain.append(
-        "sd AS MATERIALIZED (SELECT doc_id, "
-        f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
-        "ELSE text END AS text FROM documents)"
-    )
-    chain = _duck_encode_ctes(chain, frozen=True, docs_rel="sd", with_pe=False)
-    chain.append(
-        "pu AS MATERIALIZED (SELECT piece, "
-        "CAST(count(*) AS BIGINT) AS n_sym, "
-        "CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_unk FROM ps LEFT JOIN vocab USING (sym) GROUP BY piece)"
-    )
+    chain = _duck_frozen_unk_chain(mod, sd_cols="doc_id, ")
     chain.append(
         "perdoc AS (SELECT doc_id, CAST(sum(pu.n_sym) AS BIGINT) AS n_ids, "
         "CAST(sum(pu.n_unk) AS BIGINT) AS n_unk "

@@ -891,6 +891,17 @@ GROUP BY tok.doc_id
 
 DOREMI_ETA = 1.0  # exponentiated-gradient step on excess loss (in nats)
 DOREMI_SMOOTH_PPM = 100_000  # c = 0.1 uniform smoothing (the paper's)
+# exp() input clamp, in excess-ppm (20 nats). exp(20)*1e6 ~ 4.9e14 fits
+# int64 with orders of magnitude to spare, while exp(29.9+) would push
+# e_micro past int64 — where Spark's non-ANSI double->long cast CLAMPS
+# silently but DuckDB's raises, a cross-engine split (r10 review). A
+# pathological domain (tiny, all-rare-vocabulary) can reach excess ~
+# ln(corpus tokens) ~ 30+ nats at the design point; beyond 20 nats the
+# softmax is saturated anyway (one domain holds ~all non-smoothing
+# mass), so clamping the exp INPUT changes nothing a consumer can see
+# except ties among >=20-nat domains. The reported excess_ppm column
+# stays UNclamped — it is the monitoring value.
+DOREMI_EXP_CLAMP_PPM = 20_000_000
 
 
 def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,7 +929,10 @@ def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf") * micro).cast("long").alias("sum_micro"),
+            # DOUBLE accumulator (r10 review): a long sum of tf*micro
+            # overflows int64 past ~1 TB of text per source; see the
+            # doremi_weights docstring for the exactness bound
+            F.sum((F.col("tf") * micro).cast("double")).alias("sum_micro"),
         )
     )
 
@@ -942,19 +956,27 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row denominator, never a corpus relation.
 
     Cross-engine float (the DSIR discipline): per-term surprisal is
-    floored to integer micro-units BEFORE aggregation so partial-agg
-    fold order cannot matter; the softmax numerators are floored to
-    integer micro-units before the K-row denominator sum for the same
-    reason; the one exp() per DOMAIN carries the same <=1-ulp libm
-    residual risk as the ln() family (importance_weights states it) at
-    K-row exposure, not corpus exposure."""
+    floored to integer micro-units BEFORE aggregation; the softmax
+    numerators are floored to integer micro-units before the K-row
+    denominator sum; the one exp() per DOMAIN carries the same <=1-ulp
+    libm residual risk as the ln() family (importance_weights states
+    it) at K-row exposure, not corpus exposure. The per-source
+    micro-unit sum accumulates in DOUBLE, not long (r10 review): a
+    source past ~1 TB of text overflows int64 on this product —
+    silently wrapped by Spark, a conversion error in DuckDB. Integer-
+    valued doubles stay EXACT (fold-order-free) below 2^53 total
+    micro-units (~1e9 tokens/source); past that the sum is correct to
+    ~1 part in 2^53 and a +-1 ppm wobble in a monitoring metric is the
+    disclosed residual — every parity gate runs far inside the exact
+    regime. The exp() input is clamped at DOREMI_EXP_CLAMP_PPM (see
+    constant) so e_micro always fits int64 in both engines."""
     # K rows after the aggregate, but per_src feeds BOTH the reference-
     # loss aggregate and the per-domain scoring — without lineage
     # truncation the corpus-sized token join inside would evaluate
     # once per consumer (the _merged_symbolization lesson)
     per_src = _doremi_per_source(spark, sf_dir).localCheckpoint()
     # K-row relation from here down. Reference loss = token-weighted
-    # corpus mean (integer sums -> exact); k rides the same 1-row agg.
+    # corpus mean; k rides the same 1-row agg.
     glob = per_src.agg(
         F.floor(
             F.sum("sum_micro") / F.sum("n_tokens") + F.lit(0.5)
@@ -979,7 +1001,10 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e_micro = F.floor(
         F.exp(
-            excess.cast("double") / F.lit(1_000_000.0) * F.lit(DOREMI_ETA)
+            F.least(excess, F.lit(DOREMI_EXP_CLAMP_PPM).cast("long"))
+            .cast("double")
+            / F.lit(1_000_000.0)
+            * F.lit(DOREMI_ETA)
         )
         * F.lit(1_000_000.0)
         + F.lit(0.5)
@@ -1022,8 +1047,8 @@ tfs AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
 wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tfs GROUP BY w),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM wc),
 ps AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         CAST(sum(tf * CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5)
-                            AS BIGINT)) AS BIGINT) AS sum_micro
+         sum(CAST(tf * CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5)
+                            AS BIGINT) AS DOUBLE)) AS sum_micro
        FROM tfs JOIN wc USING (w) CROSS JOIN tot GROUP BY source),
 corpus_ref AS (SELECT CAST(floor(sum(sum_micro) / sum(n_tokens) + 0.5)
                 AS BIGINT) AS ref_ppm,
@@ -1038,7 +1063,9 @@ scored AS (
   FROM ps CROSS JOIN corpus_ref),
 emicro AS (
   SELECT source, n_tokens, loss_ppm, excess_ppm, k,
-         CAST(floor(exp(CAST(excess_ppm AS DOUBLE) / 1000000.0
+         CAST(floor(exp(CAST(least(excess_ppm,
+                               CAST({DOREMI_EXP_CLAMP_PPM} AS BIGINT))
+                          AS DOUBLE) / 1000000.0
                         * {DOREMI_ETA}) * 1000000.0 + 0.5)
               AS BIGINT) AS e_micro
   FROM scored),

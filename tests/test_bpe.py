@@ -489,10 +489,31 @@ def test_sidecar_export_is_byte_stable_and_lossless(spark, tmp_path):
 
 
 def test_sidecar_import_rejects_foreign_files(tmp_path):
-    p = tmp_path / "bad.json"
-    p.write_text('{"format":"other-tokenizer","version":1}')
-    with pytest.raises(ValueError):
-        bpe.import_bpe_json(str(p))
+    """EVERY malformed shape fails with the advertised ValueError (r10
+    review: a non-dict top level or a header-only file used to escape
+    as AttributeError/KeyError), and a bare-filename export target
+    works (os.makedirs('') used to blow up before the write)."""
+    bad = [
+        '{"format":"other-tokenizer","version":1}',  # wrong format
+        "[1,2,3]",  # non-dict top level
+        '{"format":"bpe-tokenizer","version":1}',  # header only
+        '{"format":"bpe-tokenizer","version":1,"merges":[]}',  # no vocab
+        '{"format":"bpe-tokenizer","version":1,"merges":{},"vocab":[]}',
+    ]
+    for i, text in enumerate(bad):
+        p = tmp_path / f"bad{i}.json"
+        p.write_text(text)
+        with pytest.raises(ValueError):
+            bpe.import_bpe_json(str(p))
+
+
+def test_sidecar_export_accepts_bare_filename(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, SF, out)
+    monkeypatch.chdir(tmp_path)
+    path = bpe.export_bpe_json(spark, out, "tokenizer.json")
+    merges, id_pairs = bpe.import_bpe_json(path)
+    assert merges and id_pairs
 
 
 def test_store_unk_by_ingest_contract(spark):

@@ -49,6 +49,22 @@ def test_doremi_floor_and_monotonicity(weights):
     assert ws == sorted(ws)
 
 
+def test_class_safe_guard_rejects_cross_engine_hazards():
+    """The WS_CHARS import-time guard must reject every char whose
+    meaning inside [...] differs across Java regex / RE2 / SQL
+    literals — including '&' (Java-only class intersection: '[a&&b]'
+    intersects in Java, stays literal in RE2/Python; r10 review)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        _class_safe,
+    )
+
+    assert _class_safe("\\t\\n\\x0b\\f\\r ") == "\\t\\n\\x0b\\f\\r "
+    for bad in ["a]b", "a^b", "a-b", "a&&b", "a&b", "a'b", 'a"b',
+                "a\\b", "\\x0B", "\\s"]:
+        with pytest.raises(ValueError):
+            _class_safe(bad)
+
+
 def test_doremi_build_stage_skew_posture(spark):
     """The corpus-pass stage joins the (source, term) tf relation to
     vocabulary counts on the Zipf-skewed word key — the DSIR/surprisal
