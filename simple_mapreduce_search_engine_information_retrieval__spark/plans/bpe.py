@@ -775,15 +775,30 @@ def import_bpe_json(sidecar_path: str):
     shape is uniform) and the frozen sym->id vocab."""
     with open(sidecar_path, encoding="ascii") as fh:
         doc = json.load(fh)
-    # full shape validation, not just the header (r10 review): a
-    # non-dict top level or a header-only file must fail with the
-    # advertised ValueError, not an AttributeError/KeyError deep inside
+    # full shape validation down to the ELEMENTS, not just the header
+    # (r10 review, both passes): a non-dict top level, a header-only
+    # file, or a malformed merges/vocab entry must all fail with the
+    # advertised ValueError, never an AttributeError/KeyError/TypeError
+    # from deep inside the unpacking
     if (
         not isinstance(doc, dict)
         or doc.get("format") != SIDECAR_FORMAT
         or doc.get("version") != SIDECAR_VERSION
         or not isinstance(doc.get("merges"), list)
         or not isinstance(doc.get("vocab"), list)
+        or not all(
+            isinstance(m, list)
+            and len(m) == 2
+            and all(isinstance(x, str) for x in m)
+            for m in doc["merges"]
+        )
+        or not all(
+            isinstance(v, list)
+            and len(v) == 2
+            and isinstance(v[0], str)
+            and isinstance(v[1], int)  # JSON floats rejected too
+            for v in doc["vocab"]
+        )
     ):
         raise ValueError(
             f"not a {SIDECAR_FORMAT} v{SIDECAR_VERSION} sidecar: {sidecar_path}"

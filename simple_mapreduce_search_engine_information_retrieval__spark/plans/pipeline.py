@@ -891,17 +891,19 @@ GROUP BY tok.doc_id
 
 DOREMI_ETA = 1.0  # exponentiated-gradient step on excess loss (in nats)
 DOREMI_SMOOTH_PPM = 100_000  # c = 0.1 uniform smoothing (the paper's)
-# exp() input clamp, in excess-ppm (20 nats). exp(20)*1e6 ~ 4.9e14 fits
-# int64 with orders of magnitude to spare, while exp(29.9+) would push
-# e_micro past int64 — where Spark's non-ANSI double->long cast CLAMPS
-# silently but DuckDB's raises, a cross-engine split (r10 review). A
-# pathological domain (tiny, all-rare-vocabulary) can reach excess ~
-# ln(corpus tokens) ~ 30+ nats at the design point; beyond 20 nats the
-# softmax is saturated anyway (one domain holds ~all non-smoothing
-# mass), so clamping the exp INPUT changes nothing a consumer can see
-# except ties among >=20-nat domains. The reported excess_ppm column
+# exp() ARGUMENT clamp, in nats — applied to the eta*excess product
+# (r10 review pass 2: clamping raw excess would bake in eta=1; a
+# raised step size would reopen the overflow). exp(20)*1e6 ~ 4.9e14
+# fits int64 with orders of magnitude to spare, while exp(29.9+) would
+# push e_micro past int64 — where Spark's non-ANSI double->long cast
+# CLAMPS silently but DuckDB's raises, a cross-engine split (r10
+# review). A pathological domain (tiny, all-rare-vocabulary) can reach
+# excess ~ ln(corpus tokens) ~ 30+ nats at the design point; beyond 20
+# nats the softmax is saturated anyway (one domain holds ~all
+# non-smoothing mass), so the clamp changes nothing a consumer can see
+# except ties among saturated domains. The reported excess_ppm column
 # stays UNclamped — it is the monitoring value.
-DOREMI_EXP_CLAMP_PPM = 20_000_000
+DOREMI_EXP_CLAMP_NATS = 20.0
 
 
 def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,10 +931,14 @@ def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            # DOUBLE accumulator (r10 review): a long sum of tf*micro
-            # overflows int64 past ~1 TB of text per source; see the
-            # doremi_weights docstring for the exactness bound
-            F.sum((F.col("tf") * micro).cast("double")).alias("sum_micro"),
+            # DOUBLE product AND accumulator (r10 review, both passes):
+            # a long sum of tf*micro overflows int64 past ~1 TB of text
+            # per source, and the per-row long MULTIPLY itself can wrap
+            # for one corpus-scale (source, term) pair (tf ~ tot/e on
+            # the Zipf head x ~1e6 micro) — so tf converts to double
+            # BEFORE the multiply; see the doremi_weights docstring for
+            # the exactness bound
+            F.sum(F.col("tf").cast("double") * micro).alias("sum_micro"),
         )
     )
 
@@ -968,7 +974,8 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units (~1e9 tokens/source); past that the sum is correct to
     ~1 part in 2^53 and a +-1 ppm wobble in a monitoring metric is the
     disclosed residual — every parity gate runs far inside the exact
-    regime. The exp() input is clamped at DOREMI_EXP_CLAMP_PPM (see
+    regime. The exp() argument (eta x excess, nats) is clamped at
+    DOREMI_EXP_CLAMP_NATS (see
     constant) so e_micro always fits int64 in both engines."""
     # K rows after the aggregate, but per_src feeds BOTH the reference-
     # loss aggregate and the per-domain scoring — without lineage
@@ -1001,10 +1008,12 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e_micro = F.floor(
         F.exp(
-            F.least(excess, F.lit(DOREMI_EXP_CLAMP_PPM).cast("long"))
-            .cast("double")
-            / F.lit(1_000_000.0)
-            * F.lit(DOREMI_ETA)
+            F.least(
+                excess.cast("double")
+                / F.lit(1_000_000.0)
+                * F.lit(DOREMI_ETA),
+                F.lit(DOREMI_EXP_CLAMP_NATS),
+            )
         )
         * F.lit(1_000_000.0)
         + F.lit(0.5)
@@ -1047,8 +1056,9 @@ tfs AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
 wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tfs GROUP BY w),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM wc),
 ps AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         sum(CAST(tf * CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5)
-                            AS BIGINT) AS DOUBLE)) AS sum_micro
+         sum(CAST(tf AS DOUBLE)
+             * CAST(floor(-ln(wc.cnt / tot.tot) * 1e6 + 0.5)
+                    AS BIGINT)) AS sum_micro
        FROM tfs JOIN wc USING (w) CROSS JOIN tot GROUP BY source),
 corpus_ref AS (SELECT CAST(floor(sum(sum_micro) / sum(n_tokens) + 0.5)
                 AS BIGINT) AS ref_ppm,
@@ -1063,10 +1073,10 @@ scored AS (
   FROM ps CROSS JOIN corpus_ref),
 emicro AS (
   SELECT source, n_tokens, loss_ppm, excess_ppm, k,
-         CAST(floor(exp(CAST(least(excess_ppm,
-                               CAST({DOREMI_EXP_CLAMP_PPM} AS BIGINT))
-                          AS DOUBLE) / 1000000.0
-                        * {DOREMI_ETA}) * 1000000.0 + 0.5)
+         CAST(floor(exp(least(CAST(excess_ppm AS DOUBLE) / 1000000.0
+                              * {DOREMI_ETA},
+                              {DOREMI_EXP_CLAMP_NATS}))
+                    * 1000000.0 + 0.5)
               AS BIGINT) AS e_micro
   FROM scored),
 den AS (SELECT CAST(sum(e_micro) AS DOUBLE) AS den FROM emicro)

@@ -499,6 +499,14 @@ def test_sidecar_import_rejects_foreign_files(tmp_path):
         '{"format":"bpe-tokenizer","version":1}',  # header only
         '{"format":"bpe-tokenizer","version":1,"merges":[]}',  # no vocab
         '{"format":"bpe-tokenizer","version":1,"merges":{},"vocab":[]}',
+        # element-level malformation (r10 review pass 2: these used to
+        # escape as TypeError from the unpack)
+        '{"format":"bpe-tokenizer","version":1,"merges":[5],"vocab":[]}',
+        '{"format":"bpe-tokenizer","version":1,"merges":[["a"]],"vocab":[]}',
+        '{"format":"bpe-tokenizer","version":1,"merges":[["a",1]],"vocab":[]}',
+        '{"format":"bpe-tokenizer","version":1,"merges":[],"vocab":[5]}',
+        '{"format":"bpe-tokenizer","version":1,"merges":[],"vocab":[["a","b"]]}',
+        '{"format":"bpe-tokenizer","version":1,"merges":[],"vocab":[["a",1.5]]}',
     ]
     for i, text in enumerate(bad):
         p = tmp_path / f"bad{i}.json"
