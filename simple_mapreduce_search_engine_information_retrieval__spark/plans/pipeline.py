@@ -1089,6 +1089,98 @@ FROM emicro CROSS JOIN den
 """
 
 
+def doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, kept): the DoReMi weights made ACTIONABLE — the
+    per-document single-epoch resampling verdict that moves the corpus
+    toward the computed mixture (the sample_mix shape driven by
+    COMPUTED rates instead of hand-set ones). Per-source keep rate =
+    boost / max(boost), where boost = target weight / natural doc
+    share: the most-upweighted domain keeps 100% and every other
+    domain downsamples relative to it — the rate assignment that
+    maximizes data kept in a single pass subject to the target mix
+    (no replication, so one epoch suffices). Acceptance uses the
+    portable md5-uniform discipline (dyadic-exact u, the
+    weighted_sample construction, fresh 'dm:' salt) so the draw is
+    reproducible run-to-run and engine-to-engine. Shape at scale: the
+    weights pipeline (one corpus pass, see doremi_weights) + one
+    per-source count aggregate; the rate plan is |sources| rows
+    broadcast back to the scan — the corpus never shuffles for the
+    verdict itself."""
+    w = doremi_weights(spark, sf_dir).select("source", "weight_ppm")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    win = Window.partitionBy()  # bounded: |sources| rows, dictionary-sized
+    plan = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(w, "source")
+        .withColumn("n_total", F.sum("n_docs").over(win).cast("long"))
+        .withColumn(
+            "boost",
+            (F.col("weight_ppm").cast("double") / F.lit(1_000_000.0))
+            / (F.col("n_docs") / F.col("n_total")),
+        )
+        .withColumn("maxb", F.max("boost").over(win))
+        .select(
+            "source",
+            F.floor(
+                F.col("boost") / F.col("maxb") * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dm:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    u = (h + F.lit(1.0)) / F.lit(_WSAMPLE_DEN)  # dyadic-exact, in (0,1)
+    return (
+        # bounded: |sources|-row rate plan
+        docs.join(F.broadcast(plan), "source")
+        .select(
+            "doc_id",
+            "source",
+            (u < F.col("rate_ppm").cast("double") / F.lit(1_000_000.0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def _duck_doremi_mix() -> str:
+    return f"""
+WITH dw AS MATERIALIZED ({_duck_doremi_weights()}),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+boosts AS (
+  SELECT source,
+         (CAST(weight_ppm AS DOUBLE) / 1000000.0) / (n_docs / n_total)
+           AS boost
+  FROM per JOIN dw USING (source) CROSS JOIN tot),
+mx AS (SELECT max(boost) AS maxb FROM boosts),
+rates AS (
+  SELECT source,
+         CAST(floor(boost / maxb * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm
+  FROM boosts CROSS JOIN mx)
+SELECT d.doc_id, d.source,
+       CAST(((('0x' || substr(md5('dm:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                ::BIGINT + 1.0) / {_WSAMPLE_DEN!r})
+            < CAST(rate_ppm AS DOUBLE) / 1000000.0 AS INT) AS kept
+FROM documents d JOIN rates USING (source)
+"""
+
+
 # --- deterministic weighted sampling (without replacement) ---------------
 # Efraimidis–Spirakis exponential keys (public: Inf. Proc. Letters 97(5),
 # 2006): each item draws u ~ U(0,1) and the k items with the LARGEST
@@ -1256,6 +1348,15 @@ QUERIES: dict[str, QuerySpec] = {
         "under the corpus LM, smoothed toward uniform — one token pass "
         "+ the vocabulary term join, then K-row softmax math; feeds "
         "the existing mix writers in place of hand-set source weights",
+    ),
+    "pipeline_doremi_mix": QuerySpec(
+        fn=doremi_mix,
+        oracle=_duck_doremi_mix(),
+        note="the DoReMi weights made actionable: per-document "
+        "single-epoch resampling verdict with COMPUTED per-source keep "
+        "rates (boost/max-boost, no replication), md5-uniform "
+        "acceptance — the sample_mix composition driven by the learned "
+        "mixture instead of hand-set rates",
     ),
     "pipeline_temperature_mix": QuerySpec(
         fn=temperature_mix,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
     pipeline,
@@ -125,5 +126,25 @@ def test_doremi_upweights_a_crafted_hard_domain(spark, tmp_path):
             abs(got["hard"]["weight_ppm"] + got["easy"]["weight_ppm"] - 1_000_000)
             <= 2
         )
+        # the mix verdict makes the weights actionable: the
+        # most-boosted domain keeps EVERYTHING (rate = max-boost/max-
+        # boost = 1, and the dyadic u is strictly < 1), the easy
+        # domain downsamples, and the draw is deterministic
+        mix = (
+            pipeline.doremi_mix(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("kept").alias("kept"))
+        )
+        m = {r["source"]: (r["n"], r["kept"]) for r in mix.collect()}
+        assert m["hard"][1] == m["hard"][0]  # rate 1.0 keeps all
+        assert m["easy"][1] < m["easy"][0]
+        m2 = {
+            r["source"]: (r["n"], r["kept"])
+            for r in pipeline.doremi_mix(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("kept").alias("kept"))
+            .collect()
+        }
+        assert m2 == m  # reproducible draw
     finally:
         caches.evict(sf_dir)
