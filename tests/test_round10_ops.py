@@ -90,6 +90,19 @@ def test_doremi_build_stage_skew_posture(spark):
         )
 
 
+def test_doremi_mix_verdict_join_is_broadcast(spark):
+    """The per-document verdict must never shuffle the corpus: the
+    |sources|-row rate plan joins the doc scan as a BroadcastHashJoin,
+    and no corpus-keyed Exchange appears after the (checkpointed)
+    weights stage. SortMergeJoin anywhere in the verdict plan would
+    mean the doc scan shuffled on source — the regression this pins."""
+    from conftest import physical_plan
+
+    plan = physical_plan(pipeline.doremi_mix(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_doremi_upweights_a_crafted_hard_domain(spark, tmp_path):
     """Two synthetic domains: 'easy' is one sentence repeated (low
     surprisal under the corpus LM), 'hard' is all-distinct vocabulary
