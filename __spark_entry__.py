@@ -115,25 +115,18 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r10: the encode path now carries a per-piece/per-doc n_unk
-        # column into the store (r9 verdict, Next-round #6) and the
-        # public ``learn`` selector sits in front of the exact learner
-        # (Next-round #3). Outputs are behavior-identical by
-        # construction (n_unk is projected away everywhere a 4-column
-        # oracle applies; N_MERGES=16 <= BATCHED_ABOVE keeps canon on
-        # exact greedy) — re-verify every consumer of the touched path
-        # anyway, per the r9 precedent.
-        "text_bpe_merges",
-        "text_tokenize_ids",
-        "text_tokenizer_fertility",
-        "text_tokenizer_fertility_lang",
-        "text_bpe_store_roundtrip",
-        "text_tokenize_ids_incremental",
-        # r10: its oracle SQL dropped the unreferenced MATERIALIZED 'pe'
-        # CTE (r9 ADVICE) — Spark side untouched, values identical
-        "text_tokenizer_oov_rate",
-        # The r10-NEW queries (text_bpe_export_roundtrip,
-        # text_bpe_store_unk_rate) sit in the never-checked bucket
+        # r11: the sidecar roundtrip's composition was refactored into
+        # the shared _sidecar_roundtrip helper (behavior-identical by
+        # construction — same stages, same store; the HF twin reuses
+        # it) — re-verify per the r9 rewrite precedent.
+        "text_bpe_export_roundtrip",
+        # r11: the packing core was extracted into _pack_from_lens so
+        # the end-to-end capstone can pack its survivor set — the
+        # full-corpus query now calls the shared core (value-identical,
+        # pinned by tests/test_round11_ops.py).
+        "pipeline_pack_sequences",
+        # The r11-NEW queries (pipeline_end_to_end,
+        # text_bpe_export_hf_roundtrip) sit in the never-checked bucket
         # without an entry here.
     }
 )

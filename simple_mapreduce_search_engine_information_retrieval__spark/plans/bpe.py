@@ -796,7 +796,11 @@ def import_bpe_json(sidecar_path: str):
             isinstance(v, list)
             and len(v) == 2
             and isinstance(v[0], str)
-            and isinstance(v[1], int)  # JSON floats rejected too
+            # JSON floats rejected; bool excluded explicitly because
+            # Python bool subclasses int, so ["sym", true] would
+            # otherwise validate and silently import as id 1 (r10 ADVICE)
+            and isinstance(v[1], int)
+            and not isinstance(v[1], bool)
             for v in doc["vocab"]
         )
     ):
@@ -811,25 +815,164 @@ def import_bpe_json(sidecar_path: str):
     return merges, id_pairs
 
 
-def bpe_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sidecar interchange contract end-to-end: build the store,
-    EXPORT it as the JSON sidecar, IMPORT the sidecar, and encode the
-    corpus under the imported artifact — no Parquet store in the serving
-    path. Must equal the in-session encode's own value oracle (strict
-    lookup: the full-corpus vocab covers by construction, so any
-    sidecar-rendering loss raises loudly instead of UNK-masking)."""
+# --- Hugging Face `tokenizers` format adapter (round 11) -------------------
+# The self-defined sidecar above is lossless but private; a training
+# pipeline's serving stack speaks the public `tokenizers` tokenizer.json
+# shape (r10 verdict, Next-round #3). That format space-joins each merge
+# as one "lhs rhs" string, so a symbol containing a literal space would
+# be ambiguous — and this engine's vocabulary is space-bearing BY
+# CONSTRUCTION (BPE_PATTERN's space-prefixed piece heads; the canon
+# fixture's #1 merge is (' ', 's')), so a refuse-on-space adapter would
+# never export the canon store. The public format's own answer to
+# exactly this is the ByteLevel pre-tokenizer convention (GPT-2/RoBERTa,
+# public `tokenizers` source): the space renders as U+0120 'Ġ' inside
+# every symbol. The mapping is injective — hence losslessly reversible —
+# unless a symbol ALREADY contains the marker, the one genuinely
+# ambiguous case, which the exporter refuses loudly by name.
+HF_SPACE_MARKER = "Ġ"  # 'Ġ' — the public ByteLevel space rendering
+HF_VERSION = "1.0"
+
+
+def _hf_sym(sym: str) -> str:
+    """Render one symbol in the HF ByteLevel convention: ' ' -> 'Ġ'.
+    Refuses a symbol that already contains the marker (the space mapping
+    would stop being invertible) — ValueError names the symbol."""
+    if HF_SPACE_MARKER in sym:
+        raise ValueError(
+            "symbol not HF-renderable (already contains the ByteLevel "
+            f"space marker U+0120): {sym!r}"
+        )
+    return sym.replace(" ", HF_SPACE_MARKER)
+
+
+def export_bpe_json_hf(
+    spark: SparkSession, store_path: str, sidecar_path: str
+) -> str:
+    """Render the persisted tokenizer store in the public `tokenizers`
+    tokenizer.json shape: {"version", "model": {"type": "BPE", "vocab":
+    {sym: id}, "merges": ["lhs rhs", ...], "unk_token": null}} — the
+    minimal-model subset a serving stack loads directly. Symbols carry
+    the ByteLevel space convention (see HF_SPACE_MARKER above); after
+    the mapping no symbol contains a space, so the space-joined merge
+    strings are unambiguous. unk_token is null: UNK_ID = -1 sits outside
+    the id space on purpose (frozen-vocab OOV is engine-side policy, not
+    a vocab entry). Byte-STABLE like the private sidecar: sort_keys,
+    ensure_ascii, compact separators, trailing newline."""
+    merges = read_bpe_merges(spark, store_path)
+    vocab = sorted(
+        (int(r["id"]), r["sym"])
+        for r in spark.read.parquet(f"{store_path}/vocab").collect()
+        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
+    )
+    doc = {
+        "version": HF_VERSION,
+        "model": {
+            "type": "BPE",
+            "unk_token": None,
+            "vocab": {_hf_sym(sym): i for i, sym in vocab},
+            "merges": [
+                f"{_hf_sym(lhs)} {_hf_sym(rhs)}"
+                for _rank, lhs, rhs, _n in merges
+            ],
+        },
+    }
+    rendered = (
+        json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
+        + "\n"
+    )
+    parent = os.path.dirname(sidecar_path)
+    if parent:  # bare-filename target: cwd already exists (r10 review)
+        os.makedirs(parent, exist_ok=True)
+    with open(sidecar_path, "w", encoding="ascii") as fh:
+        fh.write(rendered)
+    return sidecar_path
+
+
+def import_bpe_json_hf(sidecar_path: str):
+    """(merges, id_pairs) from a `tokenizers`-format sidecar — the
+    import_bpe_json contract for the public shape: merges as (rank, lhs,
+    rhs, 0) tuples, the frozen sym->id vocab, the ByteLevel space marker
+    mapped back to ' '. Element-level validation per the private
+    importer's discipline: every malformed shape — wrong model type, a
+    merge string that does not split into exactly two symbols, a bool id
+    — fails with the advertised ValueError."""
+    with open(sidecar_path, encoding="ascii") as fh:
+        doc = json.load(fh)
+    model = doc.get("model") if isinstance(doc, dict) else None
+    if (
+        not isinstance(model, dict)
+        or model.get("type") != "BPE"
+        or not isinstance(model.get("vocab"), dict)
+        or not isinstance(model.get("merges"), list)
+        or not all(
+            isinstance(m, str) and len(m.split(" ")) == 2 and "" not in m.split(" ")
+            for m in model["merges"]
+        )
+        or not all(
+            isinstance(s, str)
+            and isinstance(i, int)
+            and not isinstance(i, bool)
+            for s, i in model["vocab"].items()
+        )
+    ):
+        raise ValueError(
+            f"not a `tokenizers` BPE tokenizer.json: {sidecar_path}"
+        )
+
+    def back(sym: str) -> str:
+        return sym.replace(HF_SPACE_MARKER, " ")
+
+    merges = [
+        (rank, back(m.split(" ")[0]), back(m.split(" ")[1]), 0)
+        for rank, m in enumerate(model["merges"], start=1)
+    ]
+    id_pairs = [(back(s), int(i)) for s, i in model["vocab"].items()]
+    return merges, id_pairs
+
+
+def _sidecar_roundtrip(
+    spark: SparkSession, sf_dir: str, kind: str, filename: str, exporter, importer
+) -> DataFrame:
+    """The shared interchange composition (one definition for BOTH
+    sidecar formats, the _write_base_store_with_delta dedup precedent):
+    build the store, EXPORT via the given adapter, IMPORT the sidecar,
+    and encode the corpus under the imported artifact — no Parquet store
+    in the serving path. Must equal the in-session encode's own value
+    oracle (strict lookup: the full-corpus vocab covers by construction,
+    so any sidecar-rendering loss raises loudly instead of UNK-masking)."""
     from .sinks_sources import _out_path
 
-    out = _out_path("bpe_export", sf_dir)
+    out = _out_path(kind, sf_dir)
     store = os.path.join(out, "store")
     write_bpe_store(spark, sf_dir, store)
-    sidecar = export_bpe_json(spark, store, os.path.join(out, "tokenizer.json"))
-    merges, id_pairs = import_bpe_json(sidecar)
+    sidecar = exporter(spark, store, os.path.join(out, filename))
+    merges, id_pairs = importer(sidecar)
     pieces = _pieces(spark, sf_dir)
     es = _merged_symbolization(pieces, merges)
     pe = _piece_encoding(es, id_pairs)
     return _assemble_docs(pieces, pe).select(
         "doc_id", "n_ids", "sum_ids", "ids_hash"
+    )
+
+
+def bpe_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The private-sidecar interchange contract end-to-end (see
+    _sidecar_roundtrip)."""
+    return _sidecar_roundtrip(
+        spark, sf_dir, "bpe_export", "tokenizer.json",
+        export_bpe_json, import_bpe_json,
+    )
+
+
+def bpe_export_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLIC-format interchange contract end-to-end: the store
+    shipped as a `tokenizers` tokenizer.json (ByteLevel space marker,
+    space-joined merges) and served back from it (see
+    _sidecar_roundtrip). Green means a serving stack that speaks the
+    public format loads this engine's artifact directly."""
+    return _sidecar_roundtrip(
+        spark, sf_dir, "bpe_export_hf", "tokenizer_hf.json",
+        export_bpe_json_hf, import_bpe_json_hf,
     )
 
 
@@ -1339,6 +1482,16 @@ QUERIES: dict[str, QuerySpec] = {
         "pairs + frozen vocab), re-imported, and the corpus encoded "
         "under the IMPORTED artifact — serving from the sidecar equals "
         "the in-session encode's own value oracle",
+    ),
+    "text_bpe_export_hf_roundtrip": QuerySpec(
+        fn=bpe_export_hf_roundtrip,
+        oracle=_duck_tokenize_ids(),
+        note="PUBLIC-format tokenizer interchange: the store exported "
+        "in the `tokenizers` tokenizer.json shape (ByteLevel U+0120 "
+        "space convention, space-joined merges — the adapter refuses "
+        "loudly on the one ambiguous case), re-imported, and the corpus "
+        "encoded under the imported artifact — serving from the public "
+        "sidecar equals the in-session encode's own value oracle",
     ),
     "text_bpe_store_unk_rate": QuerySpec(
         fn=bpe_store_unk_by_ingest,

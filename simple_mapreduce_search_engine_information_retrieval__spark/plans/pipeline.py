@@ -151,13 +151,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (local exclusive prefix within doc_id-range buckets +
     broadcast bucket offsets) so NO corpus-sized stage is ever a
     single-partition window — the round-3 form's documented hazard,
-    now the shipped plan (oracle unchanged: addition is associative)."""
+    now the shipped plan (oracle unchanged: addition is associative).
+    The packing core is shared with pipeline_end_to_end via
+    _pack_from_lens (r11) — this query is the full-corpus instance."""
     staged = tokenized_docs(spark, sf_dir)
-    from pyspark.sql import Window
-
     lens = staged.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
+    return _pack_from_lens(lens)
+
+
+def _pack_from_lens(lens: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, window_id, spans_boundary) from any
+    (doc_id, n_tokens) relation — the two-level-prefix-sum packing core,
+    one definition shared by pack_sequences (whole corpus) and the
+    end-to-end capstone (the surviving resampled corpus) so the
+    scale-safe formulation cannot drift between them."""
     bounds = lens.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
@@ -1105,7 +1114,17 @@ def doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights pipeline (one corpus pass, see doremi_weights) + one
     per-source count aggregate; the rate plan is |sources| rows
     broadcast back to the scan — the corpus never shuffles for the
-    verdict itself."""
+    verdict itself.
+
+    Coverage convention, disclosed (r10 ADVICE): a document whose
+    SOURCE has zero tokens corpus-wide receives NO verdict row — such
+    a source never enters the weights relation (its docs produce no
+    (source, term) rows, so the inner joins drop it), and a loss-based
+    mixture is undefined for a domain with no measurable loss. This is
+    the zero-piece-doc encoder convention lifted to domains: both
+    engines agree (the oracle composes the same inner joins), and a
+    caller that wants a default verdict for token-free sources
+    left-joins this output against the doc scan."""
     w = doremi_weights(spark, sf_dir).select("source", "weight_ppm")
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     win = Window.partitionBy()  # bounded: |sources| rows, dictionary-sized
@@ -1157,9 +1176,37 @@ def doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blast-radius guard (r10 verdict, What's-wrong #1 / Next-round #4):
+# the mix oracle re-renders the ENTIRE weights oracle as a CTE, so any
+# weights-oracle edit silently changes the mix oracle too. The pin makes
+# that coupling mechanical: the rendered weights SQL is hashed at
+# registry-build time (module import), and a mismatch fails loudly with
+# the re-verification instruction instead of shipping a mix oracle
+# nobody re-checked. Editing _duck_doremi_weights() therefore REQUIRES
+# (a) re-running BOTH pipeline_doremi_weights and pipeline_doremi_mix
+# through the parity harness at sf0.001 + sf0.01 + sf0.1 (the r10
+# discipline) and (b) updating this pin in the same commit.
+DOREMI_WEIGHTS_ORACLE_MD5 = "f93be91260a0c4f164380d2e134882b0"
+
+
+def _pin_doremi_weights_oracle(rendered: str) -> str:
+    import hashlib
+
+    got = hashlib.md5(rendered.encode("utf-8")).hexdigest()
+    if got != DOREMI_WEIGHTS_ORACLE_MD5:
+        raise AssertionError(
+            "the rendered doremi-weights oracle changed (md5 "
+            f"{got} != pinned {DOREMI_WEIGHTS_ORACLE_MD5}). The "
+            "pipeline_doremi_mix oracle embeds it verbatim — re-verify "
+            "BOTH queries at sf0.001/sf0.01/sf0.1 and update "
+            "DOREMI_WEIGHTS_ORACLE_MD5 in the same commit."
+        )
+    return rendered
+
+
 def _duck_doremi_mix() -> str:
     return f"""
-WITH dw AS MATERIALIZED ({_duck_doremi_weights()}),
+WITH dw AS MATERIALIZED ({_pin_doremi_weights_oracle(_duck_doremi_weights())}),
 per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY source),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
@@ -1316,7 +1363,101 @@ FROM d
 """
 
 
+# --- end-to-end capstone: corpus -> training batches (round 11) -----------
+# Every stage of the training-data pipeline exists and is individually
+# oracled; this query chains them into the ONE corpus-to-training-
+# batches verdict a pipeline run actually materializes (r10 verdict,
+# Next-round #2):
+#
+#     clean_corpus   (quality + lang + repetition gates, exact +
+#                     near-dup removal — 5 stages over ONE tokenize)
+#  -> decontaminate  (drop training docs sharing any 13-gram with the
+#                     held-out eval docs)
+#  -> doremi_mix     (per-doc resampling verdict under the COMPUTED
+#                     domain mixture — keep only kept=1)
+#  -> pack           (the surviving docs concatenated in doc_id order
+#                     and chunked into CTX_TOKENS training windows)
+#
+# Composition contract: all four stages read the SAME cached tokenized
+# scan (plans/corpus.py) — the capstone adds doc_id-keyed semi/anti
+# joins between per-doc verdicts, never a new corpus pass — and the
+# oracle SQL composes the same already-oracled stage blocks, so the one
+# end-to-end answer is exactly checkable. The packing core is the
+# shared _pack_from_lens (no corpus-sized global window).
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, window_id, spans_boundary) for the
+    documents that survive clean -> decontaminate -> doremi_mix, packed
+    into fixed CTX_TOKENS training windows — the final writer-ready
+    assignment. Shape at scale: the gate stages are the already-audited
+    plans (each one corpus pass over the shared tokenize or a banded
+    dedup); the capstone itself adds only doc_id-keyed joins between
+    per-doc verdict relations (co-partitioned shuffles, no skew — doc_id
+    is unique per relation) plus the broadcast-offset pack. Survivor
+    order is doc_id order, so the pack output is deterministic."""
+    from .dedup import decontaminate_overlaps
+
+    clean = clean_corpus(spark, sf_dir)
+    contaminated = decontaminate_overlaps(spark, sf_dir).select("doc_id")
+    resampled = (
+        doremi_mix(spark, sf_dir)
+        .filter(F.col("kept") == 1)
+        .select("doc_id")
+    )
+    survivors = clean.join(resampled, "doc_id").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    lens = (
+        tokenized_docs(spark, sf_dir)
+        .join(survivors, "doc_id")
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    )
+    return _pack_from_lens(lens)
+
+
+def _duck_pipeline_end_to_end() -> str:
+    from ..functions.tokenize import duck_tokens_list
+    from .dedup import DUCK_DECONTAMINATE
+
+    toks = duck_tokens_list("text", stopworded=False)
+    return f"""
+WITH clean AS MATERIALIZED ({_duck_clean_corpus()}),
+contam AS MATERIALIZED ({DUCK_DECONTAMINATE}),
+mix AS MATERIALIZED ({_duck_doremi_mix()}),
+survivors AS (
+  SELECT clean.doc_id FROM clean
+  JOIN mix USING (doc_id)
+  WHERE mix.kept = 1
+    AND clean.doc_id NOT IN (SELECT doc_id FROM contam)),
+lens AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents JOIN survivors USING (doc_id)),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM lens)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {CTX_TOKENS} AS BIGINT) AS window_id,
+       (start_tok // {CTX_TOKENS})
+         != ((start_tok + greatest(n_tokens, 1) - 1) // {CTX_TOKENS})
+         AS spans_boundary
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_end_to_end": QuerySpec(
+        fn=pipeline_end_to_end,
+        oracle=_duck_pipeline_end_to_end(),
+        note="the corpus-to-training-batches capstone: clean_corpus -> "
+        "decontaminate -> doremi_mix resampling -> CTX-window packing, "
+        "all stages over the ONE shared tokenized scan, composed from "
+        "the individually-oracled building blocks — the flagship "
+        "end-to-end demo of the training-data catalog",
+    ),
     "pipeline_global_shuffle": QuerySpec(
         fn=global_shuffle,
         oracle=DUCK_GLOBAL_SHUFFLE,

@@ -83,7 +83,9 @@ def test_doremi_build_stage_skew_posture(spark):
     hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
     assert hints, "expected the 1-row totals broadcast hint"
     for i in hints:
-        child = lines[i + 1]
+        # guarded lookahead (r10 ADVICE): a hint printing as the plan's
+        # final line must fail with the diagnostic assert, not IndexError
+        child = lines[i + 1] if i + 1 < len(lines) else ""
         assert "Aggregate [" in child and "], [" not in child, (
             "non-1-row relation under a broadcast hint:\n"
             + "\n".join(lines[i : i + 3])

@@ -1,0 +1,248 @@
+"""Round-11 ops: the doremi-oracle blast-radius pin, the public
+`tokenizers`-format sidecar adapter, and the end-to-end pipeline
+capstone (plans/pipeline.py, plans/bpe.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+    bpe,
+    pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- doremi weights-oracle pin (r10 verdict, Next-round #4) ---------------
+
+
+def test_doremi_oracle_pin_matches_current_rendering():
+    """The pinned hash IS the current rendering — registry build (module
+    import) re-checks this, so a weights-oracle edit cannot silently
+    reshape the mix oracle."""
+    rendered = pipeline._duck_doremi_weights()
+    assert pipeline._pin_doremi_weights_oracle(rendered) == rendered
+    # and the mix oracle actually embeds the pinned rendering
+    assert rendered in pipeline._duck_doremi_mix()
+
+
+def test_doremi_oracle_pin_fails_loudly_on_drift():
+    """Any rendering drift must fail with the re-verification
+    instruction, not ship an unchecked mix oracle."""
+    with pytest.raises(AssertionError, match="re-verify"):
+        pipeline._pin_doremi_weights_oracle(
+            pipeline._duck_doremi_weights() + " "
+        )
+
+
+# --- HF `tokenizers`-format sidecar adapter (r10 verdict #3) ---------------
+
+
+@pytest.fixture(scope="module")
+def hf_store(spark, tmp_path_factory):
+    """The canon full-corpus store plus its HF sidecar, built once."""
+    out = str(tmp_path_factory.mktemp("hf_sidecar"))
+    store = os.path.join(out, "store")
+    bpe.write_bpe_store(spark, SF, store)
+    sidecar = bpe.export_bpe_json_hf(
+        spark, store, os.path.join(out, "tokenizer_hf.json")
+    )
+    return store, sidecar
+
+
+def test_hf_export_is_byte_stable_and_public_shaped(spark, hf_store):
+    """Two exports of the same store are byte-identical, and the
+    artifact is the public minimal-model shape: model.type == BPE,
+    vocab a sym->id object, merges space-joined two-symbol strings
+    with NO residual raw spaces inside symbols (the ByteLevel marker
+    replaced them)."""
+    store, sidecar = hf_store
+    again = bpe.export_bpe_json_hf(spark, store, sidecar + ".2")
+    assert open(sidecar, "rb").read() == open(again, "rb").read()
+    doc = json.load(open(sidecar))
+    assert doc["version"] == bpe.HF_VERSION
+    model = doc["model"]
+    assert model["type"] == "BPE" and model["unk_token"] is None
+    assert all(len(m.split(" ")) == 2 for m in model["merges"])
+    # the canon vocabulary is space-bearing by construction (the #1
+    # fixture merge is (' ', 's')) — the marker must have fired
+    assert any(bpe.HF_SPACE_MARKER in s for s in model["vocab"])
+    assert all(" " not in s for s in model["vocab"])
+
+
+def test_hf_import_roundtrips_the_store_artifact(spark, hf_store):
+    """import(export(store)) reproduces the store's merges (modulo the
+    dropped n_occ diagnostics) and its exact sym->id vocab — the
+    lossless-through-the-public-format contract."""
+    store, sidecar = hf_store
+    merges, id_pairs = bpe.import_bpe_json_hf(sidecar)
+    want = bpe.read_bpe_merges(spark, store)
+    assert [(r, l, x) for r, l, x, _n in merges] == [
+        (r, l, x) for r, l, x, _n in want
+    ]
+    vocab_rows = spark.read.parquet(f"{store}/vocab").collect()
+    assert dict(id_pairs) == {r["sym"]: int(r["id"]) for r in vocab_rows}
+    # and it agrees symbol-for-symbol with the private sidecar's import
+    priv = bpe.export_bpe_json(
+        spark, store, os.path.join(os.path.dirname(sidecar), "tok_priv.json")
+    )
+    pm, pv = bpe.import_bpe_json(priv)
+    assert pm == merges and dict(pv) == dict(id_pairs)
+
+
+def test_hf_export_refuses_marker_bearing_symbol(spark, tmp_path):
+    """The one genuinely ambiguous case: a symbol already containing
+    the ByteLevel marker makes the space mapping non-invertible — the
+    exporter must refuse loudly, NAMING the symbol (r10 verdict #3)."""
+    out = str(tmp_path / "bad_store")
+    poisoned = "a" + bpe.HF_SPACE_MARKER
+    bpe._write_store(
+        spark,
+        out,
+        [(1, "a", bpe.HF_SPACE_MARKER, 7)],
+        ["a", bpe.HF_SPACE_MARKER, poisoned],
+        spark.createDataFrame(
+            [(1, 1, 0, "x", 0)],
+            schema="doc_id BIGINT, n_ids BIGINT, sum_ids BIGINT, "
+            "ids_hash STRING, n_unk BIGINT",
+        ),
+    )
+    with pytest.raises(ValueError, match="U\\+0120"):
+        bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
+    try:
+        bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
+    except ValueError as e:
+        assert repr(bpe.HF_SPACE_MARKER).strip("'") in str(e) or (
+            bpe.HF_SPACE_MARKER in str(e)
+        )
+
+
+def test_hf_import_validates_shape(tmp_path):
+    """Element-level validation, the import_bpe_json discipline: wrong
+    model type, a merge that does not split into exactly two symbols,
+    and a bool id must all raise the advertised ValueError."""
+    good = {
+        "version": "1.0",
+        "model": {
+            "type": "BPE",
+            "unk_token": None,
+            "vocab": {"a": 0, "b": 1, "ab": 2},
+            "merges": ["a b"],
+        },
+    }
+
+    def write(mutate):
+        doc = json.loads(json.dumps(good))
+        mutate(doc)
+        p = tmp_path / "t.json"
+        p.write_text(json.dumps(doc))
+        return str(p)
+
+    m, v = bpe.import_bpe_json_hf(write(lambda d: None))
+    assert m == [(1, "a", "b", 0)] and dict(v) == {"a": 0, "b": 1, "ab": 2}
+    for mutate in (
+        lambda d: d["model"].update(type="WordPiece"),
+        lambda d: d["model"].update(merges=["a b c"]),
+        lambda d: d["model"].update(merges=["ab"]),
+        lambda d: d["model"].update(merges=["a  b"]),  # empty mid-symbol
+        lambda d: d["model"].update(merges=[["a", "b"]]),
+        lambda d: d["model"]["vocab"].update(a=True),  # bool id
+        lambda d: d.pop("model"),
+    ):
+        with pytest.raises(ValueError):
+            bpe.import_bpe_json_hf(write(mutate))
+
+
+# --- end-to-end pipeline capstone (r10 verdict, Next-round #2) -------------
+
+
+def test_end_to_end_capstone_is_the_stage_composition(spark):
+    """The capstone's survivor set IS (clean AND mix-kept) MINUS
+    contaminated, and the pack output is the exclusive prefix sum over
+    survivors in doc_id order — i.e. the stages agree on carrier
+    columns and compose without loss."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        decontaminate_overlaps,
+    )
+
+    rows = pipeline.pipeline_end_to_end(spark, SF).orderBy("doc_id").collect()
+    clean = {r["doc_id"] for r in pipeline.clean_corpus(spark, SF).collect()}
+    contam = {
+        r["doc_id"] for r in decontaminate_overlaps(spark, SF).collect()
+    }
+    mixed = {
+        r["doc_id"]
+        for r in pipeline.doremi_mix(spark, SF).filter("kept = 1").collect()
+    }
+    assert {r["doc_id"] for r in rows} == (clean & mixed) - contam
+    run = 0
+    for r in rows:
+        assert r["start_tok"] == run
+        assert r["window_id"] == run // pipeline.CTX_TOKENS
+        run += r["n_tokens"]
+
+
+def test_end_to_end_capstone_plan_shape(spark):
+    """The composition contract at scale (r10 verdict #2's plan test):
+    every tokenize expression in the executed plan is a CACHED-relation
+    definition being printed (an InMemoryRelation header directly above
+    it), never a fresh corpus tokenize — the stages all read the ONE
+    shared scan; the cache is actually consumed (InMemoryTableScans);
+    the small-side joins broadcast; and the composed plan stays under
+    the analyzer cap (the clean_corpus precedent)."""
+    from conftest import physical_plan
+
+    plan = physical_plan(pipeline.pipeline_end_to_end(spark, SF))
+    lines = plan.splitlines()
+    tok = [
+        i for i, l in enumerate(lines) if "split(regexp_replace(CASE WHEN" in l
+    ]
+    for i in tok:
+        assert any(
+            "InMemoryRelation" in lines[j] for j in range(max(0, i - 3), i)
+        ), "fresh (uncached) corpus tokenize in the capstone plan:\n" + lines[
+            i
+        ][:300]
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") < 200, plan.count("Exchange")
+
+
+def test_pack_from_lens_matches_full_corpus_query(spark):
+    """The extracted packing core is value-identical to the original
+    pack_sequences formulation (the refactor cannot have moved it)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.corpus import (
+        tokenized_docs,
+    )
+
+    staged = tokenized_docs(spark, SF)
+    lens = staged.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    a = sorted(
+        map(tuple, pipeline._pack_from_lens(lens).collect())
+    )
+    b = sorted(map(tuple, pipeline.pack_sequences(spark, SF).collect()))
+    assert a == b
+
+
+def test_private_sidecar_import_rejects_bool_id(tmp_path):
+    """r10 ADVICE: ["sym", true] must not validate as id 1 in the
+    PRIVATE sidecar importer either."""
+    doc = {
+        "format": bpe.SIDECAR_FORMAT,
+        "version": bpe.SIDECAR_VERSION,
+        "unk_id": bpe.UNK_ID,
+        "merges": [["a", "b"]],
+        "vocab": [["a", 0], ["b", True]],
+    }
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    with pytest.raises(ValueError):
+        bpe.import_bpe_json(str(p))

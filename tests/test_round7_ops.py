@@ -130,7 +130,9 @@ def test_token_vocab_join_skew_posture(spark, sf_dir):
             # relation — prints as `Aggregate [keys], [exprs]`; hinting
             # that would broadcast a Heaps-law-sized side and remove the
             # join from AQE's skew-split reach.
-            child = lines[i + 1]
+            # guarded lookahead (r10 ADVICE on the round-10 twin): a
+            # hint printing last must fail with the diagnostic assert
+            child = lines[i + 1] if i + 1 < len(lines) else ""
             assert "Aggregate [" in child and "], [" not in child, (
                 "non-1-row relation under a broadcast hint:\n"
                 + "\n".join(lines[i : i + 3])
