@@ -10,14 +10,74 @@ Differences from the reference, on purpose:
 
 Usage:
     python -m simple_mapreduce_search_engine_information_retrieval__spark.repl \
-        [sf_dir] [--compat-df1] [--stemmed] [--no-docids]
+        [sf_dir] [--compat-df1] [--stemmed] [--no-docids] \
+        [--tokenizer sidecar.json]
 Reads queries from stdin (one per line, blank line or EOF quits), so it
 is scriptable: `echo "spark join" | python -m ...repl`.
+
+With --tokenizer, a `:tokenize <text>` line encodes the text to token
+ids under the LOADED sidecar artifact (round 11) — either sidecar
+format (the private bpe-tokenizer JSON or the public `tokenizers`
+tokenizer.json) is auto-detected, so the REPL exercises both importers
+outside tests. Encoding is a driver-side replay of the greedy merge
+loop on ONE line of text (bounded by construction — no Spark job for
+an interactive probe); symbols outside the frozen vocab print as
+UNK_ID, the frozen-tokenizer OOV semantics.
 """
 
 from __future__ import annotations
 
 import sys
+
+
+def _load_tokenizer(path: str):
+    """(merges, ids_by_sym) from a sidecar of EITHER format, dispatched
+    on shape: the public `tokenizers` file carries a "model" object, the
+    private one a "format" tag."""
+    import json
+
+    from .plans.bpe import import_bpe_json, import_bpe_json_hf
+
+    with open(path, encoding="ascii") as fh:
+        doc = json.load(fh)
+    if isinstance(doc, dict) and isinstance(doc.get("model"), dict):
+        merges, id_pairs = import_bpe_json_hf(path)
+    else:
+        merges, id_pairs = import_bpe_json(path)
+    return merges, dict(id_pairs)
+
+
+def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
+    """One line of text -> token ids under the imported artifact: the
+    same pre-tokenizer (BPE_PATTERN, SEP framing guard) and the same
+    greedy one-pass-per-merge application the engine runs distributed —
+    here as a plain Python replay because the input is one REPL line.
+    Python re and Java regex agree on BPE_PATTERN's simple classes (the
+    explicit WS_CHARS class exists exactly so all three engines frame
+    alike)."""
+    import re
+
+    from .plans.bpe import SEP, UNK_ID
+    from .plans.textstats import BPE_PATTERN
+
+    ids: list[int] = []
+    for m in re.finditer(BPE_PATTERN, text.lower()):
+        piece = m.group(0)
+        if SEP in piece:
+            continue
+        syms = list(piece)
+        for _rank, lhs, rhs, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids.extend(int(ids_by_sym.get(s, UNK_ID)) for s in syms)
+    return ids
 
 
 def main(argv: list[str] | None = None, out=None) -> int:
@@ -26,6 +86,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
     compat = "--compat-df1" in argv
     stemmed = "--stemmed" in argv
     docids = "--no-docids" not in argv
+    tokenizer = None
+    if "--tokenizer" in argv:
+        i = argv.index("--tokenizer")
+        tokenizer = _load_tokenizer(argv[i + 1])
+        del argv[i : i + 2]
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
@@ -43,7 +108,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
         q = line.strip()
         if not q:
             break
-        if len(q.split()) > 2:
+        if q.startswith(":tokenize"):
+            if tokenizer is None:
+                print("! no sidecar loaded (start with --tokenizer PATH)",
+                      file=out)
+            else:
+                ids = _encode_text(q[len(":tokenize"):].strip(), *tokenizer)
+                print(f"  ids ({len(ids)}): {ids}", file=out)
+        elif len(q.split()) > 2:
             print("! queries are 1-2 words (reference REPL constraint)", file=out)
         elif stemmed:
             _show(search_fidelity(spark, sf_dir, q), out)

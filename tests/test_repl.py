@@ -24,6 +24,61 @@ def test_repl_session(spark, monkeypatch):
     assert text.count("blank to quit") == 3
 
 
+def test_repl_tokenize_serves_ids_from_either_sidecar(spark, tmp_path, monkeypatch):
+    """`:tokenize` (round 11) encodes a line under the LOADED sidecar —
+    both formats auto-detected, both yielding the SAME ids — and the
+    driver-side replay is exact: the printed ids reproduce the engine's
+    own distributed encode of the same text under the same imported
+    artifact (n_ids, sum_ids AND the md5 ids_hash)."""
+    import ast
+    import hashlib
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans import (
+        bpe,
+    )
+
+    store = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, "/root/testdata/sf0.001", store)
+    priv = bpe.export_bpe_json(spark, store, str(tmp_path / "tok.json"))
+    hf = bpe.export_bpe_json_hf(spark, store, str(tmp_path / "tok_hf.json"))
+    text = "the spark engine joins 2 tables, it's fast"
+    printed = []
+    for sidecar in (priv, hf):
+        monkeypatch.setattr("sys.stdin", io.StringIO(f":tokenize {text}\n\n"))
+        out = io.StringIO()
+        rc = repl.main(
+            ["/root/testdata/sf0.001", "--tokenizer", sidecar], out=out
+        )
+        assert rc == 0
+        # the prompt prints without a trailing newline, so the ids land
+        # on the same line — slice from the marker
+        ln = next(
+            ln for ln in out.getvalue().splitlines() if "ids (" in ln
+        )
+        printed.append(ln[ln.index("ids (") :])
+    assert printed[0] == printed[1]  # format-independent serving
+    ids = ast.literal_eval(printed[0].split(":", 1)[1].strip())
+    assert ids and all(isinstance(i, int) for i in ids)
+    # engine cross-check: the same text, encoded distributed under the
+    # same imported artifact, must agree exactly
+    merges, id_pairs = bpe.import_bpe_json(priv)
+    docs = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    pieces = bpe._pieces_of(docs)
+    es = bpe._merged_symbolization(pieces, merges)
+    pe = bpe._piece_encoding(es, id_pairs, unk=bpe.UNK_ID)
+    row = bpe._assemble_docs(pieces, pe).collect()[0]
+    assert row["n_ids"] == len(ids) and row["sum_ids"] == sum(ids)
+    assert (
+        row["ids_hash"]
+        == hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+    )
+    # without a sidecar the command hints instead of crashing
+    monkeypatch.setattr("sys.stdin", io.StringIO(":tokenize x\n\n"))
+    out = io.StringIO()
+    assert repl.main(["/root/testdata/sf0.001"], out=out) == 0
+    assert "no sidecar loaded" in out.getvalue()
+
+
 def test_cli_search_and_docnos(spark, tmp_path, capsys=None):
     import io
 
