@@ -188,16 +188,21 @@ def test_end_to_end_capstone_is_the_stage_composition(spark):
 
 
 def test_end_to_end_capstone_plan_shape(spark):
-    """The composition contract at scale (r10 verdict #2's plan test):
-    every tokenize expression in the executed plan is a CACHED-relation
-    definition being printed (an InMemoryRelation header directly above
-    it), never a fresh corpus tokenize — the stages all read the ONE
-    shared scan; the cache is actually consumed (InMemoryTableScans);
-    the small-side joins broadcast; and the composed plan stays under
-    the analyzer cap (the clean_corpus precedent)."""
+    """The composition contract at scale (r10 verdict #2's plan test),
+    asserted on the UNcheckpointed build stage (_end_to_end_lens — the
+    _doremi_per_source pattern, since pipeline_end_to_end's
+    localCheckpoint hides it): every tokenize expression in the
+    executed plan is a CACHED-relation definition being printed (an
+    InMemoryRelation header directly above it), never a fresh corpus
+    tokenize — the stages all read the ONE shared scan; the cache is
+    actually consumed (InMemoryTableScans); the small sides broadcast —
+    the doremi rate plan (the 'dm:'-salted acceptance join on source)
+    and the decontamination eval-gram set both appear as
+    BroadcastHashJoins; no cartesian products; and the composed plan
+    stays under the analyzer cap (the clean_corpus precedent)."""
     from conftest import physical_plan
 
-    plan = physical_plan(pipeline.pipeline_end_to_end(spark, SF))
+    plan = physical_plan(pipeline._end_to_end_lens(spark, SF))
     lines = plan.splitlines()
     tok = [
         i for i, l in enumerate(lines) if "split(regexp_replace(CASE WHEN" in l
@@ -209,9 +214,26 @@ def test_end_to_end_capstone_plan_shape(spark):
             i
         ][:300]
     assert plan.count("InMemoryTableScan") >= 3
-    assert plan.count("BroadcastHashJoin") >= 3
+    bhj = [ln for ln in lines if "BroadcastHashJoin" in ln]
+    assert any("dm:" in ln for ln in bhj), "doremi rate plan not broadcast"
+    assert any("[gh#" in ln for ln in bhj), "eval-gram set not broadcast"
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") < 200, plan.count("Exchange")
+
+
+def test_end_to_end_final_plan_packs_off_the_checkpoint(spark):
+    """The shipped capstone plan: the gate composition is evaluated
+    ONCE behind the localCheckpoint (the pack core references its input
+    ~4x — pre-fix the mix verdict join visibly appeared 4x), so the
+    final plan contains NO doremi acceptance expression, and the pack's
+    per-bucket offset table joins as a broadcast."""
+    from conftest import physical_plan
+
+    plan = physical_plan(pipeline.pipeline_end_to_end(spark, SF))
+    assert "dm:" not in plan, "gate composition replayed past the checkpoint"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") < 40, plan.count("Exchange")
 
 
 def test_pack_from_lens_matches_full_corpus_query(spark):
