@@ -730,6 +730,36 @@ SIDECAR_FORMAT = "bpe-tokenizer"
 SIDECAR_VERSION = 1
 
 
+def _read_store_artifact(spark: SparkSession, store_path: str):
+    """(merges, id-sorted [(id, sym)]) read off the store — the shared
+    bounded reads both exporters render from (r11 review: the collect
+    scaffolding was pasted twice)."""
+    merges = read_bpe_merges(spark, store_path)
+    vocab = sorted(
+        (int(r["id"]), r["sym"])
+        for r in spark.read.parquet(f"{store_path}/vocab").collect()
+        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
+    )
+    return merges, vocab
+
+
+def _render_sidecar(doc: dict, sidecar_path: str) -> str:
+    """Byte-STABLE sidecar write shared by both exporters: fixed key
+    order via sort_keys, ensure_ascii, compact separators, trailing
+    newline — two exports of the same store are byte-identical (pinned
+    by test); bare-filename targets skip makedirs (r10 review)."""
+    rendered = (
+        json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
+        + "\n"
+    )
+    parent = os.path.dirname(sidecar_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(sidecar_path, "w", encoding="ascii") as fh:
+        fh.write(rendered)
+    return sidecar_path
+
+
 def export_bpe_json(
     spark: SparkSession, store_path: str, sidecar_path: str
 ) -> str:
@@ -740,32 +770,18 @@ def export_bpe_json(
     formats would be ambiguous here; JSON arrays are lossless), vocab as
     [sym, id] pairs in id order. n_occ counts are training diagnostics,
     not serving state, and are deliberately dropped (as public
-    tokenizer.json files do). Byte-STABLE: fixed key order via
-    sort_keys, ensure_ascii, compact separators, trailing newline — two
-    exports of the same store are byte-identical (pinned by test)."""
-    merges = read_bpe_merges(spark, store_path)
-    vocab = sorted(
-        (int(r["id"]), r["sym"])
-        for r in spark.read.parquet(f"{store_path}/vocab").collect()
-        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
+    tokenizer.json files do)."""
+    merges, vocab = _read_store_artifact(spark, store_path)
+    return _render_sidecar(
+        {
+            "format": SIDECAR_FORMAT,
+            "version": SIDECAR_VERSION,
+            "unk_id": UNK_ID,
+            "merges": [[lhs, rhs] for _rank, lhs, rhs, _n in merges],
+            "vocab": [[sym, i] for i, sym in vocab],
+        },
+        sidecar_path,
     )
-    doc = {
-        "format": SIDECAR_FORMAT,
-        "version": SIDECAR_VERSION,
-        "unk_id": UNK_ID,
-        "merges": [[lhs, rhs] for _rank, lhs, rhs, _n in merges],
-        "vocab": [[sym, i] for i, sym in vocab],
-    }
-    rendered = (
-        json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
-        + "\n"
-    )
-    parent = os.path.dirname(sidecar_path)
-    if parent:  # bare-filename target: cwd already exists (r10 review)
-        os.makedirs(parent, exist_ok=True)
-    with open(sidecar_path, "w", encoding="ascii") as fh:
-        fh.write(rendered)
-    return sidecar_path
 
 
 def import_bpe_json(sidecar_path: str):
@@ -775,6 +791,10 @@ def import_bpe_json(sidecar_path: str):
     shape is uniform) and the frozen sym->id vocab."""
     with open(sidecar_path, encoding="ascii") as fh:
         doc = json.load(fh)
+    return _convert_sidecar_doc(doc, sidecar_path)
+
+
+def _convert_sidecar_doc(doc, sidecar_path: str):
     # full shape validation down to the ELEMENTS, not just the header
     # (r10 review, both passes): a non-dict top level, a header-only
     # file, or a malformed merges/vocab entry must all fail with the
@@ -856,60 +876,65 @@ def export_bpe_json_hf(
     the mapping no symbol contains a space, so the space-joined merge
     strings are unambiguous. unk_token is null: UNK_ID = -1 sits outside
     the id space on purpose (frozen-vocab OOV is engine-side policy, not
-    a vocab entry). Byte-STABLE like the private sidecar: sort_keys,
-    ensure_ascii, compact separators, trailing newline."""
-    merges = read_bpe_merges(spark, store_path)
-    vocab = sorted(
-        (int(r["id"]), r["sym"])
-        for r in spark.read.parquet(f"{store_path}/vocab").collect()
-        # bounded: the frozen symbol vocab (<= alphabet + N_MERGES)
-    )
-    doc = {
-        "version": HF_VERSION,
-        "model": {
-            "type": "BPE",
-            "unk_token": None,
-            "vocab": {_hf_sym(sym): i for i, sym in vocab},
-            "merges": [
-                f"{_hf_sym(lhs)} {_hf_sym(rhs)}"
-                for _rank, lhs, rhs, _n in merges
-            ],
+    a vocab entry). Byte-stable via the shared _render_sidecar (the
+    marker renders as its \\u escape under ensure_ascii — still valid
+    to every JSON reader including the public one)."""
+    merges, vocab = _read_store_artifact(spark, store_path)
+    return _render_sidecar(
+        {
+            "version": HF_VERSION,
+            "model": {
+                "type": "BPE",
+                "unk_token": None,
+                "vocab": {_hf_sym(sym): i for i, sym in vocab},
+                "merges": [
+                    f"{_hf_sym(lhs)} {_hf_sym(rhs)}"
+                    for _rank, lhs, rhs, _n in merges
+                ],
+            },
         },
-    }
-    rendered = (
-        json.dumps(doc, ensure_ascii=True, sort_keys=True, separators=(",", ":"))
-        + "\n"
+        sidecar_path,
     )
-    parent = os.path.dirname(sidecar_path)
-    if parent:  # bare-filename target: cwd already exists (r10 review)
-        os.makedirs(parent, exist_ok=True)
-    with open(sidecar_path, "w", encoding="ascii") as fh:
-        fh.write(rendered)
-    return sidecar_path
 
 
 def import_bpe_json_hf(sidecar_path: str):
     """(merges, id_pairs) from a `tokenizers`-format sidecar — the
     import_bpe_json contract for the public shape: merges as (rank, lhs,
     rhs, 0) tuples, the frozen sym->id vocab, the ByteLevel space marker
-    mapped back to ' '. Element-level validation per the private
-    importer's discipline: every malformed shape — wrong model type, a
-    merge string that does not split into exactly two symbols, a bool id
-    — fails with the advertised ValueError."""
-    with open(sidecar_path, encoding="ascii") as fh:
+    mapped back to ' '. UTF-8 read (r11 review): REAL tokenizer.json
+    files ship raw multibyte 'Ġ' bytes, not \\u escapes — an ascii read
+    would reject every genuine public artifact with UnicodeDecodeError;
+    our own ensure_ascii exports are a strict subset and load the same.
+    Element-level validation per the private importer's discipline:
+    every malformed shape — wrong model type, a merge string that does
+    not split into exactly two symbols, a bool id, a raw space inside a
+    symbol (two such keys could back-map to ONE symbol and explode far
+    from the import; the public format never emits raw spaces) — fails
+    with the advertised ValueError."""
+    with open(sidecar_path, encoding="utf-8") as fh:
         doc = json.load(fh)
+    return _convert_hf_doc(doc, sidecar_path)
+
+
+def _convert_hf_doc(doc, sidecar_path: str):
     model = doc.get("model") if isinstance(doc, dict) else None
+
+    def _two_clean_syms(m: str) -> bool:
+        parts = m.split(" ")
+        return len(parts) == 2 and "" not in parts
+
     if (
         not isinstance(model, dict)
         or model.get("type") != "BPE"
         or not isinstance(model.get("vocab"), dict)
         or not isinstance(model.get("merges"), list)
         or not all(
-            isinstance(m, str) and len(m.split(" ")) == 2 and "" not in m.split(" ")
+            isinstance(m, str) and _two_clean_syms(m)
             for m in model["merges"]
         )
         or not all(
             isinstance(s, str)
+            and " " not in s  # raw space: back-mapping collision hazard
             and isinstance(i, int)
             and not isinstance(i, bool)
             for s, i in model["vocab"].items()
@@ -928,6 +953,19 @@ def import_bpe_json_hf(sidecar_path: str):
     ]
     id_pairs = [(back(s), int(i)) for s, i in model["vocab"].items()]
     return merges, id_pairs
+
+
+def import_bpe_json_auto(sidecar_path: str):
+    """(merges, id_pairs) from a sidecar of EITHER format, dispatched on
+    the parsed document's shape in ONE read (r11 review: the REPL loader
+    previously parsed the file twice — once to sniff, once inside the
+    importer): the public `tokenizers` file carries a "model" object,
+    the private format a "format" tag."""
+    with open(sidecar_path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if isinstance(doc, dict) and isinstance(doc.get("model"), dict):
+        return _convert_hf_doc(doc, sidecar_path)
+    return _convert_sidecar_doc(doc, sidecar_path)
 
 
 def _sidecar_roundtrip(

@@ -1391,10 +1391,20 @@ def _end_to_end_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate composition, split out (the _doremi_per_source pattern) so the
     plan test can assert the build-stage contract the localCheckpoint
     in pipeline_end_to_end hides from PLAN_AUDIT: cache-served
-    tokenize, broadcast small sides, no cartesian products."""
-    from .dedup import decontaminate_overlaps
+    tokenize, broadcast small sides, no cartesian products.
 
-    clean = clean_corpus(spark, sf_dir)
+    The decontamination stage here is TWO exclusions, not one (r11
+    review): decontaminate_overlaps lists only TRAINING docs
+    (doc_id >= N_EVAL_DOCS) sharing a 13-gram with the eval set — the
+    held-out eval docs THEMSELVES must also be excluded, else the
+    training pack would contain the very documents the overlap check
+    protects (worse than the one-shared-gram leak the stage exists to
+    prevent; the pre-fix output packed 17 of the 20 eval docs)."""
+    from .dedup import N_EVAL_DOCS, decontaminate_overlaps
+
+    clean = clean_corpus(spark, sf_dir).filter(
+        F.col("doc_id") >= N_EVAL_DOCS
+    )
     contaminated = decontaminate_overlaps(spark, sf_dir).select("doc_id")
     resampled = (
         doremi_mix(spark, sf_dir)
@@ -1435,7 +1445,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_pipeline_end_to_end() -> str:
     from ..functions.tokenize import duck_tokens_list
-    from .dedup import DUCK_DECONTAMINATE
+    from .dedup import DUCK_DECONTAMINATE, N_EVAL_DOCS
 
     toks = duck_tokens_list("text", stopworded=False)
     return f"""
@@ -1446,6 +1456,7 @@ survivors AS (
   SELECT clean.doc_id FROM clean
   JOIN mix USING (doc_id)
   WHERE mix.kept = 1
+    AND clean.doc_id >= {N_EVAL_DOCS}
     AND clean.doc_id NOT IN (SELECT doc_id FROM contam)),
 lens AS (
   SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens

@@ -31,19 +31,12 @@ import sys
 
 
 def _load_tokenizer(path: str):
-    """(merges, ids_by_sym) from a sidecar of EITHER format, dispatched
-    on shape: the public `tokenizers` file carries a "model" object, the
-    private one a "format" tag."""
-    import json
+    """(merges, ids_by_sym) from a sidecar of EITHER format — one read,
+    shape-dispatched in bpe.import_bpe_json_auto (r11 review: the old
+    loader sniffed with its own parse and the importer re-parsed)."""
+    from .plans.bpe import import_bpe_json_auto
 
-    from .plans.bpe import import_bpe_json, import_bpe_json_hf
-
-    with open(path, encoding="ascii") as fh:
-        doc = json.load(fh)
-    if isinstance(doc, dict) and isinstance(doc.get("model"), dict):
-        merges, id_pairs = import_bpe_json_hf(path)
-    else:
-        merges, id_pairs = import_bpe_json(path)
+    merges, id_pairs = import_bpe_json_auto(path)
     return merges, dict(id_pairs)
 
 
@@ -89,6 +82,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
     tokenizer = None
     if "--tokenizer" in argv:
         i = argv.index("--tokenizer")
+        if i + 1 >= len(argv):  # r11 review: usage error, not IndexError
+            print("! --tokenizer requires a sidecar path", file=out)
+            return 2
         tokenizer = _load_tokenizer(argv[i + 1])
         del argv[i : i + 2]
     argv = [a for a in argv if not a.startswith("--")]
@@ -108,7 +104,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         q = line.strip()
         if not q:
             break
-        if q.startswith(":tokenize"):
+        # exact command match (r11 review: a bare startswith would
+        # silently encode the tail of a typo like ':tokenizer hello')
+        if q == ":tokenize" or q.startswith(":tokenize "):
             if tokenizer is None:
                 print("! no sidecar loaded (start with --tokenizer PATH)",
                       file=out)

@@ -77,6 +77,20 @@ def test_repl_tokenize_serves_ids_from_either_sidecar(spark, tmp_path, monkeypat
     out = io.StringIO()
     assert repl.main(["/root/testdata/sf0.001"], out=out) == 0
     assert "no sidecar loaded" in out.getvalue()
+    # a trailing --tokenizer with no path is a usage error, not an
+    # IndexError (r11 review)
+    out = io.StringIO()
+    assert repl.main(["/root/testdata/sf0.001", "--tokenizer"], out=out) == 2
+    assert "requires a sidecar path" in out.getvalue()
+    # the command match is exact: ':tokenizer hello' must NOT silently
+    # encode 'r hello' (r11 review) — it falls through to the 3+-word
+    # guard path as an ordinary query line
+    monkeypatch.setattr("sys.stdin", io.StringIO(":tokenizer x\n\n"))
+    out = io.StringIO()
+    assert repl.main(
+        ["/root/testdata/sf0.001", "--tokenizer", priv], out=out
+    ) == 0
+    assert "ids (" not in out.getvalue()
 
 
 def test_cli_search_and_docnos(spark, tmp_path, capsys=None):

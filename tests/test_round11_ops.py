@@ -112,20 +112,54 @@ def test_hf_export_refuses_marker_bearing_symbol(spark, tmp_path):
             "ids_hash STRING, n_unk BIGINT",
         ),
     )
-    with pytest.raises(ValueError, match="U\\+0120"):
+    with pytest.raises(ValueError, match="U\\+0120") as excinfo:
         bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
-    try:
-        bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
-    except ValueError as e:
-        assert repr(bpe.HF_SPACE_MARKER).strip("'") in str(e) or (
-            bpe.HF_SPACE_MARKER in str(e)
-        )
+    # the error NAMES the offending symbol (r11 review: folded the
+    # second export call into the one raises block)
+    assert bpe.HF_SPACE_MARKER in str(excinfo.value)
+
+
+def test_hf_import_reads_real_utf8_artifacts(tmp_path):
+    """Genuine `tokenizers` files ship raw multibyte 'Ġ' bytes, NOT \\u
+    escapes (r11 review: an ascii read rejected every real public
+    artifact with UnicodeDecodeError). A raw-UTF-8 file must import —
+    and the single-read auto importer must dispatch both formats."""
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "BPE",
+            "unk_token": None,
+            "vocab": {"Ġ": 0, "a": 1, "Ġa": 2},
+            "merges": ["Ġ a"],
+        },
+    }
+    p = tmp_path / "real_hf.json"
+    raw = json.dumps(doc, ensure_ascii=False).encode("utf-8")
+    assert b"\xc4\xa0" in raw  # the marker really is raw multibyte
+    p.write_bytes(raw)
+    for importer in (bpe.import_bpe_json_hf, bpe.import_bpe_json_auto):
+        merges, id_pairs = importer(str(p))
+        assert merges == [(1, " ", "a", 0)]
+        assert dict(id_pairs) == {" ": 0, "a": 1, " a": 2}
+    # and the auto importer dispatches the PRIVATE format too
+    priv = {
+        "format": bpe.SIDECAR_FORMAT,
+        "version": bpe.SIDECAR_VERSION,
+        "unk_id": bpe.UNK_ID,
+        "merges": [[" ", "a"]],
+        "vocab": [[" ", 0], ["a", 1], [" a", 2]],
+    }
+    q = tmp_path / "priv.json"
+    q.write_text(json.dumps(priv))
+    assert bpe.import_bpe_json_auto(str(q)) == (merges, id_pairs)
 
 
 def test_hf_import_validates_shape(tmp_path):
     """Element-level validation, the import_bpe_json discipline: wrong
     model type, a merge that does not split into exactly two symbols,
-    and a bool id must all raise the advertised ValueError."""
+    a bool id, and a raw-space vocab key (two such keys could back-map
+    to ONE symbol — the r11-review collision hazard) must all raise
+    the advertised ValueError."""
     good = {
         "version": "1.0",
         "model": {
@@ -152,6 +186,7 @@ def test_hf_import_validates_shape(tmp_path):
         lambda d: d["model"].update(merges=["a  b"]),  # empty mid-symbol
         lambda d: d["model"].update(merges=[["a", "b"]]),
         lambda d: d["model"]["vocab"].update(a=True),  # bool id
+        lambda d: d["model"]["vocab"].update({" a": 9}),  # raw space
         lambda d: d.pop("model"),
     ):
         with pytest.raises(ValueError):
@@ -162,11 +197,14 @@ def test_hf_import_validates_shape(tmp_path):
 
 
 def test_end_to_end_capstone_is_the_stage_composition(spark):
-    """The capstone's survivor set IS (clean AND mix-kept) MINUS
-    contaminated, and the pack output is the exclusive prefix sum over
-    survivors in doc_id order — i.e. the stages agree on carrier
-    columns and compose without loss."""
+    """The capstone's survivor set IS (clean AND mix-kept AND training-
+    side) MINUS contaminated — the decontamination stage excludes BOTH
+    the gram-overlap hits AND the held-out eval docs themselves (r11
+    review: the pre-fix output packed 17 of the 20 eval docs into the
+    training windows) — and the pack output is the exclusive prefix sum
+    over survivors in doc_id order."""
     from simple_mapreduce_search_engine_information_retrieval__spark.plans.dedup import (
+        N_EVAL_DOCS,
         decontaminate_overlaps,
     )
 
@@ -179,7 +217,11 @@ def test_end_to_end_capstone_is_the_stage_composition(spark):
         r["doc_id"]
         for r in pipeline.doremi_mix(spark, SF).filter("kept = 1").collect()
     }
-    assert {r["doc_id"] for r in rows} == (clean & mixed) - contam
+    got = {r["doc_id"] for r in rows}
+    assert got == {
+        d for d in (clean & mixed) - contam if d >= N_EVAL_DOCS
+    }
+    assert not any(d < N_EVAL_DOCS for d in got)  # no eval doc trains
     run = 0
     for r in rows:
         assert r["start_tok"] == run
