@@ -162,3 +162,28 @@ def test_parsers(spark):
     ).collect()[0]
     assert r.t == "body here big news"
     assert r.u == "http://example.com/path"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab .!0\tĠ", min_size=0, max_size=24))
+def test_hf_space_mapping_is_total_and_invertible(sym):
+    """The HF ByteLevel adapter's symbol mapping (plans/bpe.py, r11):
+    for any marker-free symbol the rendering is space-free and the
+    import-side back-mapping inverts it exactly; a symbol already
+    containing the marker ALWAYS refuses (the non-injective case) —
+    together these are the losslessness argument for the public-format
+    sidecar, checked over arbitrary symbols instead of the fixture's."""
+    import pytest as _pytest
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.bpe import (
+        HF_SPACE_MARKER,
+        _hf_sym,
+    )
+
+    if HF_SPACE_MARKER in sym:
+        with _pytest.raises(ValueError, match="U\\+0120"):
+            _hf_sym(sym)
+    else:
+        rendered = _hf_sym(sym)
+        assert " " not in rendered
+        assert rendered.replace(HF_SPACE_MARKER, " ") == sym
