@@ -788,8 +788,12 @@ def import_bpe_json(sidecar_path: str):
     """(merges, id_pairs) from a sidecar — everything serving needs:
     merges as (rank, lhs, rhs, 0) tuples (rank = list position; the
     dropped n_occ slot is zero-filled so the serving helpers' 4-tuple
-    shape is uniform) and the frozen sym->id vocab."""
-    with open(sidecar_path, encoding="ascii") as fh:
+    shape is uniform) and the frozen sym->id vocab. UTF-8 read (r11
+    review pass 2: the auto importer already read the same format as
+    UTF-8, so the two entry points disagreed on which files load; our
+    own exports are ensure_ascii and unaffected, a third party's
+    ensure_ascii=False rendering of a valid document now loads)."""
+    with open(sidecar_path, encoding="utf-8") as fh:
         doc = json.load(fh)
     return _convert_sidecar_doc(doc, sidecar_path)
 
@@ -905,12 +909,14 @@ def import_bpe_json_hf(sidecar_path: str):
     files ship raw multibyte 'Ġ' bytes, not \\u escapes — an ascii read
     would reject every genuine public artifact with UnicodeDecodeError;
     our own ensure_ascii exports are a strict subset and load the same.
-    Element-level validation per the private importer's discipline:
-    every malformed shape — wrong model type, a merge string that does
-    not split into exactly two symbols, a bool id, a raw space inside a
-    symbol (two such keys could back-map to ONE symbol and explode far
-    from the import; the public format never emits raw spaces) — fails
-    with the advertised ValueError."""
+    BOTH public merge renderings accepted (r11 review pass 2): the
+    classic "lhs rhs" strings and the [lhs, rhs] pairs `tokenizers`
+    >= 0.20 writes by default. Element-level validation per the private
+    importer's discipline: every malformed shape — wrong model type, a
+    merge entry that is not exactly two symbols, a bool id, a raw space
+    inside a symbol (two such keys could back-map to ONE symbol and
+    explode far from the import; the public format never emits raw
+    spaces) — fails with the advertised ValueError."""
     with open(sidecar_path, encoding="utf-8") as fh:
         doc = json.load(fh)
     return _convert_hf_doc(doc, sidecar_path)
@@ -919,19 +925,38 @@ def import_bpe_json_hf(sidecar_path: str):
 def _convert_hf_doc(doc, sidecar_path: str):
     model = doc.get("model") if isinstance(doc, dict) else None
 
-    def _two_clean_syms(m: str) -> bool:
-        parts = m.split(" ")
-        return len(parts) == 2 and "" not in parts
+    def _merge_pair(m):
+        """[lhs, rhs] from ONE merge entry in EITHER public rendering
+        (r11 review pass 2): the classic space-joined "lhs rhs" string
+        AND the [lhs, rhs] pair form `tokenizers` >= 0.20 writes by
+        default — rejecting the pair form failed most freshly-saved
+        real artifacts, the same bug class the UTF-8 fix closed. A raw
+        space inside a pair element carries the same back-mapping
+        collision hazard as a spaced vocab key, so it rejects too.
+        Returns None for any malformed entry."""
+        if isinstance(m, str):
+            parts = m.split(" ")
+        elif isinstance(m, list):
+            parts = m
+        else:
+            return None
+        if (
+            len(parts) == 2
+            and all(isinstance(p, str) and p and " " not in p for p in parts)
+        ):
+            return parts
+        return None
 
+    pairs = (
+        [_merge_pair(m) for m in model["merges"]]
+        if isinstance(model, dict) and isinstance(model.get("merges"), list)
+        else [None]
+    )
     if (
         not isinstance(model, dict)
         or model.get("type") != "BPE"
         or not isinstance(model.get("vocab"), dict)
-        or not isinstance(model.get("merges"), list)
-        or not all(
-            isinstance(m, str) and _two_clean_syms(m)
-            for m in model["merges"]
-        )
+        or None in pairs
         or not all(
             isinstance(s, str)
             and " " not in s  # raw space: back-mapping collision hazard
@@ -948,8 +973,8 @@ def _convert_hf_doc(doc, sidecar_path: str):
         return sym.replace(HF_SPACE_MARKER, " ")
 
     merges = [
-        (rank, back(m.split(" ")[0]), back(m.split(" ")[1]), 0)
-        for rank, m in enumerate(model["merges"], start=1)
+        (rank, back(lhs), back(rhs), 0)
+        for rank, (lhs, rhs) in enumerate(pairs, start=1)
     ]
     id_pairs = [(back(s), int(i)) for s, i in model["vocab"].items()]
     return merges, id_pairs
@@ -963,7 +988,10 @@ def import_bpe_json_auto(sidecar_path: str):
     the private format a "format" tag."""
     with open(sidecar_path, encoding="utf-8") as fh:
         doc = json.load(fh)
-    if isinstance(doc, dict) and isinstance(doc.get("model"), dict):
+    # dispatch on the KEY, not the value's type (r11 review pass 2): a
+    # malformed HF file with "model": null must route to the HF
+    # converter and get ITS error message, not the private format's
+    if isinstance(doc, dict) and "model" in doc:
         return _convert_hf_doc(doc, sidecar_path)
     return _convert_sidecar_doc(doc, sidecar_path)
 

@@ -82,10 +82,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
     tokenizer = None
     if "--tokenizer" in argv:
         i = argv.index("--tokenizer")
-        if i + 1 >= len(argv):  # r11 review: usage error, not IndexError
+        # usage errors, not tracebacks (r11 review, both passes):
+        # trailing flag, a flag where the path should be, a missing or
+        # malformed sidecar file
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
             print("! --tokenizer requires a sidecar path", file=out)
             return 2
-        tokenizer = _load_tokenizer(argv[i + 1])
+        try:
+            tokenizer = _load_tokenizer(argv[i + 1])
+        except (OSError, ValueError) as exc:
+            print(f"! --tokenizer: {exc}", file=out)
+            return 2
         del argv[i : i + 2]
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
@@ -104,14 +111,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
         q = line.strip()
         if not q:
             break
-        # exact command match (r11 review: a bare startswith would
-        # silently encode the tail of a typo like ':tokenizer hello')
-        if q == ":tokenize" or q.startswith(":tokenize "):
+        # exact WORD match (r11 review, both passes: a bare startswith
+        # silently encoded the tail of a typo like ':tokenizer hello';
+        # an exact ':tokenize ' prefix missed the tab-separated form
+        # and silently ran it as a search)
+        if q.split(None, 1)[0] == ":tokenize":
             if tokenizer is None:
                 print("! no sidecar loaded (start with --tokenizer PATH)",
                       file=out)
             else:
-                ids = _encode_text(q[len(":tokenize"):].strip(), *tokenizer)
+                parts = q.split(None, 1)
+                ids = _encode_text(parts[1] if len(parts) > 1 else "",
+                                   *tokenizer)
                 print(f"  ids ({len(ids)}): {ids}", file=out)
         elif len(q.split()) > 2:
             print("! queries are 1-2 words (reference REPL constraint)", file=out)

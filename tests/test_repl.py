@@ -77,20 +77,37 @@ def test_repl_tokenize_serves_ids_from_either_sidecar(spark, tmp_path, monkeypat
     out = io.StringIO()
     assert repl.main(["/root/testdata/sf0.001"], out=out) == 0
     assert "no sidecar loaded" in out.getvalue()
-    # a trailing --tokenizer with no path is a usage error, not an
-    # IndexError (r11 review)
-    out = io.StringIO()
-    assert repl.main(["/root/testdata/sf0.001", "--tokenizer"], out=out) == 2
-    assert "requires a sidecar path" in out.getvalue()
-    # the command match is exact: ':tokenizer hello' must NOT silently
-    # encode 'r hello' (r11 review) — it falls through to the 3+-word
-    # guard path as an ordinary query line
+    # a trailing --tokenizer with no path, a flag where the path should
+    # be, and a missing file are all usage errors, not tracebacks (r11
+    # review, both passes)
+    for args in (
+        ["/root/testdata/sf0.001", "--tokenizer"],
+        ["--tokenizer", "--stemmed", "/root/testdata/sf0.001"],
+        ["/root/testdata/sf0.001", "--tokenizer", str(tmp_path / "nope.json")],
+    ):
+        out = io.StringIO()
+        assert repl.main(args, out=out) == 2
+        assert out.getvalue().startswith("!")
+    # the command match is by exact first WORD: ':tokenizer hello' must
+    # NOT silently encode 'r hello' (r11 review) — it runs as an
+    # ordinary 2-word search line instead — while the tab-separated
+    # ':tokenize\thello' IS the command (review pass 2: an exact
+    # ':tokenize ' prefix missed it and silently searched)
     monkeypatch.setattr("sys.stdin", io.StringIO(":tokenizer x\n\n"))
     out = io.StringIO()
     assert repl.main(
         ["/root/testdata/sf0.001", "--tokenizer", priv], out=out
     ) == 0
     assert "ids (" not in out.getvalue()
+    monkeypatch.setattr("sys.stdin", io.StringIO(":tokenize\t" + text + "\n\n"))
+    out = io.StringIO()
+    assert repl.main(
+        ["/root/testdata/sf0.001", "--tokenizer", priv], out=out
+    ) == 0
+    tabbed = next(
+        ln for ln in out.getvalue().splitlines() if "ids (" in ln
+    )
+    assert tabbed[tabbed.index("ids (") :] == printed[0]
 
 
 def test_cli_search_and_docnos(spark, tmp_path, capsys=None):

@@ -179,18 +179,33 @@ def test_hf_import_validates_shape(tmp_path):
 
     m, v = bpe.import_bpe_json_hf(write(lambda d: None))
     assert m == [(1, "a", "b", 0)] and dict(v) == {"a": 0, "b": 1, "ab": 2}
+    # BOTH public merge renderings import identically (r11 review pass
+    # 2: `tokenizers` >= 0.20 writes [lhs, rhs] pairs, not strings —
+    # rejecting them failed most freshly-saved real artifacts)
+    m2, v2 = bpe.import_bpe_json_hf(
+        write(lambda d: d["model"].update(merges=[["a", "b"]]))
+    )
+    assert (m2, dict(v2)) == (m, dict(v))
     for mutate in (
         lambda d: d["model"].update(type="WordPiece"),
         lambda d: d["model"].update(merges=["a b c"]),
         lambda d: d["model"].update(merges=["ab"]),
         lambda d: d["model"].update(merges=["a  b"]),  # empty mid-symbol
-        lambda d: d["model"].update(merges=[["a", "b"]]),
+        lambda d: d["model"].update(merges=[["a", "b", "c"]]),
+        lambda d: d["model"].update(merges=[["a b", "c"]]),  # raw space
+        lambda d: d["model"].update(merges=[["a", 1]]),
+        lambda d: d["model"].update(merges=[7]),
         lambda d: d["model"]["vocab"].update(a=True),  # bool id
         lambda d: d["model"]["vocab"].update({" a": 9}),  # raw space
         lambda d: d.pop("model"),
+        lambda d: d.update(model=None),  # routes to the HF error, auto too
     ):
         with pytest.raises(ValueError):
             bpe.import_bpe_json_hf(write(mutate))
+    # the auto importer gives the HF-format error for a null model,
+    # not the private format's (r11 review pass 2 dispatch fix)
+    with pytest.raises(ValueError, match="tokenizers"):
+        bpe.import_bpe_json_auto(write(lambda d: d.update(model=None)))
 
 
 # --- end-to-end pipeline capstone (r10 verdict, Next-round #2) -------------
