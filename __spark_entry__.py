@@ -125,6 +125,12 @@ CHANGED_THIS_ROUND = frozenset(
         # full-corpus query now calls the shared core (value-identical,
         # pinned by tests/test_round11_ops.py).
         "pipeline_pack_sequences",
+        # r11: the doremi corpus pass is now served from a session memo
+        # (_doremi_per_source_ckpt — the _base_artifacts build/serve
+        # split) shared by weights/mix/capstone; values identical, the
+        # computation is the same checkpointed relation.
+        "pipeline_doremi_weights",
+        "pipeline_doremi_mix",
         # The r11-NEW queries (pipeline_end_to_end,
         # text_bpe_export_hf_roundtrip) sit in the never-checked bucket
         # without an entry here.

@@ -30,6 +30,7 @@ from .dedup import (
     minhash_near_dups,
 )
 from .corpus import tokenized_docs
+from ..caches import register_cache
 from ..sources.tables import table
 from .textstats import (
     _duck_lang_id,
@@ -952,6 +953,19 @@ def _doremi_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The checkpointed (source, n_tokens, sum_micro) relation is the
+# doremi family's K-row build artifact — memoized per (session, corpus)
+# like _base_artifacts so weights/mix/capstone share ONE corpus pass.
+_doremi_cache: dict = register_cache({})
+
+
+def _doremi_per_source_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _doremi_cache:
+        _doremi_cache[key] = _doremi_per_source(spark, sf_dir).localCheckpoint()
+    return _doremi_cache[key]
+
+
 def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_tokens, loss_ppm, excess_ppm, weight_ppm): DoReMi
     domain weights over sources. loss = token-weighted mean unigram
@@ -989,8 +1003,14 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K rows after the aggregate, but per_src feeds BOTH the reference-
     # loss aggregate and the per-domain scoring — without lineage
     # truncation the corpus-sized token join inside would evaluate
-    # once per consumer (the _merged_symbolization lesson)
-    per_src = _doremi_per_source(spark, sf_dir).localCheckpoint()
+    # once per consumer (the _merged_symbolization lesson). Served
+    # from the session memo (r11): three registered queries consume
+    # this relation (weights, mix, the end-to-end capstone), and the
+    # build/serve-split policy says the ONE corpus pass behind a K-row
+    # build artifact runs once per (session, corpus), not once per
+    # consumer query — the _base_artifacts precedent. First-runner
+    # pays (the BPE-family zero-sum attribution).
+    per_src = _doremi_per_source_ckpt(spark, sf_dir)
     # K-row relation from here down. Reference loss = token-weighted
     # corpus mean; k rides the same 1-row agg.
     glob = per_src.agg(
