@@ -30,6 +30,15 @@ def _unpersist(value: Any) -> None:
     if isinstance(value, DataFrame):
         try:
             value.unpersist()
+            # A localCheckpoint()ed DataFrame pins its blocks on the
+            # plan's SOURCE RDD, which DataFrame.unpersist() does not
+            # touch (r11 ADVICE: evicting a doremi memo left the
+            # checkpoint blocks on executors until ContextCleaner GC).
+            # When the analyzed plan IS a checkpoint scan (LogicalRDD),
+            # unpersist that RDD too; plain cached frames no-op here.
+            plan = value._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
         except Exception:  # session already stopped — nothing to release
             pass
     elif isinstance(value, (tuple, list)):

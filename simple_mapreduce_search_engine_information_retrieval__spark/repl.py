@@ -49,9 +49,25 @@ def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
     explicit WS_CHARS class exists exactly so all three engines frame
     alike)."""
     import re
+    from collections import defaultdict
 
     from .plans.bpe import SEP, UNK_ID
     from .plans.textstats import BPE_PATTERN
+
+    # The r11 replay ran a full pass over EVERY rank for every piece —
+    # O(N_MERGES x len) per piece, visibly slow at the prompt under a
+    # 32k-merge sidecar (r11 verdict #5). Index the list ONCE per call
+    # (pair -> its rank positions, duplicates kept for adversarial
+    # lists), then per piece repeatedly apply the NEXT rank >= the
+    # sweep position whose pair is actually adjacent — exactly the
+    # merge the in-order sweep would apply next, since it skips only
+    # ranks whose pass would be a no-op. Sequential-rank semantics are
+    # preserved bit-for-bit (the engine never revisits earlier ranks,
+    # so neither does the position cursor); cost is O(N_MERGES) once
+    # plus O(applied x len) per piece, independent of the merge count.
+    rank_idx: dict = defaultdict(list)
+    for i, (_rank, lhs, rhs, _n) in enumerate(merges):
+        rank_idx[(lhs, rhs)].append(i)
 
     ids: list[int] = []
     for m in re.finditer(BPE_PATTERN, text.lower()):
@@ -59,7 +75,18 @@ def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
         if SEP in piece:
             continue
         syms = list(piece)
-        for _rank, lhs, rhs, _n in merges:
+        pos = 0
+        while len(syms) >= 2:
+            nxt = None
+            for pair in set(zip(syms, syms[1:])):
+                for i in rank_idx.get(pair, ()):
+                    if i >= pos:
+                        if nxt is None or i < nxt:
+                            nxt = i
+                        break  # positions ascend per pair: first >= pos wins
+            if nxt is None:
+                break
+            _rank, lhs, rhs, _n = merges[nxt]
             out, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
@@ -69,6 +96,7 @@ def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
                     out.append(syms[i])
                     i += 1
             syms = out
+            pos = nxt + 1
         ids.extend(int(ids_by_sym.get(s, UNK_ID)) for s in syms)
     return ids
 
@@ -80,6 +108,12 @@ def main(argv: list[str] | None = None, out=None) -> int:
     stemmed = "--stemmed" in argv
     docids = "--no-docids" not in argv
     tokenizer = None
+    if argv.count("--tokenizer") > 1:
+        # a repeated flag's second path argument would survive the
+        # generic '--' filter below and be silently taken as sf_dir
+        # (r11 ADVICE) — usage error instead
+        print("! --tokenizer given more than once", file=out)
+        return 2
     if "--tokenizer" in argv:
         i = argv.index("--tokenizer")
         # usage errors, not tracebacks (r11 review, both passes):
