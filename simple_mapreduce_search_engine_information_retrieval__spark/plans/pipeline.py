@@ -461,6 +461,16 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("punct_ratio"),
     ).select("doc_id", "n_kept", _clf_score().alias("score"))
+    return _budget_fill_from(base)
+
+
+def _budget_fill_from(base: DataFrame) -> DataFrame:
+    """(doc_id, n_kept, cum_tokens) for the rows of ``base`` (doc_id,
+    n_kept, score, extra cols ignored) whose best-score-first running
+    token sum fits TOKEN_BUDGET — the bucketed two-level cumulative
+    (per-score bucket offsets broadcast, the only windows are
+    per-bucket), extracted r12 so the end-to-end capstone can budget
+    its survivor set with the SAME core token_budget_fill serves."""
     per_bucket = base.groupBy("score").agg(F.sum("n_kept").alias("bucket_toks"))
     wb = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1395,8 +1405,11 @@ FROM d
 #                     held-out eval docs)
 #  -> doremi_mix     (per-doc resampling verdict under the COMPUTED
 #                     domain mixture — keep only kept=1)
-#  -> pack           (the surviving docs concatenated in doc_id order
-#                     and chunked into CTX_TOKENS training windows)
+#  -> token budget   (best-classifier-score-first fill to TOKEN_BUDGET
+#                     kept tokens — the budgeted-selection writer arm,
+#                     r12 / r11 verdict optional #6)
+#  -> pack           (the budgeted survivors concatenated in doc_id
+#                     order and chunked into CTX_TOKENS windows)
 #
 # Composition contract: all four stages read the SAME cached tokenized
 # scan (plans/corpus.py) — the capstone adds doc_id-keyed semi/anti
@@ -1441,26 +1454,79 @@ def _end_to_end_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _end_to_end_budget_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) of the survivors that ALSO fit the token
+    budget (r11 verdict, optional #6): the gate survivors are ranked
+    best-classifier-score-first and filled until TOKEN_BUDGET kept
+    tokens, via the SAME _budget_fill_from core pipeline_token_budget
+    serves — budgeted selection composed between doremi_mix and the
+    pack. Score and n_kept are per-doc relations off the CACHED
+    tokenized scan plus a raw-text column read, joined doc_id-keyed —
+    the capstone still adds no new corpus tokenize."""
+    lens = _end_to_end_lens(spark, sf_dir)
+    # classifier signals inlined off the CACHED scan (the clean_corpus
+    # fusion pattern): quality_classifier's own plan re-tokenizes from
+    # raw text, which would add the capstone's only uncached corpus
+    # tokenize; these expressions are value-identical to
+    # quality_scores' (same rounding, same regexes — the composed
+    # oracle embeds _duck_quality_classifier, so any drift between the
+    # twin renderings fails the parity gate). digit/punct read raw
+    # `text` — a plain column scan, not a tokenize.
+    n_tok = F.size("toks")
+    sig = (
+        tokenized_docs(spark, sf_dir)
+        .join(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.size("kept").cast("long").alias("n_kept"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(
+                (n_tok - F.size("kept"))
+                / F.greatest(n_tok, F.lit(1)).cast("double"),
+                4,
+            ).alias("stopword_ratio"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+                / F.length("text").cast("double"),
+                4,
+            ).alias("digit_ratio"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", ""))
+                / F.length("text").cast("double"),
+                4,
+            ).alias("punct_ratio"),
+        )
+        .select("doc_id", "n_kept", _clf_score().alias("score"))
+    )
+    fitted = _budget_fill_from(lens.join(sig, "doc_id")).select("doc_id")
+    return lens.join(fitted, "doc_id")
+
+
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, start_tok, window_id, spans_boundary) for the
-    documents that survive clean -> decontaminate -> doremi_mix, packed
-    into fixed CTX_TOKENS training windows — the final writer-ready
-    assignment. Shape at scale: the gate stages are the already-audited
-    plans (each one corpus pass over the shared tokenize or a banded
-    dedup); the capstone itself adds only doc_id-keyed joins between
-    per-doc verdict relations (co-partitioned shuffles, no skew — doc_id
-    is unique per relation) plus the broadcast-offset pack. Survivor
-    order is doc_id order, so the pack output is deterministic.
+    documents that survive clean -> decontaminate -> doremi_mix -> the
+    TOKEN_BUDGET best-quality-first fill (r12), packed into fixed
+    CTX_TOKENS training windows — the final writer-ready assignment.
+    Shape at scale: the gate stages are the already-audited plans (each
+    one corpus pass over the shared tokenize or a banded dedup); the
+    capstone itself adds only doc_id-keyed joins between per-doc
+    verdict relations (co-partitioned shuffles, no skew — doc_id is
+    unique per relation), the bucketed budget fill (broadcast per-score
+    offsets, windows only per bucket), and the broadcast-offset pack.
+    Survivor order is doc_id order, so the pack output is
+    deterministic.
 
     Lineage: the pack core references its input relation ~4x (global
     bounds, bucket assignment, local window, per-bucket counts) and a
     Spark physical plan is a TREE — without truncation the whole
-    gate/mix/decontaminate composition would re-evaluate once per pack
-    reference (the once-per-consumer lesson at doremi_weights; the mix
-    verdict join visibly appeared 4x in the pre-fix plan). The survivor
-    lens is narrow (doc_id + one long), so the checkpoint materializes
-    a per-doc long, never the corpus text."""
-    return _pack_from_lens(_end_to_end_lens(spark, sf_dir).localCheckpoint())
+    gate/mix/decontaminate/budget composition would re-evaluate once
+    per pack reference (the once-per-consumer lesson at doremi_weights;
+    the mix verdict join visibly appeared 4x in the pre-fix plan). The
+    survivor lens is narrow (doc_id + one long), so the checkpoint
+    materializes a per-doc long, never the corpus text."""
+    return _pack_from_lens(
+        _end_to_end_budget_lens(spark, sf_dir).localCheckpoint()
+    )
 
 
 def _duck_pipeline_end_to_end() -> str:
@@ -1468,16 +1534,30 @@ def _duck_pipeline_end_to_end() -> str:
     from .dedup import DUCK_DECONTAMINATE, N_EVAL_DOCS
 
     toks = duck_tokens_list("text", stopworded=False)
+    kept = duck_tokens_list("text")
     return f"""
 WITH clean AS MATERIALIZED ({_duck_clean_corpus()}),
 contam AS MATERIALIZED ({DUCK_DECONTAMINATE}),
 mix AS MATERIALIZED ({_duck_doremi_mix()}),
-survivors AS (
+gated AS (
   SELECT clean.doc_id FROM clean
   JOIN mix USING (doc_id)
   WHERE mix.kept = 1
     AND clean.doc_id >= {N_EVAL_DOCS}
     AND clean.doc_id NOT IN (SELECT doc_id FROM contam)),
+clf AS ({_duck_quality_classifier()}),
+budget AS (
+  SELECT doc_id FROM (
+    SELECT g.doc_id,
+           CAST(sum(CAST(len({kept}) AS BIGINT))
+                OVER (ORDER BY clf.score DESC, g.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM gated g
+    JOIN clf USING (doc_id)
+    JOIN documents USING (doc_id))
+  WHERE cum_tokens <= {TOKEN_BUDGET}),
+survivors AS (SELECT doc_id FROM gated JOIN budget USING (doc_id)),
 lens AS (
   SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
   FROM documents JOIN survivors USING (doc_id)),
@@ -1501,10 +1581,11 @@ QUERIES: dict[str, QuerySpec] = {
         fn=pipeline_end_to_end,
         oracle=_duck_pipeline_end_to_end(),
         note="the corpus-to-training-batches capstone: clean_corpus -> "
-        "decontaminate -> doremi_mix resampling -> CTX-window packing, "
-        "all stages over the ONE shared tokenized scan, composed from "
-        "the individually-oracled building blocks — the flagship "
-        "end-to-end demo of the training-data catalog",
+        "decontaminate -> doremi_mix resampling -> token-budget fill "
+        "(r12) -> CTX-window packing, all stages over the ONE shared "
+        "tokenized scan, composed from the individually-oracled "
+        "building blocks — the flagship end-to-end demo of the "
+        "training-data catalog",
     ),
     "pipeline_global_shuffle": QuerySpec(
         fn=global_shuffle,

@@ -95,28 +95,73 @@ def test_hf_import_roundtrips_the_store_artifact(spark, hf_store):
     assert pm == merges and dict(pv) == dict(id_pairs)
 
 
-def test_hf_export_refuses_marker_bearing_symbol(spark, tmp_path):
-    """The one genuinely ambiguous case: a symbol already containing
-    the ByteLevel marker makes the space mapping non-invertible — the
-    exporter must refuse loudly, NAMING the symbol (r10 verdict #3)."""
-    out = str(tmp_path / "bad_store")
-    poisoned = "a" + bpe.HF_SPACE_MARKER
+def test_hf_export_roundtrips_marker_bearing_symbol(spark, tmp_path):
+    """The r11 adapter REFUSED a symbol already containing the
+    ByteLevel marker (the space-only mapping was non-invertible there);
+    under the r12 full byte table a literal 'Ġ' renders as its OWN
+    UTF-8 bytes ('Äł'), distinct from a space's rendering, so the
+    poisoned store now exports AND imports back losslessly — the refuse
+    case is resolved, not just relocated (r11 ADVICE)."""
+    out = str(tmp_path / "marker_store")
+    marked = "a" + bpe.HF_SPACE_MARKER
     bpe._write_store(
         spark,
         out,
         [(1, "a", bpe.HF_SPACE_MARKER, 7)],
-        ["a", bpe.HF_SPACE_MARKER, poisoned],
+        ["a", bpe.HF_SPACE_MARKER, marked],
         spark.createDataFrame(
             [(1, 1, 0, "x", 0)],
             schema="doc_id BIGINT, n_ids BIGINT, sum_ids BIGINT, "
             "ids_hash STRING, n_unk BIGINT",
         ),
     )
-    with pytest.raises(ValueError, match="U\\+0120") as excinfo:
-        bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
-    # the error NAMES the offending symbol (r11 review: folded the
-    # second export call into the one raises block)
-    assert bpe.HF_SPACE_MARKER in str(excinfo.value)
+    sidecar = bpe.export_bpe_json_hf(spark, out, str(tmp_path / "t.json"))
+    doc = json.load(open(sidecar))
+    # the marker char in a SYMBOL renders as its bytes, so the file's
+    # vocab carries no bare-marker key that could collide with a space
+    assert "Äł" in doc["model"]["vocab"]
+    merges, id_pairs = bpe.import_bpe_json_hf(sidecar)
+    assert [(lhs, rhs) for _r, lhs, rhs, _n in merges] == [
+        ("a", bpe.HF_SPACE_MARKER)
+    ]
+    assert dict(id_pairs) == {"a": 0, bpe.HF_SPACE_MARKER: 1, marked: 2}
+
+
+def test_hf_import_refuses_byte_fragment_tokens(tmp_path):
+    """A byte-level-LEARNED vocab (GPT-2's own) carries byte-fragment
+    tokens — e.g. a lone continuation byte, rendered 'ł' (0xA0) after
+    a bare 'Ã' (0xC3) — that decode to no character string. The engine's
+    symbol alphabet is characters, so the importer must refuse by name
+    (adapter block comment), and a char outside the 256-entry alphabet
+    (e.g. '€') must refuse as a non-ByteLevel artifact."""
+    for bad_sym, match in (("Ã", "byte-fragment"), ("€", "alphabet")):
+        doc = {
+            "version": "1.0",
+            "model": {
+                "type": "BPE",
+                "unk_token": None,
+                "vocab": {"a": 0, bad_sym: 1},
+                "merges": [],
+            },
+        }
+        p = tmp_path / "frag.json"
+        p.write_text(json.dumps(doc, ensure_ascii=False), encoding="utf-8")
+        with pytest.raises(ValueError, match=match):
+            bpe.import_bpe_json_hf(str(p))
+
+
+def test_hf_bytelevel_table_is_the_public_one():
+    """Spot-pin the GPT-2 table rows the ADVICE named: space->Ġ,
+    newline->Ċ, tab->ĉ, high bytes to the shift block — and the table
+    is a 256-entry bijection."""
+    t = bpe._HF_BYTE_TO_CHAR
+    assert len(t) == 256 and len(set(t.values())) == 256
+    assert t[ord(" ")] == "Ġ" == bpe.HF_SPACE_MARKER
+    assert t[ord("\n")] == "Ċ" and t[ord("\t")] == "ĉ"
+    assert t[ord("a")] == "a" and t[0xE9] == "é"  # identity rows
+    assert t[0] == "Ā" and t[0xAD] == "Ń"  # shifted rows (0xAD is last)
+    # multibyte character: one rendered char per UTF-8 byte
+    assert bpe._hf_sym("é") == "Ã©" and bpe._hf_unsym("Ã©") == "é"
 
 
 def test_hf_import_reads_real_utf8_artifacts(tmp_path):
@@ -232,10 +277,34 @@ def test_end_to_end_capstone_is_the_stage_composition(spark):
         r["doc_id"]
         for r in pipeline.doremi_mix(spark, SF).filter("kept = 1").collect()
     }
-    got = {r["doc_id"] for r in rows}
-    assert got == {
-        d for d in (clean & mixed) - contam if d >= N_EVAL_DOCS
+    gates = {d for d in (clean & mixed) - contam if d >= N_EVAL_DOCS}
+    # the r12 budget arm: of the gate survivors, the pack covers the
+    # best-score-first prefix fitting TOKEN_BUDGET kept tokens —
+    # recomputed here independently (plain Python greedy fill over the
+    # stage outputs, not the engine's bucketed plan)
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.corpus import (
+        tokenized_docs,
+    )
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in pipeline.quality_classifier(spark, SF).collect()
     }
+    n_kept = {
+        r["doc_id"]: r["nk"]
+        for r in tokenized_docs(spark, SF)
+        .selectExpr("doc_id", "size(kept) AS nk")
+        .collect()
+    }
+    want, run_k = set(), 0
+    for d in sorted(gates, key=lambda d: (-scores[d], d)):
+        run_k += n_kept[d]
+        if run_k > pipeline.TOKEN_BUDGET:
+            break
+        want.add(d)
+    got = {r["doc_id"] for r in rows}
+    assert got == want
+    assert got <= gates  # the budget arm only ever narrows the gates
     assert not any(d < N_EVAL_DOCS for d in got)  # no eval doc trains
     run = 0
     for r in rows:
@@ -259,7 +328,9 @@ def test_end_to_end_capstone_plan_shape(spark):
     stays under the analyzer cap (the clean_corpus precedent)."""
     from conftest import physical_plan
 
-    plan = physical_plan(pipeline._end_to_end_lens(spark, SF))
+    # r12: asserted on the budget lens — the capstone's full
+    # uncheckpointed build stage including the token-budget arm
+    plan = physical_plan(pipeline._end_to_end_budget_lens(spark, SF))
     lines = plan.splitlines()
     tok = [
         i for i, l in enumerate(lines) if "split(regexp_replace(CASE WHEN" in l
