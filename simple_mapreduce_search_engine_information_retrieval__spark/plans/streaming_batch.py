@@ -217,8 +217,11 @@ def incremental_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUP maintenance, driver-checked: split the documents
-    table into 4 doc_id-range files, stream them one file per
-    micro-batch through the foreachBatch probe-and-append job
+    table into 3 doc_id-range files (r12: down from 4 — the drain cost
+    is per-cycle fixed overhead dominated, three cycles exercise the
+    same store-accumulation/probe path, and the kill-resume test keeps
+    its own 4-way split), stream them one file per micro-batch through
+    the foreachBatch probe-and-append job
     (streaming/jobs.py::incremental_near_dups), then read the
     accumulated pair store. Must equal the one-shot batch LSH answer
     (the minhash_near_dups oracle) — the contract that lets a 100 TB
@@ -247,7 +250,7 @@ def streaming_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(p)
     (
         table(spark, sf_dir, "documents")
-        .repartitionByRange(4, "doc_id")
+        .repartitionByRange(3, "doc_id")
         .write.parquet(split_path)
     )
     docs_stream = (

@@ -413,7 +413,11 @@ def incremental_near_dups(
     pair set equals the one-shot batch LSH answer in ANY delivery
     order. Scale: per batch the
     probe broadcasts the batch-sized band/candidate relations; the
-    stored corpus index is only ever scanned, never reshuffled."""
+    stored corpus index is only ever scanned, never reshuffled — and
+    the exact-verify stage scans the shingle store ONCE, restricted to
+    the candidate doc ids (r12; it previously aggregated the whole
+    store's shingle counts every batch, an O(corpus)-per-ingest cost
+    no 100 TB maintenance job could pay)."""
     import os
 
     from ..functions.tokenize import filter_stopwords, kgrams_col, tokens_col
@@ -492,10 +496,27 @@ def incremental_near_dups(
             # bands_b) and store-store pairs never appear, so each pair
             # is discovered in exactly one batch — the first where both
             # members exist — regardless of delivery order
+            .cache()  # collision residue, reused by the verify probe
+            # and the doc-id restriction below; unpersisted post-write
         )
-        sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a = sh_all.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh_all.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand_docs = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        # Exact-verify reads ONLY the candidate docs' shingles (r12):
+        # sizes/a/b previously scanned the FULL accumulated shingle
+        # store three times per batch — O(corpus) per ingest batch, the
+        # one scale-killer this job still carried. The collision
+        # residue is batch-bounded, so the store scan restricts to its
+        # doc ids (value-identical: every downstream join keys on
+        # cand's doc ids) and caches for its three readers.
+        sh_cand = sh_all.join(
+            # bounded: distinct doc ids of the batch collision residue
+            F.broadcast(cand_docs),
+            "doc_id",
+        ).cache()
+        sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
             # bounded: cand is the batch-probe collision residue
             F.broadcast(cand)
@@ -540,6 +561,8 @@ def incremental_near_dups(
         sh_b.coalesce(2).write.mode("overwrite").parquet(
             f"{sh_p}/batch={batch_id}"
         )
+        cand.unpersist()
+        sh_cand.unpersist()
 
     # ``checkpoint_path`` makes the maintenance restartable: a killed
     # job resumes at the first uncommitted batch, and because every
