@@ -115,25 +115,30 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r11: the sidecar roundtrip's composition was refactored into
-        # the shared _sidecar_roundtrip helper (behavior-identical by
-        # construction — same stages, same store; the HF twin reuses
-        # it) — re-verify per the r9 rewrite precedent.
-        "text_bpe_export_roundtrip",
-        # r11: the packing core was extracted into _pack_from_lens so
-        # the end-to-end capstone can pack its survivor set — the
-        # full-corpus query now calls the shared core (value-identical,
-        # pinned by tests/test_round11_ops.py).
-        "pipeline_pack_sequences",
-        # r11: the doremi corpus pass is now served from a session memo
-        # (_doremi_per_source_ckpt — the _base_artifacts build/serve
-        # split) shared by weights/mix/capstone; values identical, the
-        # computation is the same checkpointed relation.
-        "pipeline_doremi_weights",
-        "pipeline_doremi_mix",
-        # The r11-NEW queries (pipeline_end_to_end,
-        # text_bpe_export_hf_roundtrip) sit in the never-checked bucket
-        # without an entry here.
+        # r12: the exact-verify stage now scans the shingle store ONCE
+        # restricted to candidate doc ids (it aggregated the whole
+        # store per batch before — the O(corpus)-per-ingest fix), and
+        # the registry drive drains 3 micro-batches instead of 4
+        # (r11 verdict #3); values identical to the one-shot LSH
+        # oracle by construction.
+        "streaming_near_dup_pairs",
+        # r12: the HF sidecar adapter upgraded from the space-only
+        # ByteLevel marker to the FULL GPT-2 byte-to-unicode table on
+        # both sides, and the export gained the pre_tokenizer/decoder/
+        # added_tokens sections (r11 ADVICE); the artifact bytes
+        # changed, the roundtrip values did not.
+        "text_bpe_export_hf_roundtrip",
+        # r12: the capstone gained the token-budget writer arm between
+        # doremi_mix and the pack (r11 verdict optional #6) — VALUES
+        # changed (the pack now covers only budget-fitting survivors);
+        # oracle extended with the composed budget CTE, re-verified
+        # tri-scale locally.
+        "pipeline_end_to_end",
+        # r12: the bucketed budget fill was extracted into
+        # _budget_fill_from so the capstone shares it — the standalone
+        # query now calls the shared core (value-identical refactor,
+        # the r9 precedent).
+        "pipeline_token_budget",
     }
 )
 

@@ -154,6 +154,33 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# bench stream warmup failed: {exc!r}", file=sys.stderr)
 
+    # Neutral box-calibration markers (r11 verdict #2: the +48% driver
+    # drift could not be separated into box slowdown vs grown per-query
+    # overhead because every recorded number ran engine code). Two
+    # data-independent probes, timed after warmup, reported as scalars
+    # and EXCLUDED from the query total: box_cpu_sec is a fixed
+    # whole-stage-codegen sum (pure JVM compute — tracks core speed /
+    # contention), box_job_overhead_sec is 20 trivial one-row jobs
+    # (tracks scheduler + Py4J round-trip cost, the signature of the
+    # r11 ~0.17 s flat per-query constant). Together with
+    # index_mib_per_sec every future BENCH_r*.json carries a box
+    # reading independent of any engine code path.
+    box_cpu_sec = box_job_overhead_sec = None
+    try:
+        # double product: a long sum(id*id) overflows int64 at this n
+        # and ANSI mode (Spark 4 default) raises instead of wrapping
+        probe = "sum(cast(id as double) * id)"
+        spark.range(1_000_000_000).selectExpr(probe).collect()  # JIT
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr(probe).collect()
+        box_cpu_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            spark.range(1).count()
+        box_job_overhead_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench calibration failed: {exc!r}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
@@ -413,6 +440,8 @@ def main() -> None:
         "index_mib_per_sec_raw_sf": index_mib_per_sec_raw_sf,
         "baseline_index_mib_per_sec": 0.45,
         "index_mib_per_sec": index_mib_per_sec,
+        "box_cpu_sec": box_cpu_sec,
+        "box_job_overhead_sec": box_job_overhead_sec,
     }
     try:
         full_path = os.path.join(os.path.dirname(__file__), "BENCH_FULL.json")

@@ -154,6 +154,8 @@ def test_bench_headline_line_fits_capture_window():
         "index_mib_per_sec_raw_sf": 9999.999,
         "baseline_index_mib_per_sec": 0.45,
         "index_mib_per_sec": 9999.999,
+        "box_cpu_sec": 9999.999,
+        "box_job_overhead_sec": 9999.999,
     }
     line = bench.render_headline(timings, scalars)
     assert len(line) < bench.CAPTURE_WINDOW, len(line)
