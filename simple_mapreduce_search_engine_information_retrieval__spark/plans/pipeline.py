@@ -1454,7 +1454,9 @@ def _end_to_end_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _end_to_end_budget_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _end_to_end_budget_lens(
+    spark: SparkSession, sf_dir: str, lens: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_tokens) of the survivors that ALSO fit the token
     budget (r11 verdict, optional #6): the gate survivors are ranked
     best-classifier-score-first and filled until TOKEN_BUDGET kept
@@ -1462,8 +1464,15 @@ def _end_to_end_budget_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves — budgeted selection composed between doremi_mix and the
     pack. Score and n_kept are per-doc relations off the CACHED
     tokenized scan plus a raw-text column read, joined doc_id-keyed —
-    the capstone still adds no new corpus tokenize."""
-    lens = _end_to_end_lens(spark, sf_dir)
+    the capstone still adds no new corpus tokenize.
+
+    ``lens`` defaults to the uncheckpointed gate composition (what the
+    plan-shape test reads); pipeline_end_to_end passes the
+    CHECKPOINTED gate lens instead, because this stage references the
+    lens three times (the signal restriction below, the fill base, the
+    final join) and the gates must evaluate once, not three times."""
+    if lens is None:
+        lens = _end_to_end_lens(spark, sf_dir)
     # classifier signals inlined off the CACHED scan (the clean_corpus
     # fusion pattern): quality_classifier's own plan re-tokenizes from
     # raw text, which would add the capstone's only uncached corpus
@@ -1475,6 +1484,14 @@ def _end_to_end_budget_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size("toks")
     sig = (
         tokenized_docs(spark, sf_dir)
+        # restrict to the gate survivors BEFORE computing the regex
+        # ratios: the budget ranks only survivors, so scoring the full
+        # corpus would burn two regex passes over every rejected doc —
+        # at 100 TB the survivor lens is the small relation and the
+        # signal projection must run after the narrowing join, not
+        # before (r12; value-identical, the fill's input rows are the
+        # same either way)
+        .join(lens.select("doc_id"), "doc_id")
         .join(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
@@ -1523,9 +1540,13 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pack reference (the once-per-consumer lesson at doremi_weights;
     the mix verdict join visibly appeared 4x in the pre-fix plan). The
     survivor lens is narrow (doc_id + one long), so the checkpoint
-    materializes a per-doc long, never the corpus text."""
+    materializes a per-doc long, never the corpus text. TWO
+    checkpoints since r12: the gate lens first (the budget stage reads
+    it three times), then the budgeted lens for the pack's ~4
+    references — both materialize (doc_id, long) relations only."""
+    gate = _end_to_end_lens(spark, sf_dir).localCheckpoint()
     return _pack_from_lens(
-        _end_to_end_budget_lens(spark, sf_dir).localCheckpoint()
+        _end_to_end_budget_lens(spark, sf_dir, gate).localCheckpoint()
     )
 
 
