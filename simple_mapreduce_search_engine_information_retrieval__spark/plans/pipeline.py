@@ -1469,8 +1469,8 @@ def _end_to_end_budget_lens(
     ``lens`` defaults to the uncheckpointed gate composition (what the
     plan-shape test reads); pipeline_end_to_end passes the
     CHECKPOINTED gate lens instead, because this stage references the
-    lens three times (the signal restriction below, the fill base, the
-    final join) and the gates must evaluate once, not three times."""
+    lens twice (the signal restriction below and the final join) and
+    the gates must evaluate once, not twice."""
     if lens is None:
         lens = _end_to_end_lens(spark, sf_dir)
     # classifier signals inlined off the CACHED scan (the clean_corpus
@@ -1515,7 +1515,9 @@ def _end_to_end_budget_lens(
         )
         .select("doc_id", "n_kept", _clf_score().alias("score"))
     )
-    fitted = _budget_fill_from(lens.join(sig, "doc_id")).select("doc_id")
+    # sig is already survivor-restricted (the join above), so it IS the
+    # fill's (doc_id, n_kept, score) base — no second lens join needed
+    fitted = _budget_fill_from(sig).select("doc_id")
     return lens.join(fitted, "doc_id")
 
 
@@ -1542,8 +1544,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor lens is narrow (doc_id + one long), so the checkpoint
     materializes a per-doc long, never the corpus text. TWO
     checkpoints since r12: the gate lens first (the budget stage reads
-    it three times), then the budgeted lens for the pack's ~4
-    references — both materialize (doc_id, long) relations only."""
+    it twice), then the budgeted lens for the pack's ~4 references —
+    both materialize (doc_id, long) relations only."""
     gate = _end_to_end_lens(spark, sf_dir).localCheckpoint()
     return _pack_from_lens(
         _end_to_end_budget_lens(spark, sf_dir, gate).localCheckpoint()
