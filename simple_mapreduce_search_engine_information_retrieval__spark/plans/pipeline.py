@@ -1411,7 +1411,7 @@ FROM d
 #  -> pack           (the budgeted survivors concatenated in doc_id
 #                     order and chunked into CTX_TOKENS windows)
 #
-# Composition contract: all four stages read the SAME cached tokenized
+# Composition contract: all five stages read the SAME cached tokenized
 # scan (plans/corpus.py) — the capstone adds doc_id-keyed semi/anti
 # joins between per-doc verdicts, never a new corpus pass — and the
 # oracle SQL composes the same already-oracled stage blocks, so the one
