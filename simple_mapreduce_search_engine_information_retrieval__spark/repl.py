@@ -11,9 +11,21 @@ Differences from the reference, on purpose:
 Usage:
     python -m simple_mapreduce_search_engine_information_retrieval__spark.repl \
         [sf_dir] [--compat-df1] [--stemmed] [--no-docids] \
-        [--tokenizer sidecar.json]
+        [--tokenizer sidecar.json] [--index store_dir]
 Reads queries from stdin (one per line, blank line or EOF quits), so it
 is scriptable: `echo "spark join" | python -m ...repl`.
+
+With --index, queries serve from a PREBUILT on-disk index store
+(plans/index_store.build_index's postings/stats/meta layout) instead of
+deriving postings from the corpus — the reference REPL's own shape
+(IntDocVectorsForwardIndex.java:243-322 reads a BUILT forward index,
+never the collection; r12). The store's parts are registered as
+session views once at startup; each query is then a pushed-down
+`term IN` scan plus a tiny aggregate (see search_indexed). The served
+scores are the correct-df tf-idf, so --index rejects --compat-df1 and
+--stemmed (the store holds unstemmed k=1 terms and correct df by
+construction); docid display needs the corpus-side mapping, so hits
+print as (rank, docno, score).
 
 With --tokenizer, a `:tokenize <text>` line encodes the text to token
 ids under the LOADED sidecar artifact (round 11) — either sidecar
@@ -101,6 +113,28 @@ def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
     return ids
 
 
+REPL_INDEX_NAME = "smse_repl_index"
+
+
+def _take_path_flag(argv: list[str], flag: str, out) -> str | int | None:
+    """Parse-and-remove one `<flag> PATH` pair from argv. Returns the
+    path, None when the flag is absent, or the int exit code 2 on a
+    usage error (repeated flag — the r11 ADVICE silent-sf_dir hazard —
+    trailing flag, or a flag where the path should be)."""
+    if argv.count(flag) > 1:
+        print(f"! {flag} given more than once", file=out)
+        return 2
+    if flag not in argv:
+        return None
+    i = argv.index(flag)
+    if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+        print(f"! {flag} requires a path", file=out)
+        return 2
+    path = argv[i + 1]
+    del argv[i : i + 2]
+    return path
+
+
 def main(argv: list[str] | None = None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     out = out or sys.stdout
@@ -108,26 +142,24 @@ def main(argv: list[str] | None = None, out=None) -> int:
     stemmed = "--stemmed" in argv
     docids = "--no-docids" not in argv
     tokenizer = None
-    if argv.count("--tokenizer") > 1:
-        # a repeated flag's second path argument would survive the
-        # generic '--' filter below and be silently taken as sf_dir
-        # (r11 ADVICE) — usage error instead
-        print("! --tokenizer given more than once", file=out)
+    tok_path = _take_path_flag(argv, "--tokenizer", out)
+    if tok_path == 2:
         return 2
-    if "--tokenizer" in argv:
-        i = argv.index("--tokenizer")
-        # usage errors, not tracebacks (r11 review, both passes):
-        # trailing flag, a flag where the path should be, a missing or
-        # malformed sidecar file
-        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
-            print("! --tokenizer requires a sidecar path", file=out)
-            return 2
+    if tok_path is not None:
         try:
-            tokenizer = _load_tokenizer(argv[i + 1])
+            tokenizer = _load_tokenizer(tok_path)
         except (OSError, ValueError) as exc:
             print(f"! --tokenizer: {exc}", file=out)
             return 2
-        del argv[i : i + 2]
+    index_dir = _take_path_flag(argv, "--index", out)
+    if index_dir == 2:
+        return 2
+    if index_dir is not None and (compat or stemmed):
+        # the store serves correct-df unstemmed scores by construction
+        # (see module docstring) — refuse the contradictory flags
+        print("! --index serves correct-df unstemmed scores; drop "
+              "--compat-df1/--stemmed", file=out)
+        return 2
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
@@ -136,9 +168,27 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     spark = get_spark("smse-repl")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"index: {sf_dir}  mode: "
-          f"{'compat_df1' if compat else 'correct'}{' stemmed' if stemmed else ''}",
-          file=out)
+    if index_dir is not None:
+        # register the store's parts ONCE as session views so
+        # search_indexed's spark.table() lookups resolve in this fresh
+        # session (build_index's saveAsTable registrations live in the
+        # BUILDING session's catalog, not ours); per-query work is then
+        # the pushed-down term IN scan only
+        import os
+
+        try:
+            for part in ("postings", "stats", "meta"):
+                spark.read.parquet(
+                    os.path.join(index_dir, part)
+                ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_{part}")
+        except Exception as exc:  # noqa: BLE001 — bad path/layout
+            print(f"! --index: not a built index store: {exc}", file=out)
+            return 2
+        print(f"index store: {index_dir}  mode: correct (served)", file=out)
+    else:
+        print(f"index: {sf_dir}  mode: "
+              f"{'compat_df1' if compat else 'correct'}{' stemmed' if stemmed else ''}",
+              file=out)
     prompt = "query (1-2 words, blank to quit): "
     print(prompt, end="", flush=True, file=out)
     for line in sys.stdin:
@@ -160,6 +210,16 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 print(f"  ids ({len(ids)}): {ids}", file=out)
         elif len(q.split()) > 2:
             print("! queries are 1-2 words (reference REPL constraint)", file=out)
+        elif index_dir is not None:
+            from .plans.index_store import search_indexed
+            from .plans.search import tokenize_query
+
+            # the same query-side tokenize/stopword pipeline as the
+            # corpus-derived path; a term missing from the store drops
+            # out of the pushed-down IN scan (the J2 miss-skip)
+            _show(search_indexed(
+                spark, tokenize_query(q), name=REPL_INDEX_NAME
+            ), out)
         elif stemmed:
             _show(search_fidelity(spark, sf_dir, q), out)
         elif docids:

@@ -117,6 +117,47 @@ def test_repl_encode_skip_list_is_exact_and_fast():
     assert dt_fast < 0.25 and dt_fast < dt_slow
 
 
+def test_repl_serves_from_prebuilt_index_store(spark, tmp_path, monkeypatch):
+    """--index (r12): the REPL serves queries from a PREBUILT on-disk
+    index store — the reference REPL's own shape
+    (IntDocVectorsForwardIndex.java:243-322 reads a BUILT index, never
+    the collection). Served hits must equal the corpus-derived search()
+    ranking exactly (same query tokenize, correct df, same tf-idf), a
+    fresh-session-style view registration (no reliance on the building
+    session's catalog), and the usage errors hold."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+        build_index,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "repl_index")
+    build_index(spark, sf, store, name="r12_repl_build")
+    monkeypatch.setattr("sys.stdin", io.StringIO("spark join\nthe\n\n"))
+    out = io.StringIO()
+    rc = repl.main([sf, "--index", store], out=out)
+    assert rc == 0
+    text = out.getvalue()
+    assert "index store:" in text
+    want = search(spark, sf, "spark join").collect()
+    for r in sorted(want, key=lambda r: r.rank):
+        assert f"{r.rank:>2}. doc {r.docno:<8} score {r.score:.6f}" in text
+    # 'the' is a stopword -> no terms -> no hits, loop continues
+    assert "(no hits)" in text
+    assert text.count("blank to quit") == 3
+    # usage errors: contradictory flags, bad store path, repeated flag
+    for args in (
+        [sf, "--index", store, "--stemmed"],
+        [sf, "--index", str(tmp_path / "nope")],
+        [sf, "--index", store, "--index", store],
+    ):
+        out = io.StringIO()
+        assert repl.main(args, out=out) == 2, args
+        assert out.getvalue().startswith("!")
+
+
 def test_evict_releases_localcheckpoint_blocks(spark):
     """caches.evict() on a localCheckpoint()ed memo entry must release
     the checkpoint RDD blocks, not just call DataFrame.unpersist()
