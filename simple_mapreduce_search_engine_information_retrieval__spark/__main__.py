@@ -5,7 +5,11 @@ one subcommand per `hadoop jar` invocation (SURVEY.md §3):
     chargram  CharKGramTermIndexer     (char-k-gram → term index)
     docnos    NumberTrecDocuments      (docid → sequential docno TSV)
     search    IntDocVectorsForwardIndex (one-shot query; REPL lives in
-                                        `...repl` for the interactive loop)
+                                        `...repl` for the interactive
+                                        loop — point its `--index` flag
+                                        at this `index` subcommand's
+                                        --out dir to serve queries from
+                                        the built store, r12)
 
 BuildIntDocVectorsForwardIndex has no subcommand: the forward index is
 obsolete under Parquet predicate pushdown (SURVEY.md S5/§3.2).
