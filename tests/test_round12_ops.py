@@ -158,6 +158,54 @@ def test_repl_serves_from_prebuilt_index_store(spark, tmp_path, monkeypatch):
         assert out.getvalue().startswith("!")
 
 
+def test_repl_index_serving_survives_a_fresh_process(spark, tmp_path):
+    """The --index contract end-to-end across PROCESS boundaries: build
+    the store in this session, then serve it from a brand-new Python
+    interpreter + SparkSession via the real CLI (`python -m ...repl`).
+    Proves the store layout alone carries the serving contract — no
+    catalog state, no session memos — the way a real deployment would
+    build once and serve from many fresh sessions."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+        build_index,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "xproc_index")
+    build_index(spark, sf, store, name="r12_xproc_build")
+    want = sorted(search(spark, sf, "spark join").collect(), key=lambda r: r.rank)
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "simple_mapreduce_search_engine_information_retrieval__spark.repl",
+         sf, "--index", store],
+        input="spark join\n\n",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    # no line anchor: the prompt prints without a trailing newline, so
+    # the rank-1 hit shares its line with the prompt text (the same
+    # quirk test_repl_tokenize handles with an index() slice)
+    got = {
+        (int(m.group(1)), int(m.group(2)), m.group(3))
+        for m in re.finditer(
+            r"(\d+)\. doc (\d+)\s+score (\d+\.\d{6})", proc.stdout
+        )
+    }
+    assert got == {
+        (r.rank, r.docno, f"{r.score:.6f}") for r in want
+    }, proc.stdout[-1500:]
+
+
 def test_evict_releases_localcheckpoint_blocks(spark):
     """caches.evict() on a localCheckpoint()ed memo entry must release
     the checkpoint RDD blocks, not just call DataFrame.unpersist()
