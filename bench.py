@@ -168,11 +168,15 @@ def main() -> None:
     box_cpu_sec = box_job_overhead_sec = None
     try:
         # double product: a long sum(id*id) overflows int64 at this n
-        # and ANSI mode (Spark 4 default) raises instead of wrapping
+        # and ANSI mode (Spark 4 default) raises instead of wrapping.
+        # Row count env-tunable (r12 ADVICE): the default 1e9 probe adds
+        # fixed multi-second wall time, which a small-sf smoke run can
+        # shrink — cross-round marker comparisons require the default.
+        cal_rows = int(os.environ.get("SPARK_GRAFT_CAL_ROWS", 1_000_000_000))
         probe = "sum(cast(id as double) * id)"
-        spark.range(1_000_000_000).selectExpr(probe).collect()  # JIT
+        spark.range(cal_rows).selectExpr(probe).collect()  # JIT
         t0 = time.perf_counter()
-        spark.range(1_000_000_000).selectExpr(probe).collect()
+        spark.range(cal_rows).selectExpr(probe).collect()
         box_cpu_sec = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         for _ in range(20):

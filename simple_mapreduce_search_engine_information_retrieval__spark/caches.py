@@ -36,8 +36,16 @@ def _unpersist(value: Any) -> None:
             # checkpoint blocks on executors until ContextCleaner GC).
             # When the analyzed plan IS a checkpoint scan (LogicalRDD),
             # unpersist that RDD too; plain cached frames no-op here.
+            # Guarded on isLocallyCheckpointed (r12 ADVICE): a LogicalRDD
+            # can also wrap an RDD the caller built via
+            # spark.createDataFrame(rdd) and may share outside the memo —
+            # only an RDD that localCheckpoint() itself marked is ours to
+            # release.
             plan = value._jdf.queryExecution().analyzed()
-            if plan.getClass().getSimpleName() == "LogicalRDD":
+            if (
+                plan.getClass().getSimpleName() == "LogicalRDD"
+                and plan.rdd().isLocallyCheckpointed()
+            ):
                 plan.rdd().unpersist(False)
         except Exception:  # session already stopped — nothing to release
             pass

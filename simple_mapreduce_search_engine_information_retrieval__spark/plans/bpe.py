@@ -598,6 +598,21 @@ def write_bpe_store(
     _write_store(spark, out_path, merges, symbols, enc)
 
 
+def _write_artifact(
+    spark: SparkSession, out_path: str, merges: list[tuple], symbols: list[str]
+) -> None:
+    """The two ARTIFACT writes (merges/, vocab/) — the tokenizer.json-
+    equivalent relations, both bounded. Split out of _write_store (r12
+    verdict #4) so the sidecar roundtrips can persist exactly what their
+    exporters render without paying the corpus-sized encoded/ write."""
+    _merges_df(spark, merges).write.mode("overwrite").parquet(
+        f"{out_path}/merges"
+    )
+    spark.createDataFrame(
+        [(s, i) for i, s in enumerate(symbols)], schema="sym STRING, id BIGINT"
+    ).write.mode("overwrite").parquet(f"{out_path}/vocab")
+
+
 def _write_store(
     spark: SparkSession,
     out_path: str,
@@ -608,12 +623,7 @@ def _write_store(
     """The three store writes (merges/, vocab/, encoded/ at ingest=0) —
     one definition shared by write_bpe_store and the memoized-artifact
     callers so the layout cannot drift."""
-    _merges_df(spark, merges).write.mode("overwrite").parquet(
-        f"{out_path}/merges"
-    )
-    spark.createDataFrame(
-        [(s, i) for i, s in enumerate(symbols)], schema="sym STRING, id BIGINT"
-    ).write.mode("overwrite").parquet(f"{out_path}/vocab")
+    _write_artifact(spark, out_path, merges, symbols)
     (
         enc.withColumn("ingest", F.lit(0))
         .write.mode("overwrite")
@@ -761,7 +771,7 @@ def _render_sidecar(doc: dict, sidecar_path: str) -> str:
 
 
 def export_bpe_json(
-    spark: SparkSession, store_path: str, sidecar_path: str
+    spark: SparkSession, store_path: str, sidecar_path: str, *, artifact=None
 ) -> str:
     """Render the persisted tokenizer store as a deterministic JSON
     sidecar: merges as [lhs, rhs] PAIRS in rank order (a symbol can
@@ -770,8 +780,17 @@ def export_bpe_json(
     formats would be ambiguous here; JSON arrays are lossless), vocab as
     [sym, id] pairs in id order. n_occ counts are training diagnostics,
     not serving state, and are deliberately dropped (as public
-    tokenizer.json files do)."""
-    merges, vocab = _read_store_artifact(spark, store_path)
+    tokenizer.json files do). ``artifact`` (the (merges, id-sorted
+    vocab) pair _read_store_artifact returns) skips the store re-read
+    when the caller just built the store and holds the relations in
+    hand (r12 verdict #4 — the roundtrip queries paid two redundant
+    collect jobs per export); the rendered bytes are identical by
+    construction, pinned by test."""
+    merges, vocab = (
+        artifact
+        if artifact is not None
+        else _read_store_artifact(spark, store_path)
+    )
     return _render_sidecar(
         {
             "format": SIDECAR_FORMAT,
@@ -902,8 +921,17 @@ def _hf_sym(sym: str) -> str:
     to one rendered char per byte). Total and injective — the r11
     marker-collision refuse case is gone because a literal 'Ġ' in a
     symbol now renders as ITS OWN bytes ('Äł'), distinct from a
-    space's."""
-    return "".join(_HF_BYTE_TO_CHAR[b] for b in sym.encode("utf-8"))
+    space's. ValueError (the adapter's advertised refuse type, r12
+    ADVICE) for a symbol that is not UTF-8-encodable at all — a lone
+    surrogate — rather than leaking the raw UnicodeEncodeError."""
+    try:
+        raw = sym.encode("utf-8")
+    except UnicodeEncodeError:
+        raise ValueError(
+            f"symbol {sym!r} is not UTF-8-encodable (lone surrogate); "
+            "cannot render it in the ByteLevel convention"
+        ) from None
+    return "".join(_HF_BYTE_TO_CHAR[b] for b in raw)
 
 
 def _hf_unsym(sym: str) -> str:
@@ -934,7 +962,7 @@ def _hf_unsym(sym: str) -> str:
 
 
 def export_bpe_json_hf(
-    spark: SparkSession, store_path: str, sidecar_path: str
+    spark: SparkSession, store_path: str, sidecar_path: str, *, artifact=None
 ) -> str:
     """Render the persisted tokenizer store in the public `tokenizers`
     tokenizer.json shape: {"version", "added_tokens", "pre_tokenizer",
@@ -952,8 +980,13 @@ def export_bpe_json_hf(
     is engine-side policy, not a vocab entry). Byte-stable via the
     shared _render_sidecar (non-ASCII rendered chars ship as \\u
     escapes under ensure_ascii — still valid to every JSON reader
-    including the public one)."""
-    merges, vocab = _read_store_artifact(spark, store_path)
+    including the public one). ``artifact`` as in export_bpe_json: the
+    in-hand (merges, vocab) relations skip the store re-read."""
+    merges, vocab = (
+        artifact
+        if artifact is not None
+        else _read_store_artifact(spark, store_path)
+    )
     byte_level = {
         "type": "ByteLevel",
         "add_prefix_space": False,
@@ -1082,17 +1115,29 @@ def _sidecar_roundtrip(
 ) -> DataFrame:
     """The shared interchange composition (one definition for BOTH
     sidecar formats, the _write_base_store_with_delta dedup precedent):
-    build the store, EXPORT via the given adapter, IMPORT the sidecar,
-    and encode the corpus under the imported artifact — no Parquet store
-    in the serving path. Must equal the in-session encode's own value
-    oracle (strict lookup: the full-corpus vocab covers by construction,
-    so any sidecar-rendering loss raises loudly instead of UNK-masking)."""
+    build + persist the tokenizer ARTIFACT (merges/ + vocab/ — the two
+    relations a sidecar renders; the corpus-sized encoded/ partition is
+    text_bpe_store_roundtrip's claim, not this one — r12 verdict #4
+    trimmed it from this composition along with the exporter's store
+    re-read, values unchanged), EXPORT via the given adapter from the
+    in-hand artifact, IMPORT the sidecar, and encode the corpus under
+    the IMPORTED artifact — no Parquet store in the serving path. Must
+    equal the in-session encode's own value oracle (strict lookup: the
+    full-corpus vocab covers by construction, so any sidecar-rendering
+    loss raises loudly instead of UNK-masking)."""
     from .sinks_sources import _out_path
 
     out = _out_path(kind, sf_dir)
     store = os.path.join(out, "store")
-    write_bpe_store(spark, sf_dir, store)
-    sidecar = exporter(spark, store, os.path.join(out, filename))
+    built_merges = learned_merges(spark, sf_dir)
+    symbols, _enc = _corpus_encoding(spark, sf_dir)
+    _write_artifact(spark, store, built_merges, symbols)
+    sidecar = exporter(
+        spark,
+        store,
+        os.path.join(out, filename),
+        artifact=(built_merges, [(i, s) for i, s in enumerate(symbols)]),
+    )
     merges, id_pairs = importer(sidecar)
     pieces = _pieces(spark, sf_dir)
     es = _merged_symbolization(pieces, merges)

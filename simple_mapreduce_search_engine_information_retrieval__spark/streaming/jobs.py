@@ -514,6 +514,20 @@ def incremental_near_dups(
             F.broadcast(cand_docs),
             "doc_id",
         ).cache()
+        try:
+            _verify_and_write(
+                spark, cand, sh_cand, bands_b, sh_b, batch_id,
+                pairs_p, bands_p, sh_p,
+            )
+        finally:
+            # release the batch residue even when a mid-batch write
+            # fails (r12 ADVICE) — the replayed batch re-caches its own
+            cand.unpersist()
+            sh_cand.unpersist()
+
+    def _verify_and_write(
+        spark, cand, sh_cand, bands_b, sh_b, batch_id, pairs_p, bands_p, sh_p
+    ):
         sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
         a = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -561,8 +575,6 @@ def incremental_near_dups(
         sh_b.coalesce(2).write.mode("overwrite").parquet(
             f"{sh_p}/batch={batch_id}"
         )
-        cand.unpersist()
-        sh_cand.unpersist()
 
     # ``checkpoint_path`` makes the maintenance restartable: a killed
     # job resumes at the first uncommitted batch, and because every

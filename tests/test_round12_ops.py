@@ -113,8 +113,9 @@ def test_repl_encode_skip_list_is_exact_and_fast():
     slow = _naive_encode(line, big, vocab2)
     dt_slow = time.perf_counter() - t0
     assert fast == slow
-    # prompt-speed bound, generous for CI noise; measured ~100x+
-    assert dt_fast < 0.25 and dt_fast < dt_slow
+    # relative bound only (r12 ADVICE: the absolute 0.25 s wall bound
+    # could flake on a loaded box); measured ~100x+, asserted at 5x
+    assert dt_fast * 5 < dt_slow
 
 
 def test_repl_serves_from_prebuilt_index_store(spark, tmp_path, monkeypatch):

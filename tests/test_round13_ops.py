@@ -1,0 +1,98 @@
+"""Round-13 fixes: the r12 ADVICE items (lone-surrogate refuse in the
+HF exporter, checkpoint-provenance guard on cache eviction, try/finally
+residue release) and the verdict-#4 roundtrip trim (artifact-in-hand
+export must render byte-identical to a store-read export)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from simple_mapreduce_search_engine_information_retrieval__spark import caches
+from simple_mapreduce_search_engine_information_retrieval__spark.plans import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hf_sym_lone_surrogate_raises_valueerror():
+    """r12 ADVICE (low, bpe.py): a symbol containing a lone surrogate is
+    not UTF-8-encodable — str.encode used to traceback with
+    UnicodeEncodeError before the table lookup; the adapter's advertised
+    refuse type is ValueError, naming the symbol."""
+    with pytest.raises(ValueError, match="not UTF-8-encodable"):
+        bpe._hf_sym("a\ud800b")
+    # the well-formed path is unchanged
+    assert bpe._hf_sym(" s") == "Ġs"
+
+
+def test_export_from_in_hand_artifact_is_byte_identical(spark, tmp_path):
+    """Verdict r12 #4: the sidecar roundtrips now export from the
+    in-hand (merges, vocab) relations instead of re-reading the store
+    they just wrote. The rendered bytes must be identical either way,
+    for BOTH adapters — otherwise the trim would silently change the
+    shipped artifact."""
+    store = str(tmp_path / "store")
+    bpe.write_bpe_store(spark, SF, store)
+    artifact = bpe._read_store_artifact(spark, store)
+    for exporter, fname in (
+        (bpe.export_bpe_json, "priv"),
+        (bpe.export_bpe_json_hf, "hf"),
+    ):
+        from_store = exporter(spark, store, str(tmp_path / f"{fname}_a.json"))
+        in_hand = exporter(
+            spark, store, str(tmp_path / f"{fname}_b.json"), artifact=artifact
+        )
+        with open(from_store, "rb") as fa, open(in_hand, "rb") as fb:
+            assert fa.read() == fb.read()
+
+
+def test_sidecar_roundtrip_writes_artifact_relations(spark):
+    """The trimmed composition still persists the exporter's input
+    relations (merges/ + vocab/) — what a serving stack would load —
+    while the corpus-sized encoded/ partition is deliberately NOT
+    written here (that is text_bpe_store_roundtrip's claim)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.sinks_sources import (
+        _out_path,
+    )
+
+    bpe.QUERIES["text_bpe_export_hf_roundtrip"].fn(spark, SF).count()
+    store = os.path.join(_out_path("bpe_export_hf", SF), "store")
+    assert os.path.isdir(os.path.join(store, "merges"))
+    assert os.path.isdir(os.path.join(store, "vocab"))
+    assert not os.path.exists(os.path.join(store, "encoded"))
+    # and the persisted artifact equals the in-hand one the export used
+    merges, vocab = bpe._read_store_artifact(spark, store)
+    assert merges == bpe.learned_merges(spark, SF)
+    assert [s for _i, s in vocab] == bpe._corpus_encoding(spark, SF)[0]
+
+
+def test_evict_leaves_foreign_rdd_backed_frames_alone(spark):
+    """r12 ADVICE (low, caches.py): the LogicalRDD eviction branch used
+    to unpersist the source RDD of ANY RDD-backed DataFrame — e.g. one
+    built via spark.createDataFrame(rdd) whose RDD is shared outside
+    the memo. Now guarded on localCheckpoint provenance."""
+    sc = spark.sparkContext
+    rdd = sc.parallelize([(1,), (2,)]).persist()
+    rdd.count()
+    df = spark.createDataFrame(rdd, "x long")
+    memo = caches.register_cache({})
+    memo[("app", "/tmp/fake_sf")] = df
+    assert caches.evict("/tmp/fake_sf") == 1
+    # the foreign RDD's persistence survives eviction
+    assert rdd.getStorageLevel().useMemory
+    rdd.unpersist()
+    caches._REGISTRY.remove(memo)
+
+
+def test_evict_still_releases_local_checkpoints(spark):
+    """The r11 fix stays effective under the new guard: a memoized
+    localCheckpoint()ed DataFrame's blocks ARE released on evict."""
+    df = spark.range(10).localCheckpoint()
+    jrdd = df._jdf.queryExecution().analyzed().rdd()
+    assert jrdd.getStorageLevel().useMemory()
+    memo = caches.register_cache({})
+    memo[("app", "/tmp/fake_sf2")] = df
+    assert caches.evict("/tmp/fake_sf2") == 1
+    assert not jrdd.getStorageLevel().useMemory()
+    caches._REGISTRY.remove(memo)
