@@ -624,6 +624,37 @@ def search_phrase(
     )
 
 
+def search_indexed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_index + search_indexed composed in ONE query: the on-disk
+    bucketed index store written and then SERVED — a pushed-down
+    `term IN (...)` scan of the persisted postings/stats plus the meta
+    n_docs, no corpus re-tokenize in the serving path. Same query and
+    value oracle as search_two_term (r12 verdict #2: the
+    search_indexed_warm bench line had no driver-oracled counterpart —
+    this is the text_bpe_store_roundtrip pattern applied to
+    plans/index_store.py)."""
+    from .index_store import build_index, search_indexed
+    from .sinks_sources import _out_path
+
+    out = _out_path("index_store_served", sf_dir)
+    name = build_index(spark, sf_dir, out, name="smse_index_served")
+    return search_indexed(spark, tokenize_query("spark join"), name=name)
+
+
+def search_phrase_indexed_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The phrase twin of search_indexed_roundtrip: a phrase is ONE term
+    in the persisted k=2 store, so serving is the identical pushed-down
+    single-term lookup. Same value oracle as search_phrase_2gram."""
+    from .index_store import build_index, search_indexed
+    from .sinks_sources import _out_path
+
+    out = _out_path("index_store2_served", sf_dir)
+    name = build_index(spark, sf_dir, out, k=2, name="smse_index2_served")
+    return search_indexed(spark, [" ".join(tokenize_query("spark join"))], name=name)
+
+
 def duck_search_phrase(phrase: str, *, top_k: int = TOP_K) -> str:
     terms = tokenize_query(phrase)
     gram = " ".join(terms)
@@ -1698,6 +1729,21 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=duck_search_phrase("spark join"),
         note="exact-phrase search over the word-2-gram index (the point "
         "of the reference's k>1 TermKGram indexes)",
+    ),
+    "search_indexed_roundtrip": QuerySpec(
+        fn=search_indexed_roundtrip,
+        oracle=duck_search("spark join"),
+        note="store-SERVED search: build_index (bucketed+sorted parquet) "
+        "then search_indexed in one query — pushed-down term IN scan of "
+        "the persisted postings, same value oracle as search_two_term "
+        "(the search_indexed_warm bench line's driver-oracled twin)",
+    ),
+    "search_phrase_indexed_roundtrip": QuerySpec(
+        fn=search_phrase_indexed_roundtrip,
+        oracle=duck_search_phrase("spark join"),
+        note="store-served phrase search over the persisted k=2 index — "
+        "a phrase is one term in the store, serving is the identical "
+        "pushed-down lookup; same oracle as search_phrase_2gram",
     ),
     "search_phrase_warm": QuerySpec(
         fn=lambda s, d: search_phrase(s, d, "customer orders"),

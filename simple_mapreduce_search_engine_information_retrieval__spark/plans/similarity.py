@@ -570,6 +570,7 @@ def query_ivf_store(
     nprobe: int = NPROBE,
     top_k: int = TOP_K,
     where=None,
+    with_cell: bool = False,
 ) -> DataFrame:
     """Top-k over the partitioned store, probing the query's nprobe
     nearest cells. Probe planning reads only the tiny codebook (K rows)
@@ -580,7 +581,11 @@ def query_ivf_store(
     scan, next to the partition pruning, as a pushed Parquet filter —
     pre-filtering, never post-filtering a top-k list (see
     knn_ivf_filtered for the probe-widening rule that preserves recall
-    under selective predicates)."""
+    under selective predicates). ``with_cell`` adds the hit's assigned
+    cell to the output (cast long — partition-column type inference
+    reads the directory value as int32), matching knn_ivf_bucketed's
+    (vec_id, cell, cos) shape so the store-served path can share its
+    value oracle (r12 verdict #2)."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
     probes = probe_cells(spark, path, q, nprobe)
     scan = spark.read.parquet(f"{path}/vectors").filter(
@@ -588,8 +593,11 @@ def query_ivf_store(
     )
     if where is not None:
         scan = scan.filter(where)
+    cols = ["vec_id"] + (
+        [F.col("cell").cast("long").alias("cell")] if with_cell else []
+    )
     return (
-        scan.select("vec_id", F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
+        scan.select(*cols, F.round(_cos(F.col("embedding"), q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(top_k)
     )
@@ -810,6 +818,58 @@ def query_ivfpq_store(
             "vec_id", "adist", "cos",
             F.row_number().over(w).cast("long").alias("rank"),
         )
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """QUERY_VEC_ID's embedding collected driver-side — a 1-row probe-
+    planning input (the codebook-read discipline), exactly what a real
+    serving caller hands query_ivf_store/query_ivfpq_store."""
+    return [
+        float(x)
+        for x in _emb_cached(spark, sf_dir)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .head()
+        .embedding
+    ]
+
+
+def knn_ivf_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, cos): write_ivf_store + query_ivf_store composed in
+    ONE query — the store-SERVED twin of knn_ivf_bucketed, value-oracled
+    against the same DUCK_KNN_IVF SQL (r12 verdict #2: the warm serving
+    bench lines had no driver-oracled counterpart; this is the
+    text_bpe_store_roundtrip pattern applied to the vector store). The
+    serving scan is partition-pruned to the probed cells (a static
+    IN-list over the persisted cell= directories), never a corpus scan;
+    the query vector excludes itself per the in-session query's
+    convention."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("ivf_store_served", sf_dir)
+    write_ivf_store(spark, sf_dir, out)
+    return query_ivf_store(
+        spark,
+        out,
+        _query_vec(spark, sf_dir),
+        where=F.col("vec_id") != QUERY_VEC_ID,
+        with_cell=True,
+    )
+
+
+def knn_ivfpq_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, adist, cos, rank): write_ivfpq_store + query_ivfpq_store
+    composed in ONE query — the store-served IVFADC path under the same
+    value oracle as the in-session knn_ivfpq_adc (their equality was
+    previously only test-asserted; now the driver sees the store path
+    directly, r12 verdict #2). Probe planning reads the persisted K-row
+    codebook; the ADC scan reads only the probed cells' code files."""
+    from .sinks_sources import _out_path
+
+    out = _out_path("ivfpq_store_served", sf_dir)
+    write_ivfpq_store(spark, sf_dir, out)
+    return query_ivfpq_store(
+        spark, out, _query_vec(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID
     )
 
 
@@ -2126,6 +2186,21 @@ QUERIES: dict[str, QuerySpec] = {
         "vectors, per-query top-k via ranking window)",
     ),
     "knn_ivf_bucketed": QuerySpec(fn=knn_ivf_bucketed, oracle=DUCK_KNN_IVF),
+    "knn_ivf_store_roundtrip": QuerySpec(
+        fn=knn_ivf_store_roundtrip,
+        oracle=DUCK_KNN_IVF,
+        note="store-SERVED ANN: write_ivf_store then query_ivf_store in "
+        "one query — partition-pruned probe scan of the persisted "
+        "cell= layout, same value oracle as the in-session IVF "
+        "(the warm bench lines' driver-oracled twin)",
+    ),
+    "knn_ivfpq_store_roundtrip": QuerySpec(
+        fn=knn_ivfpq_store_roundtrip,
+        oracle=_duck_ivfpq_adc(),
+        note="store-served IVFADC: persisted codebooks + cell-partitioned "
+        "codes/vectors, probe -> code-only ADC scan -> exact re-rank, "
+        "oracled against the same SQL as knn_ivfpq_adc",
+    ),
     "knn_ivf_filtered": QuerySpec(
         fn=knn_ivf_filtered,
         oracle=DUCK_KNN_IVF_FILTERED,

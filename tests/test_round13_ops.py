@@ -67,6 +67,47 @@ def test_sidecar_roundtrip_writes_artifact_relations(spark):
     assert [s for _i, s in vocab] == bpe._corpus_encoding(spark, SF)[0]
 
 
+def test_store_served_roundtrips_registered_and_oracled():
+    """Verdict r12 #2: the warm store-serving bench lines now have
+    driver-oracled registry twins — every one pairs a queries() entry
+    with real oracle SQL (not a rows-only check)."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    for name in (
+        "search_indexed_roundtrip",
+        "search_phrase_indexed_roundtrip",
+        "knn_ivf_store_roundtrip",
+        "knn_ivfpq_store_roundtrip",
+    ):
+        assert name in q and name in o and o[name].strip()
+
+
+def test_ivf_store_serving_scan_is_partition_pruned(spark, tmp_path):
+    """The store-served ANN query's scan must read only the probed
+    cells' partitions — the PartitionFilters line carries the static
+    cell IN-list, and with_cell returns the partition value cast long."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.similarity import (
+        QUERY_VEC_ID,
+        _query_vec,
+        query_ivf_store,
+        write_ivf_store,
+    )
+
+    out = str(tmp_path / "ivf")
+    write_ivf_store(spark, SF, out)
+    df = query_ivf_store(
+        spark, out, _query_vec(spark, SF), with_cell=True
+    )
+    assert [f.name for f in df.schema.fields] == ["vec_id", "cell", "cos"]
+    assert dict(df.dtypes)["cell"] == "bigint"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pruned = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pruned  # the probe IN-list prunes cell= directories
+    assert len(df.collect()) > 0
+
+
 def test_evict_leaves_foreign_rdd_backed_frames_alone(spark):
     """r12 ADVICE (low, caches.py): the LogicalRDD eviction branch used
     to unpersist the source RDD of ANY RDD-backed DataFrame — e.g. one
