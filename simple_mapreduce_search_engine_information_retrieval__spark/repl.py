@@ -43,16 +43,22 @@ import sys
 
 
 def _load_tokenizer(path: str):
-    """(merges, ids_by_sym) from a sidecar of EITHER format — one read,
-    shape-dispatched in bpe.import_bpe_json_auto (r11 review: the old
-    loader sniffed with its own parse and the importer re-parsed)."""
+    """(merges, ids_by_sym, byte_level) from a sidecar of EITHER format
+    — one read, shape-dispatched in bpe.import_bpe_json_auto (r11
+    review: the old loader sniffed with its own parse and the importer
+    re-parsed). byte_level is True for a byte-level-learned public
+    artifact (r13): its symbols are byte sequences, so :tokenize input
+    must be byte-expanded before the merge replay."""
     from .plans.bpe import import_bpe_json_auto
 
-    merges, id_pairs = import_bpe_json_auto(path)
-    return merges, dict(id_pairs)
+    imp = import_bpe_json_auto(path)
+    merges, id_pairs = imp
+    return merges, dict(id_pairs), getattr(imp, "byte_level", False)
 
 
-def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
+def _encode_text(
+    text: str, merges, ids_by_sym, byte_level: bool = False
+) -> list[int]:
     """One line of text -> token ids under the imported artifact: the
     same pre-tokenizer (BPE_PATTERN, SEP framing guard) and the same
     greedy one-pass-per-merge application the engine runs distributed —
@@ -86,6 +92,11 @@ def _encode_text(text: str, merges, ids_by_sym) -> list[int]:
         piece = m.group(0)
         if SEP in piece:
             continue
+        if byte_level:
+            # byte-sequence artifact (r13): one symbol per UTF-8 byte,
+            # latin-1-faithful — the driver-side twin of
+            # bpe.hf_byte_faithful_col, identity on ASCII pieces
+            piece = piece.encode("utf-8").decode("latin-1")
         syms = list(piece)
         pos = 0
         while len(syms) >= 2:

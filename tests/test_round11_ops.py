@@ -127,14 +127,16 @@ def test_hf_export_roundtrips_marker_bearing_symbol(spark, tmp_path):
     assert dict(id_pairs) == {"a": 0, bpe.HF_SPACE_MARKER: 1, marked: 2}
 
 
-def test_hf_import_refuses_byte_fragment_tokens(tmp_path):
-    """A byte-level-LEARNED vocab (GPT-2's own) carries byte-fragment
-    tokens — e.g. a lone continuation byte, rendered 'ł' (0xA0) after
-    a bare 'Ã' (0xC3) — that decode to no character string. The engine's
-    symbol alphabet is characters, so the importer must refuse by name
-    (adapter block comment), and a char outside the 256-entry alphabet
-    (e.g. '€') must refuse as a non-ByteLevel artifact."""
-    for bad_sym, match in (("Ã", "byte-fragment"), ("€", "alphabet")):
+def test_hf_import_accepts_byte_fragments_refuses_alien_chars(tmp_path):
+    """INVERTED from the r12 refusal (r12 verdict #3): a byte-level-
+    LEARNED vocab (GPT-2's own) carries byte-fragment tokens — e.g. a
+    bare 'Ã' rendering the lone continuation byte 0xC3 — that decode to
+    no character string. These now import in byte-sequence carriage:
+    byte_level=True, every symbol back-mapped per BYTE (latin-1-
+    faithful), ASCII symbols unchanged. A char outside the 256-entry
+    alphabet (e.g. '€') still refuses — that file is not a ByteLevel
+    artifact at all."""
+    def write(bad_sym):
         doc = {
             "version": "1.0",
             "model": {
@@ -146,8 +148,16 @@ def test_hf_import_refuses_byte_fragment_tokens(tmp_path):
         }
         p = tmp_path / "frag.json"
         p.write_text(json.dumps(doc, ensure_ascii=False), encoding="utf-8")
-        with pytest.raises(ValueError, match=match):
-            bpe.import_bpe_json_hf(str(p))
+        return str(p)
+
+    imp = bpe.import_bpe_json_hf(write("Ã"))
+    assert imp.byte_level
+    merges, id_pairs = imp
+    assert merges == []
+    # the fragment carries as the single byte 0xC3; 'a' stays 'a'
+    assert dict(id_pairs) == {"a": 0, "\xc3": 1}
+    with pytest.raises(ValueError, match="alphabet"):
+        bpe.import_bpe_json_hf(write("€"))
 
 
 def test_hf_bytelevel_table_is_the_public_one():
