@@ -437,6 +437,14 @@ def ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_clusters(spark, sf_dir)
         .groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_vecs"))
+        # K-row census, materialized ONCE (r12 verdict optional #7: this
+        # query was the worst plan-audit row at 48 Exchanges / 25 BNLJ —
+        # all display/recompute duplicates of the kmeans census nested
+        # under its four downstream consumers, benign but unreadable).
+        # localCheckpoint on a bounded relation, the mmr-shortlist
+        # precedent; the downstream totals/union/cumsum now read a flat
+        # K-row stub. Values identical by construction.
+        .localCheckpoint()
     )
     tot0 = real.agg(
         F.sum("n_vecs").cast("long").alias("t0"),
