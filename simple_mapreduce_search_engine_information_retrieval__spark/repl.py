@@ -34,7 +34,19 @@ tokenizer.json) is auto-detected, so the REPL exercises both importers
 outside tests. Encoding is a driver-side replay of the greedy merge
 loop on ONE line of text (bounded by construction — no Spark job for
 an interactive probe); symbols outside the frozen vocab print as
-UNK_ID, the frozen-tokenizer OOV semantics.
+UNK_ID, the frozen-tokenizer OOV semantics. A byte-level public
+artifact (HFImport.byte_level, r13) byte-expands the input pieces
+before the replay.
+
+With --index, `:wildcard pre*suf` and `:fuzzy term` additionally serve
+TERM lookups from the same store (r12 verdict optional #8 — one
+session, every surface store-served): both scan only the store's
+dictionary-sized stats part — prefix patterns push down to the sorted
+bucketed parquet as a StartsWith filter; fuzzy is levenshtein<=2 over
+the term dictionary (bounded by construction, the wildcard_terms /
+search_fuzzy_term serving shapes) — and print the top-10 matching
+terms by df. --tokenizer composes with --index, so one session serves
+ranked queries, term lookups AND :tokenize with no corpus access.
 """
 
 from __future__ import annotations
@@ -125,6 +137,47 @@ def _encode_text(
 
 
 REPL_INDEX_NAME = "smse_repl_index"
+
+
+def _term_lookup(spark, cmd: str, arg: str):
+    """Store-served term lookup over the registered stats view (the
+    dictionary-sized part of the index store — never the postings).
+    :wildcard supports pre*, *suf, pre*suf and exact (no star); the
+    prefix arm pushes to the sorted bucketed parquet as StartsWith.
+    :fuzzy is the levenshtein<=2 spelling-correction scan (JVM-side
+    expression over the bounded dictionary). Returns None on a
+    malformed pattern (caller prints usage)."""
+    from pyspark.sql import functions as F
+
+    stats = spark.table(f"{REPL_INDEX_NAME}_stats")
+    if cmd == ":wildcard":
+        if arg.count("*") > 1:
+            return None
+        pre, star, suf = arg.partition("*")
+        if star:
+            cond = F.lit(True)
+            if pre:
+                cond = cond & F.col("term").startswith(pre)
+            if suf:
+                cond = cond & F.col("term").endswith(suf)
+        else:
+            cond = F.col("term") == arg
+    else:
+        cond = F.levenshtein(F.col("term"), F.lit(arg)) <= 2
+    return (
+        stats.filter(cond)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .select("term", "df", "cf")
+    )
+
+
+def _show_terms(df, out) -> None:
+    rows = df.collect()
+    if not rows:
+        print("  (no terms)", file=out)
+    for r in rows:
+        print(f"  {r.term}  df {r.df}  cf {r.cf}", file=out)
 
 
 def _take_path_flag(argv: list[str], flag: str, out) -> str | int | None:
@@ -219,6 +272,20 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 ids = _encode_text(parts[1] if len(parts) > 1 else "",
                                    *tokenizer)
                 print(f"  ids ({len(ids)}): {ids}", file=out)
+        elif q.split(None, 1)[0] in (":wildcard", ":fuzzy"):
+            cmd = q.split(None, 1)[0]
+            if index_dir is None:
+                print(f"! {cmd} serves from the index store (start with "
+                      "--index DIR)", file=out)
+            else:
+                parts = q.split(None, 1)
+                arg = parts[1].strip() if len(parts) > 1 else ""
+                hits = _term_lookup(spark, cmd, arg) if arg else None
+                if hits is None:
+                    print("! usage: :wildcard pre*suf | :fuzzy term "
+                          "(one '*' max)", file=out)
+                else:
+                    _show_terms(hits, out)
         elif len(q.split()) > 2:
             print("! queries are 1-2 words (reference REPL constraint)", file=out)
         elif index_dir is not None:

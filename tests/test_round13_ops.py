@@ -222,6 +222,80 @@ def test_ivf_store_serving_scan_is_partition_pruned(spark, tmp_path):
     assert len(df.collect()) > 0
 
 
+def test_repl_unified_store_serving_across_processes(spark, tmp_path):
+    """r12 verdict optional #8: ONE fresh-process REPL session serves
+    ranked queries, :wildcard / :fuzzy term lookups AND :tokenize, all
+    from prebuilt stores (--index + --tokenizer together) — no corpus
+    access, no building-session catalog state."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+        build_index,
+    )
+
+    store = str(tmp_path / "uni_index")
+    build_index(spark, SF, store, name="r13_uni_build")
+    bpe_store = str(tmp_path / "uni_bpe")
+    bpe.write_bpe_store(spark, SF, bpe_store)
+    sidecar = bpe.export_bpe_json_hf(
+        spark, bpe_store, str(tmp_path / "uni_tok.json")
+    )
+    # expected wildcard/fuzzy rows straight off the store's stats part
+    stats = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in spark.read.parquet(f"{store}/stats").collect()
+    }
+    assert "spark" in stats
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "simple_mapreduce_search_engine_information_retrieval__spark.repl",
+         SF, "--index", store, "--tokenizer", sidecar],
+        input=(
+            "spark join\n:wildcard sp*\n:fuzzy sprak\n"
+            ":wildcard a*b*c\n:tokenize the spark\n\n"
+        ),
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    text = proc.stdout
+    assert " 1. doc " in text  # ranked query served
+    df_sp, cf_sp = stats["spark"]
+    assert f"spark  df {df_sp}  cf {cf_sp}" in text  # :wildcard sp*
+    # :fuzzy sprak -> levenshtein<=2 catches 'spark'
+    fuzzy_block = text.split(":tokenize")[0]
+    assert fuzzy_block.count(f"spark  df {df_sp}") >= 2
+    assert "usage: :wildcard" in text  # multi-star rejected
+    m = re.search(r"ids \((\d+)\): (\[.*?\])", text)
+    assert m and json.loads(m.group(2))  # :tokenize served in-session
+    # every 'sp*' hit printed really is a store term starting 'sp'
+    for t in re.findall(r"^  (\S+)  df \d+  cf \d+$", text, re.M):
+        assert t in stats
+
+
+def test_repl_term_lookup_usage_errors(spark, monkeypatch):
+    """:wildcard/:fuzzy without --index hint instead of crashing, and
+    the loop continues."""
+    import io
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import (
+        repl,
+    )
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(":wildcard sp*\n:fuzzy x\n\n"))
+    out = io.StringIO()
+    assert repl.main([SF], out=out) == 0
+    text = out.getvalue()
+    assert text.count("serves from the index store") == 2
+    assert text.count("blank to quit") == 3
+
+
 def test_evict_leaves_foreign_rdd_backed_frames_alone(spark):
     """r12 ADVICE (low, caches.py): the LogicalRDD eviction branch used
     to unpersist the source RDD of ANY RDD-backed DataFrame — e.g. one
