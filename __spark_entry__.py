@@ -115,22 +115,20 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r13 (verdict #4, the bench-regression trim): the sidecar
-        # roundtrips now write only the ARTIFACT relations (merges/ +
-        # vocab/) and export from the in-hand artifact instead of
-        # re-reading the just-written store — value-identical by
-        # construction (export bytes pinned equal by test), re-verified
-        # tri-scale locally. Kept deliberately tiny: the 37 r8-stale
-        # rows hit the <=4-round evidence bound this round and need the
-        # rotation slots (r12 verdict #1).
-        "text_bpe_export_roundtrip",
-        "text_bpe_export_hf_roundtrip",
-        # r13 (verdict optional #7): the K-row rebalance census is now
-        # localCheckpoint-ed so the audit row reads the flat stub
-        # instead of four nested re-displays of the kmeans plan
-        # (48 -> 5 Exchanges, 25 -> 1 BNLJ); values identical,
-        # re-verified tri-scale locally.
-        "layout_ivf_rebalance",
+        # r14 (verdict #4): the byte-level import roundtrip now seeds a
+        # multibyte char (' '+OOV_SEED) into delta docs and carries the
+        # seed's UTF-8 bytes as vocab tokens, so the oracle value-checks
+        # a REAL >=2-byte expansion (new _duck_tokenize_ids_byteseed
+        # oracle). Re-verified tri-scale locally.
+        "text_bpe_import_bytelevel",
+        # r14 (verdict #6): build_index gained a default-off chargrams
+        # part for the REPL's store-served wildcard/fuzzy lookups. The
+        # roundtrips' executed path is bit-identical (chargrams=False),
+        # listed per the r9 value-identical-rewrite precedent.
+        # Kept tiny: the 36 r9-stale rows hit the <=4-round evidence
+        # bound this round and need the rotation slots (r13 verdict #1).
+        "search_indexed_roundtrip",
+        "search_phrase_indexed_roundtrip",
     }
 )
 

@@ -1246,8 +1246,10 @@ def bpe_export_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12; space-joined merges) and served back from it (see
     _sidecar_roundtrip). Green means a serving stack that speaks the
     public format loads this engine's artifact directly; third-party
-    artifacts import exactly when their symbols are character-aligned
-    (see the adapter block comment for the byte-fragment caveat)."""
+    artifacts import under the two-carriage contract (r13): symbols
+    that decode character-aligned import as characters, byte-fragment
+    vocabs flip into byte-sequence carriage (HFImport.byte_level) —
+    see the adapter block comment and bpe_import_bytelevel_roundtrip."""
     return _sidecar_roundtrip(
         spark, sf_dir, "bpe_export_hf", "tokenizer_hf.json",
         export_bpe_json_hf, import_bpe_json_hf,
@@ -1265,13 +1267,21 @@ def bpe_import_bytelevel_roundtrip(
     import into byte-sequence carriage (HFImport.byte_level), and the
     corpus is encoded under the imported artifact with the matching
     byte expansion (hf_byte_faithful_col) ahead of the standard merge
-    replay. Value oracle: the plain tokenize_ids SQL — the artifact's
-    real symbols are this corpus's learned vocab (rendered through the
-    full byte table and back), byte expansion is the identity on the
-    ASCII fixture, and the fragment token can never match
-    character-aligned input; a non-ASCII fixture would fail the strict
-    encode LOUDLY rather than drift (disclosed, the tokenizer_oov_rate
-    fixture-property precedent)."""
+    replay.
+
+    The byte path is exercised NON-TRIVIALLY (r13 verdict #4 — the old
+    oracle only value-checked the ASCII identity): each delta doc
+    (doc_id % DOC_DELTA_MOD == 0) gets ' '+OOV_SEED appended
+    IDENTICALLY in both engines (the tokenizer_oov_rate seeding), and
+    the artifact carries the seed's two UTF-8 bytes (0xC2, 0xA7) as
+    single-byte tokens at ids n+1/n+2 — so the seeded piece ' §'
+    byte-expands to THREE symbols (space, 0xC2, 0xA7) under a real
+    >=2-byte expansion, encoded strictly. Value oracle:
+    _duck_tokenize_ids_byteseed — merges learned on the unseeded
+    corpus, seeded pieces byte-expanded at the piece level
+    (replace '§' -> 'Â§', exactly hf_byte_faithful_col's latin-1
+    rendering), artifact vocab derived excluding the seed piece with
+    the seed-byte ids appended."""
     from .sinks_sources import _out_path
 
     out = _out_path("bpe_bytelevel", sf_dir)
@@ -1281,6 +1291,11 @@ def bpe_import_bytelevel_roundtrip(
     # the fragment token: a lone UTF-8 continuation byte, present in
     # every real byte-level-learned vocab, undecodable as characters
     vocab[_HF_BYTE_TO_CHAR[0x80]] = len(vocab)
+    # the seed char's UTF-8 bytes as single-byte tokens (ids n+1, n+2 —
+    # mirrored literally in the duck oracle's vocab extension): these
+    # make the seeded multibyte piece strictly encodable
+    for b in OOV_SEED.encode("utf-8"):
+        vocab[_HF_BYTE_TO_CHAR[b]] = len(vocab)
     sidecar = _render_sidecar(
         {
             "version": HF_VERSION,
@@ -1301,7 +1316,17 @@ def bpe_import_bytelevel_roundtrip(
     if not imp.byte_level:  # the fragment token must flip the carriage
         raise AssertionError("byte-level artifact imported as characters")
     merges_i, id_pairs = imp
-    pieces = _pieces(spark, sf_dir).withColumn(
+    # seed the delta docs (the tokenizer_oov_rate seeding shape — kept
+    # inline so that query's implementation is untouched this round)
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % DOC_DELTA_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + OOV_SEED)),
+        ).otherwise(F.col("text")),
+    )
+    pieces = _pieces_of(seeded).withColumn(
         "piece", hf_byte_faithful_col(F.col("piece"))
     )
     es = _merged_symbolization(pieces, merges_i)
@@ -1504,6 +1529,8 @@ def _duck_encode_ctes(
     frozen: bool = False,
     docs_rel: str = "documents",
     with_pe: bool = True,
+    piece_sql: str = "u.p",
+    with_vocab: bool = True,
 ) -> list[str]:
     """Append the encode CTEs to a merge chain: pp (all docs' pieces),
     the per-distinct-piece replace chain, symbol split, vocab, piece
@@ -1516,10 +1543,14 @@ def _duck_encode_ctes(
     with_pe=False stops the chain at ps/vocab for callers that build
     their OWN per-piece aggregate (the UNK monitors) — the 'pe' stage is
     MATERIALIZED, so leaving it dangling unreferenced risks a wasted
-    materialization pass (r9 ADVICE)."""
+    materialization pass (r9 ADVICE). piece_sql transforms the
+    extracted piece (the byteseed oracle's piece-level byte expansion,
+    r14); with_vocab=False suppresses the vocab CTE for callers that
+    derive their OWN id assignment (same wasted-materialization
+    rationale)."""
     s = SEP
     chain.append(
-        "pp AS MATERIALIZED (SELECT doc_id, u.i AS pos, u.p AS piece FROM ("
+        f"pp AS MATERIALIZED (SELECT doc_id, u.i AS pos, {piece_sql} AS piece FROM ("
         "SELECT doc_id, unnest(list_transform("
         f"regexp_extract_all(lower(text), '{_BPE_SQL_LIT}'), "
         f"(p, j) -> {{'i': j, 'p': p}})) AS u FROM {docs_rel}) "
@@ -1542,17 +1573,18 @@ def _duck_encode_ctes(
         f"string_split(substring(r, 2, length(r) - 2), '{s}{s}') AS syms "
         f"FROM e{N_MERGES})"
     )
-    vocab_src = (
-        "(SELECT DISTINCT unnest(string_split(substring(r, 2, length(r) - 2), "
-        f"'{s}{s}')) AS sym FROM v{N_MERGES})"
-        if frozen
-        else "(SELECT DISTINCT unnest(syms) AS sym FROM es)"
-    )
-    chain.append(
-        "vocab AS MATERIALIZED (SELECT sym, "
-        "CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id "
-        f"FROM {vocab_src})"
-    )
+    if with_vocab:
+        vocab_src = (
+            "(SELECT DISTINCT unnest(string_split(substring(r, 2, length(r) - 2), "
+            f"'{s}{s}')) AS sym FROM v{N_MERGES})"
+            if frozen
+            else "(SELECT DISTINCT unnest(syms) AS sym FROM es)"
+        )
+        chain.append(
+            "vocab AS MATERIALIZED (SELECT sym, "
+            "CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id "
+            f"FROM {vocab_src})"
+        )
     chain.append(
         "ps AS (SELECT piece, u.i AS spos, u.s AS sym FROM ("
         "SELECT piece, unnest(list_transform(syms, (t, j) -> {'i': j, 's': t})) "
@@ -1591,6 +1623,53 @@ def _duck_tokenize_ids_frozen(mod: int) -> str:
     chain = _duck_encode_ctes(
         _duck_merge_chain(N_MERGES, where=f" WHERE doc_id % {mod} != 0"),
         frozen=True,
+    )
+    return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
+
+
+def _duck_tokenize_ids_byteseed(mod: int) -> str:
+    """Oracle for the byte-level import roundtrip with a REAL multibyte
+    encode in the loop (r13 verdict #4): merges learned on the unseeded
+    corpus; delta docs seeded with ' '+OOV_SEED; pieces byte-expanded
+    at the PIECE level — replace('§' -> its UTF-8 bytes as latin-1
+    chars 'Â§'), exactly hf_byte_faithful_col's rendering and the
+    identity on every other (ASCII) piece. The artifact vocab is the
+    UNSEEDED corpus's surviving symbols (derived by excluding the seed
+    piece — the only non-ASCII piece, so the exclusion is exact), with
+    the two seed-byte tokens appended at ids n+1/n+2, mirroring the
+    Spark sidecar's vocab-dict insertion order (fragment 0x80 holds id
+    n and never matches)."""
+    bseed = OOV_SEED.encode("utf-8").decode("latin-1")  # 'Â§'
+    seed_piece = " " + bseed
+    chain = _duck_merge_chain(N_MERGES)
+    chain.append(
+        f"sd AS MATERIALIZED (SELECT doc_id, "
+        f"CASE WHEN doc_id % {mod} = 0 THEN text || ' {OOV_SEED}' "
+        "ELSE text END AS text FROM documents)"
+    )
+    chain = _duck_encode_ctes(
+        chain,
+        docs_rel="sd",
+        with_pe=False,
+        with_vocab=False,
+        piece_sql=f"replace(u.p, '{OOV_SEED}', '{bseed}')",
+    )
+    chain.append(
+        "va AS MATERIALIZED (SELECT sym, "
+        "CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id "
+        "FROM (SELECT DISTINCT unnest(syms) AS sym FROM es "
+        f"WHERE piece <> '{seed_piece}'))"
+    )
+    chain.append(
+        "vx AS (SELECT sym, id FROM va "
+        f"UNION ALL SELECT '{bseed[0]}', (SELECT count(*) FROM va) + 1 "
+        f"UNION ALL SELECT '{bseed[1]}', (SELECT count(*) FROM va) + 2)"
+    )
+    chain.append(
+        "pe AS MATERIALIZED (SELECT piece, CAST(count(*) AS BIGINT) AS n_sym, "
+        "CAST(sum(id) AS BIGINT) AS sum_sym, "
+        "string_agg(CAST(id AS VARCHAR), ',' ORDER BY spos) AS csv "
+        "FROM ps JOIN vx USING (sym) GROUP BY piece)"
     )
     return "WITH " + ",\n".join(chain) + "\n" + _DUCK_ASSEMBLE
 
@@ -1830,13 +1909,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_bpe_import_bytelevel": QuerySpec(
         fn=bpe_import_bytelevel_roundtrip,
-        oracle=_duck_tokenize_ids(),
+        oracle=_duck_tokenize_ids_byteseed(DOC_DELTA_MOD),
         note="byte-level tokenizer.json (GPT-2 shape incl. a lone-"
         "continuation-byte fragment token) imported in byte-sequence "
-        "carriage and served: corpus byte-expanded JVM-side "
-        "(encode/decode), standard merge replay, strict lookup; "
-        "oracle = plain tokenize_ids (byte expansion is the identity "
-        "on ASCII, the fragment never matches character input)",
+        "carriage and served: delta docs seeded with a multibyte char "
+        "so a real >=2-byte expansion is value-oracled (r13 verdict "
+        "#4), corpus byte-expanded JVM-side, standard merge replay, "
+        "strict lookup against the seed-extended vocab",
     ),
     "text_bpe_store_unk_rate": QuerySpec(
         fn=bpe_store_unk_by_ingest,

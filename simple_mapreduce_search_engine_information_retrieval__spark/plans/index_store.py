@@ -28,6 +28,10 @@ from ..sources.tables import table
 from .indexing import postings_flat
 
 DEFAULT_BUCKETS = 16
+# k for the optional chargram part — matches wildcard_terms' default
+# (plans/search.py) so store-served lookups and the oracled corpus-side
+# queries use the same gram space.
+CHARGRAM_K = 3
 
 
 def build_index(
@@ -38,8 +42,18 @@ def build_index(
     k: int = 1,
     buckets: int = DEFAULT_BUCKETS,
     name: str = "smse_index",
+    chargrams: bool = False,
 ) -> str:
-    """Build + persist the index; returns the table name prefix."""
+    """Build + persist the index; returns the table name prefix.
+
+    With ``chargrams=True`` the store additionally gets a ``chargrams``
+    part — the reference's CharKGramTermIndexer layout (F9: $-padded
+    char-3-gram -> term), bucketed+sorted BY GRAM so wildcard / fuzzy
+    term lookups serve as pushed-down ``gram IN (...)`` scans (the
+    wildcard_suffix / wildcard_infix mechanism, r14 verdict #6).
+    Derived from the just-written stats part (dictionary-sized), so the
+    extra write is vocabulary-bounded, never corpus-bounded. Default
+    off: the r13-oracled roundtrips pin the 3-part layout's cost."""
     post = postings_flat(spark, sf_dir, k)
     (
         post.write.mode("overwrite")
@@ -62,6 +76,27 @@ def build_index(
         .format("parquet")
         .saveAsTable(f"{name}_stats")
     )
+    if chargrams:
+        from ..functions.tokenize import chargrams_col
+
+        grams = (
+            spark.table(f"{name}_stats")
+            .select(
+                F.explode(chargrams_col(F.col("term"), CHARGRAM_K)).alias(
+                    "gram"
+                ),
+                "term",
+            )
+            .distinct()
+        )
+        (
+            grams.write.mode("overwrite")
+            .option("path", f"{out_dir}/chargrams")
+            .bucketBy(buckets, "gram")
+            .sortBy("gram")
+            .format("parquet")
+            .saveAsTable(f"{name}_chargrams")
+        )
     n_docs = table(spark, sf_dir, "documents").count()
     spark.createDataFrame([(n_docs,)], "n_docs long").write.mode(
         "overwrite"

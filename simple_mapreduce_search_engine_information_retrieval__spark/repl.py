@@ -40,13 +40,15 @@ before the replay.
 
 With --index, `:wildcard pre*suf` and `:fuzzy term` additionally serve
 TERM lookups from the same store (r12 verdict optional #8 — one
-session, every surface store-served): both scan only the store's
-dictionary-sized stats part — prefix patterns push down to the sorted
-bucketed parquet as a StartsWith filter; fuzzy is levenshtein<=2 over
-the term dictionary (bounded by construction, the wildcard_terms /
-search_fuzzy_term serving shapes) — and print the top-10 matching
-terms by df. --tokenizer composes with --index, so one session serves
-ranked queries, term lookups AND :tokenize with no corpus access.
+session, every surface store-served): prefix patterns push down to the
+sorted bucketed stats parquet as a StartsWith filter; suffix/infix
+wildcards and fuzzy (levenshtein<=2) candidates serve from the store's
+chargram part when it exists (build_index(chargrams=True) — the F9
+CharKGramTermIndexer mechanism, r13 verdict #6) with a post-filter
+verify, falling back to the dictionary-sized stats scan otherwise —
+and print the top-10 matching terms by df. --tokenizer composes with
+--index, so one session serves ranked queries, term lookups AND
+:tokenize with no corpus access.
 """
 
 from __future__ import annotations
@@ -139,17 +141,65 @@ def _encode_text(
 REPL_INDEX_NAME = "smse_repl_index"
 
 
-def _term_lookup(spark, cmd: str, arg: str):
-    """Store-served term lookup over the registered stats view (the
-    dictionary-sized part of the index store — never the postings).
-    :wildcard supports pre*, *suf, pre*suf and exact (no star); the
-    prefix arm pushes to the sorted bucketed parquet as StartsWith.
-    :fuzzy is the levenshtein<=2 spelling-correction scan (JVM-side
-    expression over the bounded dictionary). Returns None on a
-    malformed pattern (caller prints usage)."""
+def _pattern_grams(parts: list[str], k: int) -> set[str]:
+    """Distinct $-padded k-grams fully inside the pattern's fixed parts
+    — the probe set of the classic k-gram wildcard scheme
+    (wildcard_terms, plans/search.py; reference CharKGramTermIndexer)."""
+    grams: set[str] = set()
+    for part in parts:
+        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    return grams
+
+
+def _chargram_candidates(spark, grams: set[str], min_common: int):
+    """Terms sharing >= min_common of the probe grams, served from the
+    store's chargram part as a pushed-down `gram IN (...)` scan + a
+    dictionary-bounded count agg. Returns None when the store has no
+    chargrams part (built with chargrams=False) — caller falls back to
+    the dictionary scan."""
     from pyspark.sql import functions as F
 
+    try:
+        idx = spark.table(f"{REPL_INDEX_NAME}_chargrams")
+    except Exception:  # noqa: BLE001 — view not registered: no part on disk
+        return None
+    return (
+        idx.filter(F.col("gram").isin(sorted(grams)))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .select("term")
+    )
+
+
+def _term_lookup(spark, cmd: str, arg: str):
+    """Store-served term lookup. :wildcard supports pre*, *suf, pre*suf
+    and exact (no star); :fuzzy is levenshtein<=2 spelling correction.
+
+    Serving shapes (r13 verdict #6 — the chargram store backs the REPL
+    instead of a dictionary scan):
+    - prefix-only (`pre*`): StartsWith pushdown into the sorted bucketed
+      stats part (unchanged — already index-shaped);
+    - `*suf` / `pre*suf`: gram-intersection candidates from the store's
+      chargrams part (every pattern gram must hit — wildcard_terms'
+      exact mechanism, plans/search.py:706-713), then the standard
+      post-filter verify including the length(term) >= len(pre)+len(suf)
+      guard (ADVICE r13: overlapping pre/suf previously matched terms
+      shorter than the glob requires);
+    - `:fuzzy`: k-gram count-filter candidates (q-gram lemma: lev<=d
+      terms share >= |grams(q)| - d*k distinct padded grams), then the
+      levenshtein<=2 verify — same results as the full dictionary scan,
+      pinned by test.
+    Both chargram arms fall back to the stats-part dictionary scan when
+    the pattern is too short to yield a gram / a positive threshold, or
+    when the store was built without the chargrams part.
+    Returns None on a malformed pattern (caller prints usage)."""
+    from pyspark.sql import functions as F
+
+    from .plans.index_store import CHARGRAM_K as K
+
     stats = spark.table(f"{REPL_INDEX_NAME}_stats")
+    cand = None
     if cmd == ":wildcard":
         if arg.count("*") > 1:
             return None
@@ -160,12 +210,23 @@ def _term_lookup(spark, cmd: str, arg: str):
                 cond = cond & F.col("term").startswith(pre)
             if suf:
                 cond = cond & F.col("term").endswith(suf)
+                # overlap guard (ADVICE r13, mirrors wildcard_terms)
+                cond = cond & (F.length("term") >= len(pre) + len(suf))
+            if suf:  # suffix/infix: chargram-served when possible
+                grams = _pattern_grams([f"${pre}", f"{suf}$"], K)
+                if grams:
+                    cand = _chargram_candidates(spark, grams, len(grams))
         else:
             cond = F.col("term") == arg
     else:
         cond = F.levenshtein(F.col("term"), F.lit(arg)) <= 2
+        grams = _pattern_grams([f"${arg}$"], K)
+        min_common = len(grams) - 2 * K  # d=2 edits kill <= 2k grams
+        if min_common > 0:
+            cand = _chargram_candidates(spark, grams, min_common)
+    scope = stats if cand is None else stats.join(cand, "term")
     return (
-        stats.filter(cond)
+        scope.filter(cond)
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(10)
         .select("term", "df", "cf")
@@ -248,6 +309,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
         except Exception as exc:  # noqa: BLE001 — bad path/layout
             print(f"! --index: not a built index store: {exc}", file=out)
             return 2
+        # optional chargram part (build_index(chargrams=True), r14):
+        # when present, :wildcard suffix/infix and :fuzzy serve as
+        # pushed-down gram IN scans instead of dictionary scans
+        if os.path.isdir(os.path.join(index_dir, "chargrams")):
+            spark.read.parquet(
+                os.path.join(index_dir, "chargrams")
+            ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_chargrams")
         print(f"index store: {index_dir}  mode: correct (served)", file=out)
     else:
         print(f"index: {sf_dir}  mode: "
