@@ -125,6 +125,23 @@ def main() -> None:
         )
 
         kmeans_assignment(spark, sf_dir).count()
+        # the BPE family's one-time artifact derivations (full-corpus
+        # merge learning + encoded-corpus memo + the frozen-base
+        # artifacts) are shared by every text_bpe_* line — warm them
+        # here so each serving line times SERVING, not whichever line
+        # the registry order happens to run first (r13 verdict #3: the
+        # r12->r13 3.0->8.2 s export_roundtrip reading was exactly this
+        # attribution shift). The fill cost stays visible as its own
+        # text_bpe_artifact_cold line below.
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.bpe import (
+            _base_artifacts,
+            _corpus_encoding,
+            learned_merges,
+        )
+
+        learned_merges(spark, sf_dir)
+        _corpus_encoding(spark, sf_dir)[1].count()
+        _base_artifacts(spark, sf_dir)[2].count()
     except Exception as exc:  # noqa: BLE001
         print(f"# bench cache warmup failed: {exc!r}", file=sys.stderr)
     # streaming machinery warm-up: the first structured-streaming query
@@ -420,6 +437,30 @@ def main() -> None:
             "overwrite"
         ).save()
         timings["dedup_minhash_build_cold"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        # Cold BPE artifact BUILD (r13 verdict #3): the one-time fill the
+        # pre-loop warmup paid for the family's serving lines, measured
+        # honestly as its own line — full-corpus merge learning, the
+        # encoded-corpus memo, and the frozen-base artifacts. The
+        # caches.clear() above already evicted the BPE memos, so this is
+        # a from-scratch derivation.
+        from simple_mapreduce_search_engine_information_retrieval__spark.plans.bpe import (
+            _base_artifacts,
+            _corpus_encoding,
+            learned_merges,
+        )
+
+        t0 = time.perf_counter()
+        learned_merges(spark, sf_dir)
+        _corpus_encoding(spark, sf_dir)[1].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        _base_artifacts(spark, sf_dir)[2].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["text_bpe_artifact_cold"] = round(
             time.perf_counter() - t0, 3
         )
     except Exception as exc:  # noqa: BLE001
