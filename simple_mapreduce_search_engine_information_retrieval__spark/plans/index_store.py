@@ -50,7 +50,7 @@ def build_index(
     part — the reference's CharKGramTermIndexer layout (F9: $-padded
     char-3-gram -> term), bucketed+sorted BY GRAM so wildcard / fuzzy
     term lookups serve as pushed-down ``gram IN (...)`` scans (the
-    wildcard_suffix / wildcard_infix mechanism, r14 verdict #6).
+    wildcard_suffix / wildcard_infix mechanism, r13 verdict #6).
     Derived from the just-written stats part (dictionary-sized), so the
     extra write is vocabulary-bounded, never corpus-bounded. Default
     off: the r13-oracled roundtrips pin the 3-part layout's cost."""
