@@ -212,7 +212,7 @@ def _term_lookup(spark, cmd: str, arg: str):
                 cond = cond & F.col("term").endswith(suf)
                 # overlap guard (ADVICE r13, mirrors wildcard_terms)
                 cond = cond & (F.length("term") >= len(pre) + len(suf))
-            if suf:  # suffix/infix: chargram-served when possible
+                # suffix/infix: chargram-served when possible
                 grams = _pattern_grams([f"${pre}", f"{suf}$"], K)
                 if grams:
                     cand = _chargram_candidates(spark, grams, len(grams))
