@@ -68,6 +68,11 @@ def _noop(df) -> None:
 def build(n_rep: int = 10) -> None:
     from pyspark.sql import functions as F
 
+    if not 1 <= n_rep <= 26:
+        # the Caesar rotation wraps at 26: replicas 26.. would reuse
+        # rotations 0.. and share vocab/shingle spaces — exactly the
+        # cross-replica dup explosion the rotation exists to avoid
+        raise SystemExit(f"n_rep must be 1..26 (got {n_rep})")
     spark = _spark("scale10-build")
     os.makedirs(DST, exist_ok=True)
     lower = string.ascii_lowercase

@@ -244,6 +244,22 @@ def duck_kgrams(list_sql: str, k: int) -> str:
     )
 
 
+def pattern_grams(parts: list[str], k: int) -> set[str]:
+    """Distinct k-grams fully inside a wildcard pattern's FIXED parts —
+    the probe set of the classic k-gram wildcard scheme (reference
+    CharKGramTermIndexer; a `pre*suf` pattern probes the grams of
+    '$'+pre and suf+'$'). Driver-side twin of chargrams_col's padding
+    convention; the same extraction is currently also inlined in
+    plans/search.py wildcard_terms/duck_wildcard — pinned in lockstep
+    by tests/test_round14_ops.py (consolidating those two call sites
+    is deferred: rewriting the oracled wildcard queries costs
+    CHANGED_THIS_ROUND rotation slots, COVERAGE.md registry policy)."""
+    grams: set[str] = set()
+    for part in parts:
+        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    return grams
+
+
 def chargrams_col(term: Column, k: int) -> Column:
     """Char k-grams of the $-padded term (reference F9,
     CharKGramTermIndexer.java:99-108): '$term$' -> all length-k substrings.

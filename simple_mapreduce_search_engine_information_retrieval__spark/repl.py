@@ -141,16 +141,6 @@ def _encode_text(
 REPL_INDEX_NAME = "smse_repl_index"
 
 
-def _pattern_grams(parts: list[str], k: int) -> set[str]:
-    """Distinct $-padded k-grams fully inside the pattern's fixed parts
-    — the probe set of the classic k-gram wildcard scheme
-    (wildcard_terms, plans/search.py; reference CharKGramTermIndexer)."""
-    grams: set[str] = set()
-    for part in parts:
-        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
-    return grams
-
-
 def _chargram_candidates(spark, grams: set[str], min_common: int):
     """Terms sharing >= min_common of the probe grams, served from the
     store's chargram part as a pushed-down `gram IN (...)` scan + a
@@ -196,6 +186,7 @@ def _term_lookup(spark, cmd: str, arg: str):
     Returns None on a malformed pattern (caller prints usage)."""
     from pyspark.sql import functions as F
 
+    from .functions.tokenize import pattern_grams
     from .plans.index_store import CHARGRAM_K as K
 
     stats = spark.table(f"{REPL_INDEX_NAME}_stats")
@@ -213,14 +204,14 @@ def _term_lookup(spark, cmd: str, arg: str):
                 # overlap guard (ADVICE r13, mirrors wildcard_terms)
                 cond = cond & (F.length("term") >= len(pre) + len(suf))
                 # suffix/infix: chargram-served when possible
-                grams = _pattern_grams([f"${pre}", f"{suf}$"], K)
+                grams = pattern_grams([f"${pre}", f"{suf}$"], K)
                 if grams:
                     cand = _chargram_candidates(spark, grams, len(grams))
         else:
             cond = F.col("term") == arg
     else:
         cond = F.levenshtein(F.col("term"), F.lit(arg)) <= 2
-        grams = _pattern_grams([f"${arg}$"], K)
+        grams = pattern_grams([f"${arg}$"], K)
         min_common = len(grams) - 2 * K  # d=2 edits kill <= 2k grams
         if min_common > 0:
             cand = _chargram_candidates(spark, grams, min_common)
@@ -311,11 +302,23 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return 2
         # optional chargram part (build_index(chargrams=True), r14):
         # when present, :wildcard suffix/infix and :fuzzy serve as
-        # pushed-down gram IN scans instead of dictionary scans
+        # pushed-down gram IN scans instead of dictionary scans. Drop
+        # any stale view first — get_spark is getOrCreate, so a second
+        # --index run in the same process would otherwise join THIS
+        # store's stats against the PREVIOUS store's chargram part
+        # (silent false negatives). A chargrams dir that exists but
+        # does not read (interrupted build) degrades to the dictionary
+        # scan instead of crashing — the part is optional.
+        spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_chargrams")
         if os.path.isdir(os.path.join(index_dir, "chargrams")):
-            spark.read.parquet(
-                os.path.join(index_dir, "chargrams")
-            ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_chargrams")
+            try:
+                spark.read.parquet(
+                    os.path.join(index_dir, "chargrams")
+                ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_chargrams")
+            except Exception as exc:  # noqa: BLE001 — partial/corrupt part
+                print(f"! --index: chargrams part unreadable ({exc}); "
+                      "term lookups fall back to the dictionary scan",
+                      file=out)
         print(f"index store: {index_dir}  mode: correct (served)", file=out)
     else:
         print(f"index: {sf_dir}  mode: "

@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
-
 from simple_mapreduce_search_engine_information_retrieval__spark.plans import bpe
 from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
     CHARGRAM_K,
@@ -186,6 +184,64 @@ def test_repl_store_chargram_serving_cross_process(spark, tmp_path):
     assert [l for l in blocks[1].splitlines() if l] == ["  (no terms)"]
     assert [l for l in blocks[2].splitlines() if l] == fmt(fuzzy_hits)
     assert ("spark", *stats["spark"]) in fuzzy_hits
+
+
+def test_pattern_grams_lockstep_with_duck_wildcard():
+    """The shared pattern_grams helper (functions/tokenize.py) and the
+    extraction still inlined in plans/search.py's duck_wildcard must
+    stay in lockstep (same $-padding, same window bound) — the REPL's
+    store-served lookups and the oracled wildcard queries share one
+    gram space. Compared through duck_wildcard's rendered `gram IN`
+    literal list, the public artifact of the inline copy."""
+    import re
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        pattern_grams,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
+        duck_wildcard,
+    )
+
+    for pattern in ("sp*k", "*tion", "spark*", "pro*ing", "ab*"):
+        pre, _, suf = pattern.partition("*")
+        sql = duck_wildcard(pattern, k=CHARGRAM_K)
+        m = re.search(r"gram IN \(([^)]*)\)", sql)
+        assert m, sql
+        rendered = {lit.strip()[1:-1] for lit in m.group(1).split(",")}
+        assert rendered == pattern_grams(
+            f"${pre}*{suf}$".split("*"), CHARGRAM_K
+        ), pattern
+
+
+def test_repl_main_drops_stale_chargram_view(spark, tmp_path, monkeypatch):
+    """A second --index run in the SAME process (get_spark is
+    getOrCreate) must not serve chargram candidates from the previous
+    store's view: store A (with chargrams) is registered and then
+    DELETED; store B (without chargrams) must still serve correct
+    suffix lookups via the dictionary fallback — a leaked stale view
+    would throw FileNotFound at execution or silently drop terms."""
+    import io
+    import shutil
+
+    from simple_mapreduce_search_engine_information_retrieval__spark import repl
+
+    store_a = str(tmp_path / "ix_a")
+    build_index(spark, SF, store_a, name="r14_stale_a", chargrams=True)
+    monkeypatch.setattr("sys.stdin", io.StringIO(":wildcard *ark\n\n"))
+    out = io.StringIO()
+    assert repl.main([SF, "--index", store_a], out=out) == 0
+    first = [l for l in out.getvalue().splitlines() if l.startswith("  ")]
+
+    shutil.rmtree(store_a)
+    store_b = str(tmp_path / "ix_b")
+    build_index(spark, SF, store_b, name="r14_stale_b")
+    monkeypatch.setattr("sys.stdin", io.StringIO(":wildcard *ark\n\n"))
+    out = io.StringIO()
+    assert repl.main([SF, "--index", store_b], out=out) == 0
+    second = [l for l in out.getvalue().splitlines() if l.startswith("  ")]
+    # same corpus, so the served rows must match the chargram-backed
+    # first run exactly (the fallback scan is value-identical)
+    assert second == first
 
 
 def test_bytelevel_seeded_encode_expands_real_multibyte(spark):
