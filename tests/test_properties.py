@@ -182,3 +182,39 @@ def test_hf_bytelevel_mapping_is_total_and_invertible(sym):
     rendered = _hf_sym(sym)
     assert " " not in rendered
     assert _hf_unsym(rendered) == sym
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcde", min_size=1, max_size=12),
+    st.text(alphabet="abcde", min_size=1, max_size=12),
+)
+def test_qgram_lemma_bound_never_excludes_a_fuzzy_match(q, t):
+    """The REPL's chargram-served :fuzzy candidate filter (repl.py:
+    n_common >= |grams($q$)| - 2k for lev<=2) must be a SUPERSET of the
+    true matches — the q-gram lemma on $-padded DISTINCT gram sets:
+    each edit destroys <= k padded grams, so <= d*k distinct grams of q
+    can be missing from t entirely. Verified against an independent DP
+    edit distance over a deliberately tiny alphabet (maximizes gram
+    collisions, the adversarial case for distinct-set counting)."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
+        pattern_grams,
+    )
+
+    k = 3
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    gq = pattern_grams([f"${q}$"], k)
+    gt = pattern_grams([f"${t}$"], k)
+    if lev(q, t) <= 2:
+        assert len(gq & gt) >= len(gq) - 2 * k
