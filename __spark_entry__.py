@@ -115,20 +115,19 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r14 (verdict #4): the byte-level import roundtrip now seeds a
-        # multibyte char (' '+OOV_SEED) into delta docs and carries the
-        # seed's UTF-8 bytes as vocab tokens, so the oracle value-checks
-        # a REAL >=2-byte expansion (new _duck_tokenize_ids_byteseed
-        # oracle). Re-verified tri-scale locally.
-        "text_bpe_import_bytelevel",
-        # r14 (verdict #6): build_index gained a default-off chargrams
-        # part for the REPL's store-served wildcard/fuzzy lookups. The
-        # roundtrips' executed path is bit-identical (chargrams=False),
-        # listed per the r9 value-identical-rewrite precedent.
-        # Kept tiny: the 36 r9-stale rows hit the <=4-round evidence
-        # bound this round and need the rotation slots (r13 verdict #1).
-        "search_indexed_roundtrip",
-        "search_phrase_indexed_roundtrip",
+        # r15 (r14 verdict #3): the pattern-gram extraction inlined in
+        # wildcard_terms AND duck_wildcard was consolidated into the
+        # shared functions/tokenize.pattern_grams (one gram space with
+        # the REPL and the persisted-store serve; the r14 lockstep
+        # tripwire test is retired). All three oracled wildcard queries
+        # route through the rewritten extraction — value-identical
+        # refactor, listed per the r9 precedent, re-verified tri-scale
+        # locally. Exactly the 3-slot CHANGED budget (COVERAGE.md
+        # REGISTRY POLICY); the new wildcard_indexed_roundtrip entry
+        # rides the never-checked bucket, not this list.
+        "wildcard_prefix",
+        "wildcard_suffix",
+        "wildcard_infix",
     }
 )
 

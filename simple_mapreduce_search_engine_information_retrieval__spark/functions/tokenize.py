@@ -249,11 +249,11 @@ def pattern_grams(parts: list[str], k: int) -> set[str]:
     the probe set of the classic k-gram wildcard scheme (reference
     CharKGramTermIndexer; a `pre*suf` pattern probes the grams of
     '$'+pre and suf+'$'). Driver-side twin of chargrams_col's padding
-    convention; the same extraction is currently also inlined in
-    plans/search.py wildcard_terms/duck_wildcard — pinned in lockstep
-    by tests/test_round14_ops.py (consolidating those two call sites
-    is deferred: rewriting the oracled wildcard queries costs
-    CHANGED_THIS_ROUND rotation slots, COVERAGE.md registry policy)."""
+    convention, and since r15 the ONLY extraction site: the REPL's
+    store-served lookups, the oracled wildcard queries
+    (plans/search.py wildcard_terms/duck_wildcard), and the persisted
+    store serve (plans/index_store.py wildcard_indexed) all call it —
+    one gram space by construction (r14 verdict #3)."""
     grams: set[str] = set()
     for part in parts:
         grams.update(part[i : i + k] for i in range(len(part) - k + 1))

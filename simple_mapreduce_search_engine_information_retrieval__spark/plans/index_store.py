@@ -106,6 +106,47 @@ def build_index(
     return name
 
 
+def wildcard_indexed(
+    spark: SparkSession,
+    pattern: str,
+    *,
+    name: str = "smse_index",
+) -> DataFrame:
+    """Wildcard term lookup served from the PERSISTED chargram part —
+    the store twin of plans/search.py wildcard_terms (reference F9,
+    CharKGramTermIndexer: k-gram index over $-padded terms answers
+    pre*/*suf/pre*suf by intersecting gram posting lists, then
+    post-filtering). Candidates come from a pushed-down
+    ``gram IN (...)`` scan of the bucketed+sorted chargrams part (a
+    term must contain ALL pattern grams), then the standard verify
+    filter closes the k-gram false positives. Probe grams from the
+    shared pattern_grams extraction — the same gram space the part was
+    written in. Falls back to a stats-part dictionary scan when the
+    pattern is too short to yield a gram (vocabulary-bounded, never
+    corpus-bounded). At 100 TB the gram scan prunes to a handful of
+    row groups of a dictionary-sized table — serving stays index-shaped
+    regardless of corpus size."""
+    from ..functions.tokenize import pattern_grams
+
+    pre, _, suf = pattern.partition("*")
+    grams = pattern_grams(f"${pre}*{suf}$".split("*"), CHARGRAM_K)
+    if grams:
+        cand = (
+            spark.table(f"{name}_chargrams")
+            .filter(F.col("gram").isin(sorted(grams)))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == len(grams))
+        )
+    else:
+        cand = spark.table(f"{name}_stats")
+    return cand.filter(
+        F.col("term").startswith(pre)
+        & F.col("term").endswith(suf)
+        & (F.length("term") >= len(pre) + len(suf))
+    ).select("term")
+
+
 def search_indexed(
     spark: SparkSession,
     terms: list[str],

@@ -34,6 +34,7 @@ from ..functions.stopwords import STOPWORD_SET
 from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES, duck_tokens_list
 from ..sources.tables import table
 from . import QuerySpec
+from .index_store import CHARGRAM_K
 from .indexing import duck_postings_flat, duck_term_stats, postings_flat
 
 TOP_K = 10  # reference truncates at 10 (IntDocVectorsForwardIndex.java:218-222)
@@ -655,6 +656,29 @@ def search_phrase_indexed_roundtrip(
     return search_indexed(spark, [" ".join(tokenize_query("spark join"))], name=name)
 
 
+def wildcard_indexed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_index(chargrams=True) + a wildcard lookup served from the
+    PERSISTED chargram part, composed in ONE query — the store surface
+    the r14 roundtrips never put in front of the value oracle (r14
+    verdict #2: the oracled wildcard_* queries serve from the
+    corpus-derived chargram index and the two search roundtrips build
+    with chargrams=False, so the DuckDB gate never read
+    <store>/chargrams). The search_indexed_roundtrip pattern: the
+    executed serving path is a pushed-down `gram IN (...)` scan of the
+    bucketed+sorted on-disk part + the post-filter verify; the oracle
+    is the corpus-side duck_wildcard at the store's own CHARGRAM_K
+    (same term universe — the stats part's terms ARE the k=1
+    vocabulary)."""
+    from .index_store import build_index, wildcard_indexed
+    from .sinks_sources import _out_path
+
+    out = _out_path("index_store_cg_served", sf_dir)
+    name = build_index(
+        spark, sf_dir, out, chargrams=True, name="smse_index_cg_served"
+    )
+    return wildcard_indexed(spark, "*ark", name=name)
+
+
 def duck_search_phrase(phrase: str, *, top_k: int = TOP_K) -> str:
     terms = tokenize_query(phrase)
     gram = " ".join(terms)
@@ -687,15 +711,15 @@ def wildcard_terms(
     intersecting gram posting lists, then post-filtering).
 
     Returns the matching vocabulary terms. Only patterns with a single
-    '*' are supported (the classic k-gram wildcard scheme)."""
-    from ..functions.tokenize import chargrams_col
+    '*' are supported (the classic k-gram wildcard scheme). Probe grams
+    come from the shared pattern_grams extraction (one definition for
+    this query, its duck oracle, the REPL's store-served lookups, and
+    the persisted-store serve — r14 verdict #3 consolidation)."""
+    from ..functions.tokenize import pattern_grams
     from .indexing import chargram_flat
 
     pre, _, suf = pattern.partition("*")
-    probe = f"${pre}*{suf}$"
-    grams = set()
-    for part in probe.split("*"):
-        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    grams = pattern_grams(f"${pre}*{suf}$".split("*"), k)
     if not grams:
         # pattern too short to yield any k-gram (e.g. bare '*'): fall
         # back to a vocabulary scan with only the post-filter
@@ -719,13 +743,11 @@ def wildcard_terms(
 
 
 def duck_wildcard(pattern: str, *, k: int = 3) -> str:
+    from ..functions.tokenize import pattern_grams
     from .indexing import duck_chargram_flat
 
     pre, _, suf = pattern.partition("*")
-    probe = f"${pre}*{suf}$"
-    grams = set()
-    for part in probe.split("*"):
-        grams.update(part[i : i + k] for i in range(len(part) - k + 1))
+    grams = pattern_grams(f"${pre}*{suf}$".split("*"), k)
     lits = ", ".join("'" + g + "'" for g in sorted(grams))
     return f"""
 WITH idx AS ({duck_chargram_flat(k)}),
@@ -1766,6 +1788,15 @@ QUERIES: dict[str, QuerySpec] = {
         fn=lambda s, d: wildcard_terms(s, d, "s*k", k=2),
         oracle=duck_wildcard("s*k", k=2),
         note="pre*suf wildcard with post-filter verify",
+    ),
+    "wildcard_indexed_roundtrip": QuerySpec(
+        fn=wildcard_indexed_roundtrip,
+        # the oracle probes the same gram space the persisted part is
+        # written in
+        oracle=duck_wildcard("*ark", k=CHARGRAM_K),
+        note="store-served wildcard: chargram part written then served "
+        "via a pushed-down gram IN scan (r14 verdict #2 — the one "
+        "store surface the DuckDB gate never saw)",
     ),
     "search_fidelity_stemmed": QuerySpec(
         fn=lambda s, d: search_fidelity(s, d, "merges sorting"),

@@ -140,6 +140,13 @@ def _encode_text(
 
 REPL_INDEX_NAME = "smse_repl_index"
 
+# :fuzzy edit budget. The levenshtein verify bound AND the q-gram
+# candidate threshold (len(grams) - MAX_EDITS*K) both derive from this
+# single constant (ADVICE r14: two separate literals could drift, and a
+# threshold looser than the verify is silent — it drops true matches
+# the post-filter can never recover).
+MAX_EDITS = 2
+
 
 def _chargram_candidates(spark, grams: set[str], min_common: int):
     """Terms sharing >= min_common of the probe grams, served from the
@@ -147,11 +154,15 @@ def _chargram_candidates(spark, grams: set[str], min_common: int):
     dictionary-bounded count agg. Returns None when the store has no
     chargrams part (built with chargrams=False) — caller falls back to
     the dictionary scan."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     try:
         idx = spark.table(f"{REPL_INDEX_NAME}_chargrams")
-    except Exception:  # noqa: BLE001 — view not registered: no part on disk
+    except AnalysisException:  # view not registered: no part on disk
+        # narrowed from bare Exception (ADVICE r14): an unrelated
+        # catalog/analysis failure must surface, not silently degrade
+        # to the dictionary scan
         return None
     return (
         idx.filter(F.col("gram").isin(sorted(grams)))
@@ -164,7 +175,8 @@ def _chargram_candidates(spark, grams: set[str], min_common: int):
 
 def _term_lookup(spark, cmd: str, arg: str):
     """Store-served term lookup. :wildcard supports pre*, *suf, pre*suf
-    and exact (no star); :fuzzy is levenshtein<=2 spelling correction.
+    and exact (no star); :fuzzy is levenshtein<=MAX_EDITS spelling
+    correction.
 
     Serving shapes (r13 verdict #6 — the chargram store backs the REPL
     instead of a dictionary scan):
@@ -210,9 +222,11 @@ def _term_lookup(spark, cmd: str, arg: str):
         else:
             cond = F.col("term") == arg
     else:
-        cond = F.levenshtein(F.col("term"), F.lit(arg)) <= 2
+        cond = F.levenshtein(F.col("term"), F.lit(arg)) <= MAX_EDITS
         grams = pattern_grams([f"${arg}$"], K)
-        min_common = len(grams) - 2 * K  # d=2 edits kill <= 2k grams
+        # d edits kill <= d*k grams (q-gram lemma) — same MAX_EDITS as
+        # the verify bound above, by construction
+        min_common = len(grams) - MAX_EDITS * K
         if min_common > 0:
             cand = _chargram_candidates(spark, grams, min_common)
     scope = stats if cand is None else stats.join(cand, "term")

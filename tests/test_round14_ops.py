@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from simple_mapreduce_search_engine_information_retrieval__spark.plans import bpe
 from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
     CHARGRAM_K,
@@ -186,31 +188,28 @@ def test_repl_store_chargram_serving_cross_process(spark, tmp_path):
     assert ("spark", *stats["spark"]) in fuzzy_hits
 
 
-def test_pattern_grams_lockstep_with_duck_wildcard():
-    """The shared pattern_grams helper (functions/tokenize.py) and the
-    extraction still inlined in plans/search.py's duck_wildcard must
-    stay in lockstep (same $-padding, same window bound) — the REPL's
-    store-served lookups and the oracled wildcard queries share one
-    gram space. Compared through duck_wildcard's rendered `gram IN`
-    literal list, the public artifact of the inline copy."""
-    import re
-
+def test_pattern_grams_semantics():
+    """pattern_grams is now the ONLY extraction site (r14 verdict #3:
+    the inline copies in wildcard_terms/duck_wildcard were consolidated
+    into it, retiring the r14 lockstep tripwire) — pin its semantics
+    directly: $-padded fixed parts, full-window k-grams, nothing
+    spanning the '*'."""
     from simple_mapreduce_search_engine_information_retrieval__spark.functions.tokenize import (
         pattern_grams,
     )
-    from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
-        duck_wildcard,
-    )
 
-    for pattern in ("sp*k", "*tion", "spark*", "pro*ing", "ab*"):
-        pre, _, suf = pattern.partition("*")
-        sql = duck_wildcard(pattern, k=CHARGRAM_K)
-        m = re.search(r"gram IN \(([^)]*)\)", sql)
-        assert m, sql
-        rendered = {lit.strip()[1:-1] for lit in m.group(1).split(",")}
-        assert rendered == pattern_grams(
-            f"${pre}*{suf}$".split("*"), CHARGRAM_K
-        ), pattern
+    # pre*suf at k=3: grams of '$pro' and 'ing$', never 'o*i' bridges
+    assert pattern_grams("$pro*ing$".split("*"), 3) == {
+        "$pr", "pro", "ing", "ng$"
+    }
+    # suffix-only: the '$' part yields no 3-gram, 'ark$' yields two
+    assert pattern_grams("$*ark$".split("*"), 3) == {"ark", "rk$"}
+    # parts shorter than k contribute nothing -> possibly empty
+    assert pattern_grams("$s*k$".split("*"), 3) == set()
+    # k=2 matches the oracled wildcard queries' gram space
+    assert pattern_grams("$sp*k$".split("*"), 2) == {"$s", "sp", "k$"}
+    # fuzzy probe shape: one fixed part, both pads
+    assert pattern_grams(["$ab$"], 3) == {"$ab", "ab$"}
 
 
 def test_repl_main_drops_stale_chargram_view(spark, tmp_path, monkeypatch):
@@ -250,6 +249,21 @@ def test_bytelevel_seeded_encode_expands_real_multibyte(spark):
     holds a REAL >=2-byte expansion: exactly 3 extra ids vs the plain
     strict encode (space + the two seed-byte tokens at n+1/n+2), and
     non-delta docs are bit-identical."""
+    # The exact +3-ids constant below assumes appending ' '+OOV_SEED
+    # never merges into a delta doc's TRAILING piece — true only while
+    # no delta doc ends in whitespace (ADVICE r14: a trailing-space
+    # fixture doc would fold the appended space into its last
+    # whitespace run and change the delta, without breaking
+    # engine-vs-oracle parity). Pin that fixture property loudly here.
+    assert (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(
+            (F.col("doc_id") % bpe.DOC_DELTA_MOD == 0)
+            & F.col("text").rlike(r"\s$")
+        )
+        .count()
+        == 0
+    ), "delta docs with trailing whitespace invalidate the +3 constant"
     seeded = {
         r["doc_id"]: r
         for r in bpe.QUERIES["text_bpe_import_bytelevel"].fn(spark, SF).collect()
