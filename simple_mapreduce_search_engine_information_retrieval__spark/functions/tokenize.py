@@ -260,6 +260,24 @@ def pattern_grams(parts: list[str], k: int) -> set[str]:
     return grams
 
 
+def wildcard_verify_cond(pre: str, suf: str) -> Column:
+    """Post-filter verify for `pre*suf` candidate terms — the k-gram
+    wildcard scheme's false-positive filter, ONE definition shared by
+    the corpus-side query (plans/search.wildcard_terms), the
+    persisted-store serve (plans/index_store.wildcard_indexed), and the
+    REPL's starred arm (r15 review: the verify layer was triplicated
+    the same way the gram extraction had been before pattern_grams):
+    startswith/endswith plus the ``length(term) >= len(pre)+len(suf)``
+    overlap guard (r13 ADVICE: 'sp*park' must not match 'spark' — the
+    glob needs at least 6 chars). duck_wildcard renders the identical
+    predicate in SQL (LIKE + length), the dual-rendering convention."""
+    return (
+        F.col("term").startswith(pre)
+        & F.col("term").endswith(suf)
+        & (F.length("term") >= len(pre) + len(suf))
+    )
+
+
 def chargrams_col(term: Column, k: int) -> Column:
     """Char k-grams of the $-padded term (reference F9,
     CharKGramTermIndexer.java:99-108): '$term$' -> all length-k substrings.

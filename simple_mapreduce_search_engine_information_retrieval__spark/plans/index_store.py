@@ -125,9 +125,19 @@ def wildcard_indexed(
     pattern is too short to yield a gram (vocabulary-bounded, never
     corpus-bounded). At 100 TB the gram scan prunes to a handful of
     row groups of a dictionary-sized table — serving stays index-shaped
-    regardless of corpus size."""
-    from ..functions.tokenize import pattern_grams
+    regardless of corpus size.
 
+    Only patterns with exactly one '*' are supported (the classic
+    k-gram scheme) — enforced here (r15 review): a no-star pattern
+    would silently behave as a prefix glob and a multi-star pattern
+    would silently return empty; the REPL validates before calling, a
+    library caller gets the error instead of wrong rows."""
+    from ..functions.tokenize import pattern_grams, wildcard_verify_cond
+
+    if pattern.count("*") != 1:
+        raise ValueError(
+            f"wildcard pattern needs exactly one '*': {pattern!r}"
+        )
     pre, _, suf = pattern.partition("*")
     grams = pattern_grams(f"${pre}*{suf}$".split("*"), CHARGRAM_K)
     if grams:
@@ -140,11 +150,7 @@ def wildcard_indexed(
         )
     else:
         cand = spark.table(f"{name}_stats")
-    return cand.filter(
-        F.col("term").startswith(pre)
-        & F.col("term").endswith(suf)
-        & (F.length("term") >= len(pre) + len(suf))
-    ).select("term")
+    return cand.filter(wildcard_verify_cond(pre, suf)).select("term")
 
 
 def search_indexed(

@@ -714,8 +714,9 @@ def wildcard_terms(
     '*' are supported (the classic k-gram wildcard scheme). Probe grams
     come from the shared pattern_grams extraction (one definition for
     this query, its duck oracle, the REPL's store-served lookups, and
-    the persisted-store serve — r14 verdict #3 consolidation)."""
-    from ..functions.tokenize import pattern_grams
+    the persisted-store serve — r14 verdict #3 consolidation), and the
+    post-filter verify from the shared wildcard_verify_cond."""
+    from ..functions.tokenize import pattern_grams, wildcard_verify_cond
     from .indexing import chargram_flat
 
     pre, _, suf = pattern.partition("*")
@@ -736,10 +737,7 @@ def wildcard_terms(
             .filter(F.col("n") == len(grams))  # must contain ALL pattern grams
         )
     # post-filter kills k-gram false positives (standard verify step)
-    return cand.filter(
-        F.col("term").startswith(pre) & F.col("term").endswith(suf)
-        & (F.length("term") >= len(pre) + len(suf))
-    ).select("term")
+    return cand.filter(wildcard_verify_cond(pre, suf)).select("term")
 
 
 def duck_wildcard(pattern: str, *, k: int = 3) -> str:

@@ -198,7 +198,7 @@ def _term_lookup(spark, cmd: str, arg: str):
     Returns None on a malformed pattern (caller prints usage)."""
     from pyspark.sql import functions as F
 
-    from .functions.tokenize import pattern_grams
+    from .functions.tokenize import pattern_grams, wildcard_verify_cond
     from .plans.index_store import CHARGRAM_K as K
 
     stats = spark.table(f"{REPL_INDEX_NAME}_stats")
@@ -208,13 +208,11 @@ def _term_lookup(spark, cmd: str, arg: str):
             return None
         pre, star, suf = arg.partition("*")
         if star:
-            cond = F.lit(True)
-            if pre:
-                cond = cond & F.col("term").startswith(pre)
+            # the shared verify incl. the overlap guard (ADVICE r13);
+            # startswith('')/endswith('') are vacuously true, so one
+            # definition covers pre-only / suf-only / both
+            cond = wildcard_verify_cond(pre, suf)
             if suf:
-                cond = cond & F.col("term").endswith(suf)
-                # overlap guard (ADVICE r13, mirrors wildcard_terms)
-                cond = cond & (F.length("term") >= len(pre) + len(suf))
                 # suffix/infix: chargram-served when possible
                 grams = pattern_grams([f"${pre}", f"{suf}$"], K)
                 if grams:

@@ -58,6 +58,18 @@ def test_wildcard_indexed_serves_from_chargram_part(spark, tmp_path):
     assert any("gram" in seg.split("]")[0] for seg in pushed), plan
 
 
+def test_wildcard_indexed_rejects_malformed_patterns(spark):
+    """r15 review: a no-star pattern would silently act as a prefix
+    glob ('spark' matching 'sparks') and a multi-star pattern would
+    silently return empty — a library caller must get the error, not
+    wrong rows (the REPL validates before calling; this API is public)."""
+    import pytest
+
+    for bad in ("spark", "a*b*c", ""):
+        with pytest.raises(ValueError, match="exactly one"):
+            wildcard_indexed(spark, bad, name="never_touched")
+
+
 def test_wildcard_indexed_short_pattern_falls_back_to_stats(spark, tmp_path):
     """A pattern too short to yield any CHARGRAM_K-gram ('s*k' at k=3:
     parts '$s'/'k$' are both 2 chars) serves from the dictionary-sized
@@ -108,11 +120,23 @@ def test_repl_fuzzy_threshold_derives_from_max_edits(spark, tmp_path):
     stats = {
         r["term"] for r in spark.read.parquet(f"{out}/stats").collect()
     }
-    for part in ("postings", "stats", "meta", "chargrams"):
+    parts = ("postings", "stats", "meta", "chargrams")
+    for part in parts:
         spark.read.parquet(f"{out}/{part}").createOrReplaceTempView(
             f"{repl.REPL_INDEX_NAME}_{part}"
         )
-    got = {r["term"] for r in repl._term_lookup(spark, ":fuzzy", "sprak").collect()}
+    try:
+        got = {
+            r["term"]
+            for r in repl._term_lookup(spark, ":fuzzy", "sprak").collect()
+        }
+    finally:
+        # the session fixture outlives this test and tmp_path does not:
+        # a leaked view (especially _chargrams) would silently serve a
+        # deleted store to later tests (r15 review; the r14 stale-view
+        # lesson applied to the suite itself)
+        for part in parts:
+            spark.catalog.dropTempView(f"{repl.REPL_INDEX_NAME}_{part}")
 
     def _lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
