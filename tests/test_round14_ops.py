@@ -71,6 +71,19 @@ def _register_store(spark, store: str, *, with_chargrams: bool) -> None:
         spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_chargrams")
 
 
+def _drop_store_views(spark) -> None:
+    """Session-fixture hygiene (r15 review): views registered over a
+    test's tmp_path store must not outlive the test — a later test
+    calling repl._term_lookup without registering its own store would
+    silently serve (or FileNotFound on) the deleted parquet."""
+    from simple_mapreduce_search_engine_information_retrieval__spark.repl import (
+        REPL_INDEX_NAME,
+    )
+
+    for part in ("postings", "stats", "meta", "chargrams"):
+        spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_{part}")
+
+
 def test_repl_wildcard_overlap_guard_and_chargram_parity(spark, tmp_path):
     """r13 ADVICE (medium): ':wildcard sp*park' must NOT return 'spark'
     (the glob needs >= 6 chars) — with AND without the chargram part.
@@ -115,14 +128,17 @@ def test_repl_wildcard_overlap_guard_and_chargram_parity(spark, tmp_path):
         (":fuzzy", "xq"),  # short: threshold <= 0, dictionary fallback
     ]
     assert expected(":wildcard", "sp*park") == []  # the ADVICE scenario
-    for with_cg in (True, False):
-        _register_store(spark, store, with_chargrams=with_cg)
-        for cmd, arg in cases:
-            got = [
-                (r["term"], int(r["df"]), int(r["cf"]))
-                for r in repl._term_lookup(spark, cmd, arg).collect()
-            ]
-            assert got == expected(cmd, arg), (with_cg, cmd, arg)
+    try:
+        for with_cg in (True, False):
+            _register_store(spark, store, with_chargrams=with_cg)
+            for cmd, arg in cases:
+                got = [
+                    (r["term"], int(r["df"]), int(r["cf"]))
+                    for r in repl._term_lookup(spark, cmd, arg).collect()
+                ]
+                assert got == expected(cmd, arg), (with_cg, cmd, arg)
+    finally:
+        _drop_store_views(spark)
 
 
 def test_repl_chargram_lookup_scans_push_gram_filter(spark, tmp_path):
@@ -133,15 +149,18 @@ def test_repl_chargram_lookup_scans_push_gram_filter(spark, tmp_path):
 
     store = str(tmp_path / "ix")
     build_index(spark, SF, store, name="r14_plan_build", chargrams=True)
-    _register_store(spark, store, with_chargrams=True)
-    for cmd, arg in ((":wildcard", "*tion"), (":fuzzy", "professional")):
-        df = repl._term_lookup(spark, cmd, arg)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        pushed = [
-            seg for seg in plan.split("PushedFilters: [")[1:]
-            if seg.split("]")[0].strip()
-        ]
-        assert any("gram" in seg.split("]")[0] for seg in pushed), (cmd, plan)
+    try:
+        _register_store(spark, store, with_chargrams=True)
+        for cmd, arg in ((":wildcard", "*tion"), (":fuzzy", "professional")):
+            df = repl._term_lookup(spark, cmd, arg)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            pushed = [
+                seg for seg in plan.split("PushedFilters: [")[1:]
+                if seg.split("]")[0].strip()
+            ]
+            assert any("gram" in seg.split("]")[0] for seg in pushed), (cmd, plan)
+    finally:
+        _drop_store_views(spark)
 
 
 def test_repl_store_chargram_serving_cross_process(spark, tmp_path):
