@@ -115,16 +115,17 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r15 (r14 verdict #3): the pattern-gram extraction inlined in
-        # wildcard_terms AND duck_wildcard was consolidated into the
-        # shared functions/tokenize.pattern_grams (one gram space with
-        # the REPL and the persisted-store serve; the r14 lockstep
-        # tripwire test is retired). All three oracled wildcard queries
-        # route through the rewritten extraction — value-identical
-        # refactor, listed per the r9 precedent, re-verified tri-scale
-        # locally. Exactly the 3-slot CHANGED budget (COVERAGE.md
-        # REGISTRY POLICY); the new wildcard_indexed_roundtrip entry
-        # rides the never-checked bucket, not this list.
+        # r16 (r15 verdict #5): wildcard_terms grew the same
+        # exactly-one-'*' guard its store twin wildcard_indexed already
+        # enforces (plans/search.py) — closing the validation asymmetry
+        # where a no-star pattern silently behaved as a gram-filtered
+        # prefix glob. All three oracled wildcard queries pass explicit
+        # single-star patterns, so values are provably unchanged, but
+        # their implementation function was rewritten — listed per the
+        # r9 precedent, re-verified tri-scale locally. 3 of the 3-slot
+        # CHANGED budget (COVERAGE.md REGISTRY POLICY); no new queries
+        # this round — every spare slot goes to r11/r12-stale rows
+        # (r15 verdict #1/#2).
         "wildcard_prefix",
         "wildcard_suffix",
         "wildcard_infix",

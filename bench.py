@@ -486,7 +486,11 @@ def main() -> None:
         # substitutes into logically-identical plans; the memo dict is
         # not the cache). caches.clear() above unpersisted it, so this
         # re-fill is the honest from-scratch k=2 build+stats cost.
-        # Oracled same-plan twin: inv_postings_k2.
+        # Oracled same-plan twin: inv_postings_k2. Disclosure (r15
+        # ADVICE): this line runs AFTER the cold dedup/BPE builds, so it
+        # shares their JVM-JIT and OS-page-cache warmth — honest w.r.t.
+        # Spark's CacheManager, but slightly favored in cross-line
+        # comparisons against the other cold lines' first touch.
         from simple_mapreduce_search_engine_information_retrieval__spark.plans.search import (
             _warm_index as _wi,
         )

@@ -131,7 +131,14 @@ def wildcard_indexed(
     k-gram scheme) — enforced here (r15 review): a no-star pattern
     would silently behave as a prefix glob and a multi-star pattern
     would silently return empty; the REPL validates before calling, a
-    library caller gets the error instead of wrong rows."""
+    library caller gets the error instead of wrong rows.
+
+    Coupling (r15 verdict #7): probe grams are extracted at the module
+    constant CHARGRAM_K, which is also the k build_index writes the
+    chargrams part with — the two agree today by construction. If
+    build_index ever grows a parameterized gram k, persist it in the
+    meta part and read it here instead, or this serve silently probes
+    the wrong gram space."""
     from ..functions.tokenize import pattern_grams, wildcard_verify_cond
 
     if pattern.count("*") != 1:

@@ -719,6 +719,14 @@ def wildcard_terms(
     from ..functions.tokenize import pattern_grams, wildcard_verify_cond
     from .indexing import chargram_flat
 
+    # Same exactly-one-'*' contract as the store twin wildcard_indexed
+    # (r15 review / r15 verdict #5): a no-star pattern would silently
+    # behave as a gram-filtered prefix glob and a multi-star pattern
+    # would silently return empty rows.
+    if pattern.count("*") != 1:
+        raise ValueError(
+            f"wildcard pattern needs exactly one '*': {pattern!r}"
+        )
     pre, _, suf = pattern.partition("*")
     grams = pattern_grams(f"${pre}*{suf}$".split("*"), k)
     if not grams:
