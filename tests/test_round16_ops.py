@@ -33,6 +33,43 @@ def test_wildcard_terms_bare_star_still_serves_vocab_scan(spark):
     assert "spark" in got and len(got) > 1
 
 
+def test_repl_no_star_is_exact_match_by_design(spark, tmp_path):
+    """r15 ADVICE pins the INTENTIONAL divergence: the REPL's
+    `:wildcard` treats a no-star arg as an exact dictionary lookup
+    (it branches before any library call), while the public
+    wildcard_terms / wildcard_indexed raise for the same input. If the
+    REPL is ever rerouted through the library surface, this test is
+    the tripwire that keeps the exact-match branch ahead of the call."""
+    import os
+
+    from simple_mapreduce_search_engine_information_retrieval__spark.plans.index_store import (
+        build_index,
+    )
+    from simple_mapreduce_search_engine_information_retrieval__spark.repl import (
+        REPL_INDEX_NAME,
+        _term_lookup,
+    )
+
+    out = str(tmp_path / "ix")
+    build_index(spark, SF, out, name="r16_repl_exact")
+    parts = ("stats", "postings", "meta")
+    for part in parts:
+        spark.read.parquet(os.path.join(out, part)).createOrReplaceTempView(
+            f"{REPL_INDEX_NAME}_{part}"
+        )
+    try:
+        hits = _term_lookup(spark, ":wildcard", "spark").collect()
+        assert [r.term for r in hits] == ["spark"]
+        assert _term_lookup(spark, ":wildcard", "sparkzzz").collect() == []
+        with pytest.raises(ValueError, match="exactly one"):
+            wildcard_terms(spark, SF, "spark")
+    finally:
+        # session-fixture hygiene (r15 review): views over tmp_path
+        # stores must not outlive the test
+        for part in parts:
+            spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_{part}")
+
+
 def test_wildcard_surfaces_share_the_guard_contract(spark):
     """The corpus and store twins reject the identical malformed input
     set — the asymmetry the r15 verdict flagged is closed on both
