@@ -115,20 +115,31 @@ def _latest_verdicts() -> dict[str, tuple[int, bool]]:
 # list each round.
 CHANGED_THIS_ROUND = frozenset(
     {
-        # r16 (r15 verdict #5): wildcard_terms grew the same
-        # exactly-one-'*' guard its store twin wildcard_indexed already
-        # enforces (plans/search.py) — closing the validation asymmetry
-        # where a no-star pattern silently behaved as a gram-filtered
-        # prefix glob. All three oracled wildcard queries pass explicit
-        # single-star patterns, so values are provably unchanged, but
-        # their implementation function was rewritten — listed per the
-        # r9 precedent, re-verified tri-scale locally. 3 of the 3-slot
-        # CHANGED budget (COVERAGE.md REGISTRY POLICY); no new queries
-        # this round — every spare slot goes to r11/r12-stale rows
-        # (r15 verdict #1/#2).
-        "wildcard_prefix",
-        "wildcard_suffix",
-        "wildcard_infix",
+        # r17 (r16 verdict #1): the persisted-store ANN serves grew the
+        # empty/wrong-dim qvec guard in probe_cells — the ONE
+        # probe-planning definition all three serving paths share
+        # (plans/similarity.py; query_ivfpq_store's duplicated inline
+        # probe was folded into it). All oracled callers pass
+        # correct-dimension vectors, so values are provably unchanged
+        # (tri-scale re-verified locally), but the executed serve path
+        # was rewritten — listed per the r9 precedent. 4 of the 3-5
+        # slots the r16 verdict pre-scoped for this fix; knn_ivf_filtered
+        # is in-session (no probe_cells) and stays out. The strict
+        # write-arm assignment guard (r16 verdict #7) rides
+        # streaming_vector_ingest's slot (same query). No new queries —
+        # every spare slot goes to r12/r13-stale rows (r16 verdict #2/#3).
+        "knn_ivf_store_roundtrip",
+        "knn_ivfpq_store_roundtrip",
+        "knn_ivf_rebalanced_roundtrip",
+        "streaming_vector_ingest",
+        # r17 (r16 verdict #6, optional): build_index(chargrams=True)
+        # now persists the gram k in a 1-row gramk part and
+        # wildcard_indexed probes at the persisted k instead of the
+        # CHARGRAM_K constant — the build/serve coupling is eliminated.
+        # Values unchanged (the part is written at the same constant),
+        # but the roundtrip's executed build+serve path changed. 5th
+        # slot, inside the verdict's pre-scoped budget.
+        "wildcard_indexed_roundtrip",
     }
 )
 

@@ -640,8 +640,8 @@ def query_rebalanced_store(
     pruned on cells. Cell filtering stays (a merge unit holds >1 cell)."""
     from .similarity import NPROBE, TOP_K, _cos, probe_cells
 
+    probes = probe_cells(spark, path, qvec, NPROBE)
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    probes = probe_cells(spark, path, q, NPROBE)
     units: list[str] = []
     for r in (
         spark.read.parquet(f"{path}/units")

@@ -749,9 +749,19 @@ def wildcard_terms(
 
 
 def duck_wildcard(pattern: str, *, k: int = 3) -> str:
+    """Oracle-SQL twin of wildcard_terms. Same exactly-one-'*' contract
+    as wildcard_terms / wildcard_indexed (r16 ADVICE, closed r17): a
+    multi-star pattern would render a broken `LIKE 'a%b*c'` and a
+    no-star pattern a silent prefix glob. Output is byte-identical to
+    pre-guard for every valid single-star pattern (the guard is
+    reject-only — hash-diffed over the four registry literals r17)."""
     from ..functions.tokenize import pattern_grams
     from .indexing import duck_chargram_flat
 
+    if pattern.count("*") != 1:
+        raise ValueError(
+            f"wildcard pattern needs exactly one '*': {pattern!r}"
+        )
     pre, _, suf = pattern.partition("*")
     grams = pattern_grams(f"${pre}*{suf}$".split("*"), k)
     lits = ", ".join("'" + g + "'" for g in sorted(grams))

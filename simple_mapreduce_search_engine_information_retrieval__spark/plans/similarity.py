@@ -216,10 +216,34 @@ def _ivf_pairs(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_cells(pairs: DataFrame) -> DataFrame:
+def _ivf_cells(pairs: DataFrame, *, strict: bool = False) -> DataFrame:
     """(vec_id, cell): argmax-sim centroid, ties to the smallest cent_id
     (max over struct(sim, -cent_id) — identical lexicographic struct
-    comparison in Spark and DuckDB, so assignments match the oracle)."""
+    comparison in Spark and DuckDB, so assignments match the oracle).
+
+    ``strict=True`` (the WRITE arms — append_ivf_store and the
+    streaming ingest twin, r16 verdict #7 audit, closed r17) raises at
+    execution time if any vector's best sim is NULL. A wrong-dimension
+    embedding yields NULL sim against every centroid (zip_with
+    null-padding), and the struct max then ties entirely on -cent_id —
+    i.e. the row would SILENTLY assign to the smallest cent_id and
+    poison the store (null cos at serve time). The check rides the
+    existing argmax expression (when/otherwise over m.s — lazy, per
+    row, no extra pass or job); serve-side reads keep the plain path so
+    oracled read plans are byte-identical."""
+    cell = (-F.col("m.nc")).cast("long")
+    if strict:
+        cell = F.when(F.col("m.s").isNotNull(), cell).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "embedding dimension does not match the frozen "
+                        "codebook (null assignment sim) for vec_id "
+                    ),
+                    F.col("vec_id").cast("string"),
+                )
+            ).cast("long")
+        )
     return (
         pairs.groupBy("vec_id")
         .agg(
@@ -227,7 +251,7 @@ def _ivf_cells(pairs: DataFrame) -> DataFrame:
                 F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("nc"))
             ).alias("m")
         )
-        .select("vec_id", (-F.col("m.nc")).cast("long").alias("cell"))
+        .select("vec_id", cell.alias("cell"))
     )
 
 
@@ -545,21 +569,48 @@ def write_ivf_store(
     )
 
 
-def probe_cells(spark: SparkSession, path: str, q, nprobe: int) -> list:
+def probe_cells(
+    spark: SparkSession, path: str, qvec: list[float], nprobe: int
+) -> list:
     """Probe planning over a persisted store's K-row codebook: the
     query's nprobe nearest cell ids, collected driver-side so the scan
     filter is a static IN-list (partition pruning, not a runtime join).
-    ONE definition shared by query_ivf_store and the rebalanced-layout
-    reader (plans/layout.py) so the probe tiebreak cannot drift between
-    the two serving paths (r8 review)."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    return [
-        r.cent_id
-        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
+    ONE definition shared by query_ivf_store, query_ivfpq_store and the
+    rebalanced-layout reader (plans/layout.py) so the probe tiebreak —
+    and the input guard below — cannot drift between serving paths
+    (r8 review; r16 audit).
+
+    Input guard (r16 audit, closed r17): an empty or wrong-dimension
+    ``qvec`` RAISES ValueError instead of silently serving top_k rows
+    with NULL cos (``F.zip_with`` null-pads the shorter array → null dot
+    product → the orderBy returns vec_id-ordered rows with null scores).
+    The dimension is read off the same K-row codebook collect the probe
+    planner already performs — zero extra I/O or jobs. Takes the RAW
+    python list (not a prebuilt Column) so every serving caller passes
+    through the guard before any corpus-side work is planned."""
+    if not qvec:
+        raise ValueError(
+            "query vector is empty — cannot probe the IVF store at "
+            f"{path!r}"
+        )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(
+            "cent_id",
+            F.size("cvec").alias("dim"),
+            _cos(F.col("cvec"), q).alias("sim"),
+        )
         .orderBy(F.desc("sim"), F.asc("cent_id"))
         .limit(nprobe)
         .collect()
-    ]
+    )
+    if rows and rows[0]["dim"] != len(qvec):
+        raise ValueError(
+            f"query vector dimension {len(qvec)} does not match the "
+            f"store codebook dimension {rows[0]['dim']} at {path!r}"
+        )
+    return [r.cent_id for r in rows]
 
 
 def query_ivf_store(
@@ -586,8 +637,8 @@ def query_ivf_store(
     reads the directory value as int32), matching knn_ivf_bucketed's
     (vec_id, cell, cos) shape so the store-served path can share its
     value oracle (r12 verdict #2)."""
+    probes = probe_cells(spark, path, qvec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    probes = probe_cells(spark, path, q, nprobe)
     scan = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probes)
     )
@@ -667,7 +718,9 @@ def append_ivf_store(
     emb = table(spark, sf_dir, "embeddings")
     delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
     cents = spark.read.parquet(f"{out_path}/centroids")
-    cells = _ivf_cells(_ivf_pairs(delta, cents))
+    # strict: a wrong-dim delta vector raises instead of silently
+    # assigning to the smallest cent_id and poisoning the store (r17)
+    cells = _ivf_cells(_ivf_pairs(delta, cents), strict=True)
     (
         delta.join(cells, "vec_id")
         .withColumn("ingest", F.lit(int(batch_id)))
@@ -758,7 +811,8 @@ def query_ivfpq_store(
     exclude_vec_id: int | None = None,
 ) -> DataFrame:
     """IVFADC serving against the persisted store: probe-planning over
-    the K-row codebook (driver-side, static IN-list → partition
+    the K-row codebook (driver-side via probe_cells, which also guards
+    against empty/wrong-dimension qvec — static IN-list → partition
     pruning), code-only ADC scan of the probed cells, exact cosine
     re-rank of the ADC_RERANK shortlist read from the probed vector
     partitions only. Output (vec_id, adist, cos, rank) — identical to
@@ -766,15 +820,10 @@ def query_ivfpq_store(
     (equality asserted in tests/test_ann_recall.py)."""
     from pyspark.sql import Window
 
+    # probe planning (and the r17 empty/wrong-dim qvec guard) shared
+    # with query_ivf_store — ONE definition, see probe_cells
+    probes = probe_cells(spark, path, qvec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    cents = spark.read.parquet(f"{path}/centroids")
-    probes = [
-        r.cent_id
-        for r in cents.select("cent_id", _cos(F.col("cvec"), q).alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("cent_id"))
-        .limit(nprobe)
-        .collect()
-    ]
     seeds = spark.read.parquet(f"{path}/pq_seeds")
     cand = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probes)

@@ -199,7 +199,11 @@ def _term_lookup(spark, cmd: str, arg: str):
     from pyspark.sql import functions as F
 
     from .functions.tokenize import pattern_grams, wildcard_verify_cond
-    from .plans.index_store import CHARGRAM_K as K
+    from .plans.index_store import store_gram_k
+
+    # probe at the k the store's chargram part was WRITTEN with (gramk
+    # part, r17); pre-r17 stores fall back to the module constant
+    K = store_gram_k(spark, REPL_INDEX_NAME)
 
     stats = spark.table(f"{REPL_INDEX_NAME}_stats")
     cand = None
@@ -321,14 +325,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # (silent false negatives). A chargrams dir that exists but
         # does not read (interrupted build) degrades to the dictionary
         # scan instead of crashing — the part is optional.
-        spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_chargrams")
-        if os.path.isdir(os.path.join(index_dir, "chargrams")):
+        # the 1-row gramk part rides the same optional/stale-view
+        # discipline: lookups probe at the STORE's written k (r17)
+        for part in ("chargrams", "gramk"):
+            spark.catalog.dropTempView(f"{REPL_INDEX_NAME}_{part}")
+            if not os.path.isdir(os.path.join(index_dir, part)):
+                continue
             try:
                 spark.read.parquet(
-                    os.path.join(index_dir, "chargrams")
-                ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_chargrams")
+                    os.path.join(index_dir, part)
+                ).createOrReplaceTempView(f"{REPL_INDEX_NAME}_{part}")
             except Exception as exc:  # noqa: BLE001 — partial/corrupt part
-                print(f"! --index: chargrams part unreadable ({exc}); "
+                print(f"! --index: {part} part unreadable ({exc}); "
                       "term lookups fall back to the dictionary scan",
                       file=out)
         print(f"index store: {index_dir}  mode: correct (served)", file=out)

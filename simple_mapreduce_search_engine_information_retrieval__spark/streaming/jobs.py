@@ -358,7 +358,12 @@ def incremental_vector_ingest(
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         cents = spark.read.parquet(f"{store_path}/centroids")
-        cells = _ivf_cells(_ivf_pairs(batch, cents)).localCheckpoint()
+        # strict: a wrong-dim streamed vector fails the epoch (and the
+        # checkpoint replays it) instead of silently poisoning the
+        # store under the smallest cent_id (r17, same as the batch twin)
+        cells = _ivf_cells(
+            _ivf_pairs(batch, cents), strict=True
+        ).localCheckpoint()
         (
             batch.join(cells, "vec_id")
             .withColumn("ingest", F.lit(int(epoch_id) + 1))
