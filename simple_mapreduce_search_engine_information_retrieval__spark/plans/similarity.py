@@ -817,7 +817,16 @@ def query_ivfpq_store(
     re-rank of the ADC_RERANK shortlist read from the probed vector
     partitions only. Output (vec_id, adist, cos, rank) — identical to
     the in-session `knn_ivfpq_adc` given the same query vector
-    (equality asserted in tests/test_ann_recall.py)."""
+    (equality asserted in tests/test_ann_recall.py).
+
+    PQ geometry is read OFF THE STORE, not off module constants (r17
+    coupling audit, same discipline as the index store's gramk part):
+    the subspace count is the number of codeN columns the persisted
+    codes part actually has (driver-side schema read, no data scan),
+    and the subspace width is the guarded query dimension divided by
+    it — so a store written at a different PQ_M than today's constant
+    serves correctly, and a geometry the query dimension cannot
+    satisfy raises instead of mis-slicing the LUTs."""
     from pyspark.sql import Window
 
     # probe planning (and the r17 empty/wrong-dim qvec guard) shared
@@ -830,17 +839,31 @@ def query_ivfpq_store(
     )
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
-    for m in range(PQ_M):
+    code_cols = sorted(
+        (c for c in cand.columns if c.startswith("code") and c[4:].isdigit()),
+        key=lambda c: int(c[4:]),
+    )
+    pq_m = len(code_cols)
+    if pq_m == 0:
+        raise ValueError(f"no codeN columns at {path!r}/codes — not an "
+                         "IVFPQ store layout")
+    if len(qvec) % pq_m:
+        raise ValueError(
+            f"store subspace count {pq_m} does not divide the query "
+            f"dimension {len(qvec)} at {path!r}"
+        )
+    sub = len(qvec) // pq_m
+    for m in range(pq_m):
         # bounded: PQ_K-row LUT of subspace distances to the query
         lut = seeds.select(
             F.col("cent_id").alias(f"code{m}"),
             _sq_dist(
-                F.slice("cvec", m * PQ_SUB + 1, PQ_SUB),
-                F.slice(q, m * PQ_SUB + 1, PQ_SUB),
+                F.slice("cvec", m * sub + 1, sub),
+                F.slice(q, m * sub + 1, sub),
             ).alias(f"d{m}"),
         )
         cand = cand.join(F.broadcast(lut), f"code{m}")
-    adist = sum(F.col(f"d{m}") for m in range(PQ_M))
+    adist = sum(F.col(f"d{m}") for m in range(pq_m))
     shortlist = (
         cand.select("vec_id", adist.alias("adist"))
         .orderBy(F.asc("adist"), F.asc("vec_id"))

@@ -154,6 +154,37 @@ def test_write_arm_strict_is_transparent_for_correct_dims(spark, ivf_store):
     assert plain == strict and plain
 
 
+def test_ivfpq_serve_reads_pq_geometry_off_the_store(spark, ivfpq_store, tmp_path):
+    """r17 coupling audit: the ADC serve derives the subspace count
+    from the codes part's actual codeN columns (driver-side schema
+    read) and the width from the guarded query dimension — NOT from
+    the PQ_M/PQ_SUB module constants. An M=1 store (only code0) would
+    have crashed the pre-r17 serve on a missing code1 join column;
+    it now serves. A geometry the query dimension cannot satisfy
+    (M=3 over dim 64) raises instead of mis-slicing the LUTs."""
+    import shutil
+
+    good = _query_vec(spark, SF)
+    alt = str(tmp_path / "pq_m1")
+    shutil.copytree(ivfpq_store, alt)
+    codes = spark.read.parquet(f"{ivfpq_store}/codes").select(
+        "vec_id", "code0", "cell"
+    )
+    shutil.rmtree(f"{alt}/codes")
+    codes.write.partitionBy("cell").parquet(f"{alt}/codes")
+    got = query_ivfpq_store(spark, alt, good).collect()
+    assert got and all(r.cos is not None for r in got)
+    bad = str(tmp_path / "pq_m3")
+    shutil.copytree(ivfpq_store, bad)
+    codes3 = spark.read.parquet(f"{ivfpq_store}/codes").withColumn(
+        "code2", F.col("code0")
+    )
+    shutil.rmtree(f"{bad}/codes")
+    codes3.write.partitionBy("cell").parquet(f"{bad}/codes")
+    with pytest.raises(ValueError, match="does not divide"):
+        query_ivfpq_store(spark, bad, good)
+
+
 def test_gram_k_is_persisted_and_read_back(spark, tmp_path):
     """r16 verdict #6: build_index(chargrams=True) persists the gram k
     the chargrams part was written with (1-row gramk part), and the
