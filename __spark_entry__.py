@@ -126,7 +126,10 @@ CHANGED_THIS_ROUND = frozenset(
         # slots the r16 verdict pre-scoped for this fix; knn_ivf_filtered
         # is in-session (no probe_cells) and stays out. The strict
         # write-arm assignment guard (r16 verdict #7) rides
-        # streaming_vector_ingest's slot (same query). No new queries —
+        # streaming_vector_ingest's slot (same query), and the
+        # PQ-geometry introspection (r17 coupling audit: the ADC serve
+        # reads the subspace count off the codes part instead of PQ_M)
+        # rides knn_ivfpq_store_roundtrip's slot. No new queries —
         # every spare slot goes to r12/r13-stale rows (r16 verdict #2/#3).
         "knn_ivf_store_roundtrip",
         "knn_ivfpq_store_roundtrip",
