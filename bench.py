@@ -53,23 +53,11 @@ def render_headline(timings: dict[str, float], scalars: dict) -> str:
     )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = None
-
-    import __spark_entry__ as e
-
-    registry = e.queries()
-    spark = get_spark("smse-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    names = [n for n in HEADLINE if n in registry]
-    names += [n for n in registry if n not in HEADLINE]
-
+def warm_engine(spark, sf_dir: str) -> None:
+    """Bench warm-up: JVM/file-listing warm plus the shared memo caches
+    serving queries read (engine-warm steady state). Extracted from
+    main() unchanged so profiling tools can reproduce the bench's exact
+    pre-timing state; the timed methodology is untouched."""
     # warm the JVM + file listings so the first timed query isn't charged
     # ~6s of session startup
     for t in ("documents", "lineitem", "events", "embeddings"):
@@ -186,6 +174,26 @@ def main() -> None:
         ).count()
     except Exception as exc:  # noqa: BLE001
         print(f"# bench stream warmup failed: {exc!r}", file=sys.stderr)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    import __spark_entry__ as e
+
+    registry = e.queries()
+    spark = get_spark("smse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in registry if n not in HEADLINE]
+
+    warm_engine(spark, sf_dir)
 
     # Neutral box-calibration markers (r11 verdict #2: the +48% driver
     # drift could not be separated into box slowdown vs grown per-query

@@ -53,8 +53,19 @@ def user_value_zscores(events: DataFrame) -> DataFrame:
             }
         )
 
+    # pin the grouped-map exchange at cluster parallelism (r17): the
+    # per-group pandas kernel cost is OPAQUE to AQE's byte-based
+    # coalescing, which squeezed the ~1.5k fixture groups onto 3-4
+    # tasks and serialized the Python work (guide §4: Python compute is
+    # heavy per byte). An explicit keyed repartition is reused by the
+    # groupBy (same key, same width — no extra shuffle) and is exempt
+    # from AQE coalescing. Measured 4.2 s -> ~0.6 s at sf0.1, 32 cores;
+    # at cluster scale the byte-based width would under-provision the
+    # Python stage the same way.
+    par = events.sparkSession.sparkContext.defaultParallelism
     return (
         events.select("user_id", "event_id", "value")
+        .repartition(par, "user_id")
         .groupBy("user_id")
         .applyInPandas(kernel, ZSCORE_SCHEMA)
     )

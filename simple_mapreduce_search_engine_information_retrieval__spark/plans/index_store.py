@@ -56,7 +56,17 @@ def build_index(
     off: the r13-oracled roundtrips pin the 3-part layout's cost."""
     post = postings_flat(spark, sf_dir, k)
     (
-        post.write.mode("overwrite")
+        # repartition to the bucket count ON the bucket key before the
+        # bucketed write (r17, guide §6): Spark's bucket id IS the
+        # HashPartitioning partition id, so each task then holds exactly
+        # one bucket and writes ONE file — without it every task of the
+        # (term, docno)-partitioned agg output writes a file per bucket
+        # it touches (up to tasks x buckets small files, paid again by
+        # every store read). Same move as a REBALANCE-before-write; at
+        # 100 TB the bucket count scales (~total size / 1 GB) and this
+        # exchange is the write's required clustering, not an extra pass.
+        post.repartition(buckets, "term")
+        .write.mode("overwrite")
         .option("path", f"{out_dir}/postings")
         .bucketBy(buckets, "term")
         .sortBy("term")
@@ -90,7 +100,11 @@ def build_index(
             .distinct()
         )
         (
-            grams.write.mode("overwrite")
+            # same bucket-aligned repartition as the postings write: the
+            # distinct leaves the grams (gram, term)-partitioned, which
+            # would spray a file per (task, bucket) pair
+            grams.repartition(buckets, "gram")
+            .write.mode("overwrite")
             .option("path", f"{out_dir}/chargrams")
             .bucketBy(buckets, "gram")
             .sortBy("gram")

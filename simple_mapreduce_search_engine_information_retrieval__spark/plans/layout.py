@@ -619,6 +619,14 @@ def rebalance_ivf_store(
             ).otherwise(F.col("unit_base")),
         )
         .select("cell", *data_cols, "unit")
+        # cluster by the target unit before the partitioned write (r17,
+        # guide §6): one file per serving unit — units ARE the balanced
+        # size target, so one-file-per-unit is exactly the layout the
+        # rebalance exists to produce (without this every input task
+        # sprays a file into every unit it touches)
+        .repartition(
+            sum(int(p[3]) if p[2] == "split" else 1 for p in plan), "unit"
+        )
         .write.mode("overwrite")
         .partitionBy("unit")
         .parquet(f"{out_path}/vectors")

@@ -65,7 +65,13 @@ def media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # spread the encode kernel over the cluster (r17): the fixture
+    # parquet is one split, so without this the whole Python
+    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
+    # §4 — the shuffled column is the 8-byte doc_id, never payload
+    # bytes; a real media ingest arrives as many splits already)
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
@@ -129,7 +135,13 @@ def video_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # spread the encode kernel over the cluster (r17): the fixture
+    # parquet is one split, so without this the whole Python
+    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
+    # §4 — the shuffled column is the 8-byte doc_id, never payload
+    # bytes; a real media ingest arrives as many splits already)
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
@@ -184,7 +196,13 @@ def audio_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # spread the encode kernel over the cluster (r17): the fixture
+    # parquet is one split, so without this the whole Python
+    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
+    # §4 — the shuffled column is the 8-byte doc_id, never payload
+    # bytes; a real media ingest arrives as many splits already)
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 

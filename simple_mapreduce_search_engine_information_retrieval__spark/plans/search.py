@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..caches import register_cache
 from ..functions.stopwords import STOPWORD_SET
-from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES, duck_tokens_list
+from ..functions.tokenize import SPLIT_RE, MAX_TOKEN_BYTES, duck_tokens_list, stopword_member
 from ..sources.tables import table
 from . import QuerySpec
 from .index_store import CHARGRAM_K
@@ -510,7 +510,6 @@ def search_passages(
 ) -> DataFrame:
     """(doc_id, chunk_id, start_tok, score, rank): top-k chunks by
     tf-idf over the chunk corpus."""
-    from ..functions.stopwords import STOPWORDS
     from .textstats import chunk_windows
 
     terms = sorted(set(tokenize_query(query)))
@@ -524,7 +523,7 @@ def search_passages(
         "chunk_id",
         "start_tok",
         F.explode(F.split("chunk_text", " ")).alias("term"),
-    ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    ).filter((F.col("term") != "") & ~stopword_member(F.col("term")))
     post = ctoks.groupBy("doc_id", "chunk_id", "start_tok", "term").agg(
         F.count("*").alias("tf")
     )

@@ -554,7 +554,14 @@ def write_ivf_store(
         emb = emb.filter(where)
     cents = _ivf_centroids_trained(emb) if trained else _ivf_centroids(emb)
     cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
-    cells = _ivf_cells(_ivf_pairs(emb, cents))
+    # assign against the COMMITTED codebook (r17): the codebook part is
+    # already on disk — re-deriving its lineage (corpus count + stride
+    # filter, or the full Lloyd pass for trained=True) inside the
+    # assignment plan re-runs that build once more for zero new
+    # information; the K-row read-back is exact (floats round-trip
+    # parquet bit-identically)
+    cents_r = spark.read.parquet(f"{out_path}/centroids")
+    cells = _ivf_cells(_ivf_pairs(emb, cents_r))
     # vectors are partitioned by (cell, ingest): cell gives the probe its
     # directory pruning; ingest=0 marks the base build, and each delta
     # batch lands under its own ingest=<batch_id> so retried ingests
@@ -563,6 +570,9 @@ def write_ivf_store(
     (
         emb.join(cells, "vec_id")
         .withColumn("ingest", F.lit(0))
+        # cluster by the partition column before the partitioned write
+        # (guide §6): one file per cell instead of one per (task, cell)
+        .repartition(K_TARGET, "cell")
         .write.mode("overwrite")
         .partitionBy("cell", "ingest")
         .parquet(f"{out_path}/vectors")
@@ -785,19 +795,35 @@ def write_ivfpq_store(
     cents = _ivf_centroids_trained(emb) if trained else _ivf_centroids(emb)
     cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
     _pq_seeds(emb).write.mode("overwrite").parquet(f"{out_path}/pq_seeds")
-    cells = _ivf_cells(_ivf_pairs(emb, cents))
-    codes = pq_codes(spark, sf_dir)
-    (
-        codes.join(cells, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{out_path}/codes")
-    )
+    # both assignment passes read the COMMITTED codebook parts back
+    # instead of re-deriving their lineage (r17, same as write_ivf_store:
+    # K-row parquet read-backs are exact and cheaper than re-running the
+    # stride/count builds inside every downstream plan)
+    cents_r = spark.read.parquet(f"{out_path}/centroids")
+    seeds_r = spark.read.parquet(f"{out_path}/pq_seeds")
+    cells = _ivf_cells(_ivf_pairs(emb, cents_r))
     (
         emb.join(cells, "vec_id")
+        # cluster by the partition column before the partitioned write
+        # (guide §6): one file per cell instead of one per (task, cell)
+        .repartition(K_TARGET, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{out_path}/vectors")
+    )
+    # the codes part reuses the assignment ALREADY COMMITTED in the
+    # vectors layout (vec_id -> cell read back column-pruned from the
+    # part just written) — one assignment pass per store build, not two
+    assigned = spark.read.parquet(f"{out_path}/vectors").select(
+        "vec_id", "cell"
+    )
+    (
+        _pq_codes_from(emb, seeds_r)
+        .join(assigned, "vec_id")
+        .repartition(K_TARGET, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/codes")
     )
 
 
@@ -1661,7 +1687,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id aggregation takes all PQ_M struct-argmins — a single corpus
     scan and a single shuffle regardless of PQ_M."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = _pq_seeds(emb)
+    return _pq_codes_from(emb, _pq_seeds(emb))
+
+
+def _pq_codes_from(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """pq_codes against an EXPLICIT codebook relation — the store-build
+    path passes the committed pq_seeds part read back from disk so the
+    assignment does not re-derive the seed lineage (r17)."""
     pairs = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "cent_id",
@@ -2100,11 +2132,19 @@ def _micro(c: Column) -> Column:
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rank, vec_id, cos_micro, mmr_micro): MMR-diversified top-{TOP_K}
-    from the cosine top-{MMR_POOL} shortlist. Each greedy step is a
-    limit-1 pick; the growing selected set is lazily localCheckpoint'd
-    each step so the chained plan stays LINEAR in k (the recursive
-    reference would otherwise double per step), and construction stays
-    side-effect-free."""
+    from the cosine top-{MMR_POOL} shortlist.
+
+    Shape (r17 optimization): the corpus-sized work — the relevance
+    shortlist and the POOL^2 pairwise sims — stays distributed and
+    bounded-output; the 10-step greedy walk then runs DRIVER-SIDE over
+    the collected micro-int relations (MMR_POOL rows + MMR_POOL^2 pm
+    rows — constant-bounded, the probe_cells / union-find discipline).
+    The previous formulation chained one Spark limit-1 pick per step
+    (~75 jobs, each re-planned and driver-synchronized anyway because
+    greedy MMR is serial by definition); collecting the exact int64
+    micro scores once and selecting in Python is the identical
+    arithmetic — integer compares, no float re-derivation — for 2 jobs
+    instead of ~75 (measured 2.9 s -> ~0.4 s at sf0.1)."""
     emb = _emb_cached(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
@@ -2120,65 +2160,39 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cm"), F.asc("vec_id"))
         .limit(MMR_POOL)
-        # lazy checkpoint rather than cache: every greedy step re-plans
-        # against these relations, and analyzing a flat LogicalRDD stub
-        # 10x is measurably cheaper than re-analyzing the corpus
-        # TakeOrdered lineage 10x (4.2 -> ~3.4 s at sf0.1)
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     a = cand.select(F.col("vec_id").alias("da"), F.col("embedding").alias("va"))
     b = cand.select(F.col("vec_id").alias("db"), F.col("embedding").alias("vb"))
     # bounded: POOL x POOL pairwise sims of the shortlist
-    pair = (
-        a.crossJoin(F.broadcast(b))
+    pm = {
+        (r["da"], r["db"]): r["pm"]
+        for r in a.crossJoin(F.broadcast(b))
         .filter(F.col("da") != F.col("db"))
         .select("da", "db", _micro(_cos(F.col("va"), F.col("vb"))).alias("pm"))
-        .localCheckpoint(eager=False)
-    )
-    scores = cand.select("vec_id", "cm")
+        .collect()
+    }
+    cm = {r["vec_id"]: r["cm"] for r in cand.select("vec_id", "cm").collect()}
     lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
-    first = (
-        scores.orderBy(F.desc("cm"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "vec_id",
-            F.col("cm").alias("cos_micro"),
-            (F.lit(lam) * F.col("cm")).alias("mmr_micro"),
-        )
-    )
-    picks = [first]
-    selected = first.select("vec_id").localCheckpoint(eager=False)
+    # greedy walk on exact int64 micro units (Python ints — identical
+    # compares to the Spark orderBy it replaces; ties to smallest vec_id)
+    first = min(cm, key=lambda v: (-cm[v], v))
+    rows = [(1, first, cm[first], lam * cm[first])]
+    selected = [first]
     for i in range(2, TOP_K + 1):
-        maxsim = (
-            pair.join(selected.withColumnRenamed("vec_id", "db"), "db")
-            .groupBy("da")
-            .agg(F.max("pm").alias("maxpm"))
-            .withColumnRenamed("da", "vec_id")
-        )
-        cur = (
-            scores.join(selected, "vec_id", "left_anti")
-            .join(maxsim, "vec_id")
-            .select(
-                F.lit(i).alias("rank"),
-                "vec_id",
-                F.col("cm").alias("cos_micro"),
-                (F.lit(lam) * F.col("cm") - F.lit(com) * F.col("maxpm")).alias(
-                    "mmr_micro"
-                ),
-            )
-            .orderBy(F.desc("mmr_micro"), F.asc("vec_id"))
-            .limit(1)
-        )
-        picks.append(cur)
-        selected = (
-            selected.unionByName(cur.select("vec_id"))
-            .localCheckpoint(eager=False)
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+        best = None
+        for v, c in cm.items():
+            if v in selected:
+                continue
+            mmr = lam * c - com * max(pm[(v, s)] for s in selected)
+            key = (-mmr, v)
+            if best is None or key < best[0]:
+                best = (key, v, c, mmr)
+        rows.append((i, best[1], best[2], best[3]))
+        selected.append(best[1])
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, cos_micro long, mmr_micro long"
+    )
 
 
 def _duck_mmr() -> str:

@@ -25,6 +25,19 @@ def get_spark(app_name: str = "smse-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE size the output partitioning of CACHED plans by bytes
+        # (guide §2.2: fewer, larger partitions): the warm memo caches
+        # (postings, shingles, bands, embeddings) otherwise pin the
+        # shuffle-partition count at cache-build time, and every
+        # InMemoryTableScan consumer pays that task count forever —
+        # measured r17: search_two_term 164→40 tasks (1.10→0.66 s),
+        # dedup_incremental_minhash 657→94 tasks (2.80→1.24 s),
+        # graph_pagerank_terms 397→25 tasks (1.23→0.72 s) at sf0.1.
+        # Scale-adaptive, not a local tune: partitions follow
+        # advisoryPartitionSizeInBytes, so a 100 TB cached relation
+        # keeps thousands of partitions while a dictionary-sized memo
+        # collapses to a handful.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
