@@ -148,6 +148,37 @@ def warm_engine(spark, sf_dir: str) -> None:
         _base_artifacts(spark, sf_dir)[2].count()
     except Exception as exc:  # noqa: BLE001
         print(f"# bench cache warmup failed: {exc!r}", file=sys.stderr)
+    # Python-worker-pool warm-up (r17): the first full-parallelism
+    # Python stage of a session (events_user_zscores_grouped's 32-way
+    # applyInPandas, the fidelity pandas UDF) otherwise pays ~32
+    # concurrent cold forks + pandas/numpy imports (measured up to
+    # 10-20 s when it lands mid-bench on a churned page cache — the
+    # import storm, not the kernels; NOTE Spark reaps idle Python
+    # workers after a hardcoded 1 minute, so this warm bounds only the
+    # session's FIRST storm and the per-line exposure is kept small by
+    # not over-widening Python stages — see multimodal_queries.py).
+    # Same one-time-machinery class as the streaming warm below;
+    # per-query KERNEL work stays fully timed.
+    try:
+        par = spark.sparkContext.defaultParallelism
+
+        def _imp(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            yield from batches
+
+        (
+            spark.range(par * 4)
+            .repartition(par)
+            .mapInPandas(_imp, "id long")
+            .mapInPandas(_imp, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench python-pool warmup failed: {exc!r}", file=sys.stderr)
     # streaming machinery warm-up: the first structured-streaming query
     # of a session pays state-store + python-worker + serializer class
     # init (~measured 3-10 s, independent of data volume). Drain one

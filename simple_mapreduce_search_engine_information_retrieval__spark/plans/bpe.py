@@ -200,6 +200,30 @@ def _piece_vocab(spark: SparkSession, pieces: DataFrame) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pinned_cache_partitioning(spark: SparkSession):
+    """Pin AQE's cached-plan output re-partitioning OFF for the merge
+    loop (r17): _piece_vocab deliberately coalesces the persisted
+    vocabulary to a handful of FULLER partitions (measured optimum for
+    the per-merge census barriers), and the session-wide
+    canChangeCachedPlanOutputPartitioning=true (session.py, a broad win
+    for the memo-cache serving lines) would coalesce that cache to one
+    byte-sized partition and serialize every census (measured
+    4.0 -> 4.7-10.5 s per cold learn). The conf is consulted when the
+    cache is compiled at the loop's first action, so the pin must span
+    the loop, not just the persist call."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _learn_merges(
     spark: SparkSession, pieces: DataFrame, n_merges: int
 ) -> list[tuple]:
@@ -210,27 +234,32 @@ def _learn_merges(
     r8 ADVICE) — so every CKPT_EVERY merges the current vocabulary is
     localCheckpoint-ed, bounding re-evaluation per iteration to
     CKPT_EVERY replaces."""
-    v0 = _piece_vocab(spark, pieces)
-    merges: list[tuple] = []
-    cur = v0
-    for rank in range(1, n_merges + 1):
-        top = (
-            _pair_counts(cur)
-            .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            # below-fixture-scale corpora only; surfacing loudly beats
-            # silently diverging from the N-merge oracle
-            raise RuntimeError(f"BPE pair supply exhausted at merge {rank}")
-        lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n_occ"]
-        merges.append((rank, lhs, rhs, int(n)))
-        cur = cur.select(_apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt")
-        if rank % CKPT_EVERY == 0 and rank < n_merges:
-            cur = cur.localCheckpoint()
-    v0.unpersist()
-    return merges
+    with _pinned_cache_partitioning(spark):
+        v0 = _piece_vocab(spark, pieces)
+        merges: list[tuple] = []
+        cur = v0
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(cur)
+                .orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                # below-fixture-scale corpora only; surfacing loudly beats
+                # silently diverging from the N-merge oracle
+                raise RuntimeError(
+                    f"BPE pair supply exhausted at merge {rank}"
+                )
+            lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n_occ"]
+            merges.append((rank, lhs, rhs, int(n)))
+            cur = cur.select(
+                _apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt"
+            )
+            if rank % CKPT_EVERY == 0 and rank < n_merges:
+                cur = cur.localCheckpoint()
+        v0.unpersist()
+        return merges
 
 
 def learn_merges_batched(
@@ -265,77 +294,78 @@ def learn_merges_batched(
     Returns (merges, round_sizes) — len(round_sizes) is the driver-
     barrier count the batching is buying down; the sizes let tests pin
     the per-round disjointness invariant on exact round boundaries."""
-    v0 = _piece_vocab(spark, pieces)
-    merges: list[tuple] = []
-    round_sizes: list[int] = []
-    cur = v0
-    while len(merges) < n_merges:
-        want = min(batch_m, n_merges - len(merges))
-        # bounded collect with ADAPTIVE widening (r9 review): a hot
-        # symbol (think the space-prefix piece head on a Zipf corpus)
-        # can disqualify unboundedly many candidates in its window —
-        # one used symbol rejects every candidate sharing it — so a
-        # fixed window can starve a round down to a handful of picks
-        # and regress the barrier count toward exact greedy. Widen 4x
-        # until the round fills, the window held the WHOLE pair census
-        # (len(cand) < limit — a partial round is then the true
-        # disjoint supply), or the CAP is reached: without a cap a
-        # starved round on a web-scale census would widen until it
-        # collected millions of pair rows to the driver (r9 review
-        # pass 2) — at the cap we accept the partial round; progress
-        # is still guaranteed (the first candidate always passes a
-        # fresh round). The census is persisted on the first retry so
-        # widening pays sort+limit, not the aggregate again.
-        pc = _pair_counts(cur)
-        limit, persisted = 4 * batch_m, False
-        while True:
-            cand = (
-                pc.orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
-                .limit(limit)
-                .collect()
-            )
-            if not cand:
-                raise RuntimeError(
-                    f"BPE pair supply exhausted at merge {len(merges) + 1}"
+    with _pinned_cache_partitioning(spark):  # see _learn_merges (r17)
+        v0 = _piece_vocab(spark, pieces)
+        merges: list[tuple] = []
+        round_sizes: list[int] = []
+        cur = v0
+        while len(merges) < n_merges:
+            want = min(batch_m, n_merges - len(merges))
+            # bounded collect with ADAPTIVE widening (r9 review): a hot
+            # symbol (think the space-prefix piece head on a Zipf corpus)
+            # can disqualify unboundedly many candidates in its window —
+            # one used symbol rejects every candidate sharing it — so a
+            # fixed window can starve a round down to a handful of picks
+            # and regress the barrier count toward exact greedy. Widen 4x
+            # until the round fills, the window held the WHOLE pair census
+            # (len(cand) < limit — a partial round is then the true
+            # disjoint supply), or the CAP is reached: without a cap a
+            # starved round on a web-scale census would widen until it
+            # collected millions of pair rows to the driver (r9 review
+            # pass 2) — at the cap we accept the partial round; progress
+            # is still guaranteed (the first candidate always passes a
+            # fresh round). The census is persisted on the first retry so
+            # widening pays sort+limit, not the aggregate again.
+            pc = _pair_counts(cur)
+            limit, persisted = 4 * batch_m, False
+            while True:
+                cand = (
+                    pc.orderBy(F.desc("n_occ"), F.asc("lhs"), F.asc("rhs"))
+                    .limit(limit)
+                    .collect()
                 )
-            used: set[str] = set()
-            picked: list[tuple] = []
-            for r in cand:
-                if len(picked) >= want:
+                if not cand:
+                    raise RuntimeError(
+                        f"BPE pair supply exhausted at merge {len(merges) + 1}"
+                    )
+                used: set[str] = set()
+                picked: list[tuple] = []
+                for r in cand:
+                    if len(picked) >= want:
+                        break
+                    lhs, rhs, prod = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+                    # symbol-disjoint within the round, product included: a
+                    # pick whose member IS another pick's product (or vice
+                    # versa) would invalidate the pre-round count argument
+                    if lhs in used or rhs in used or prod in used:
+                        continue
+                    used.update((lhs, rhs, prod))
+                    picked.append((lhs, rhs, int(r["n_occ"])))
+                if (
+                    len(picked) >= want
+                    or len(cand) < limit
+                    or limit >= 64 * batch_m
+                ):
                     break
-                lhs, rhs, prod = r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
-                # symbol-disjoint within the round, product included: a
-                # pick whose member IS another pick's product (or vice
-                # versa) would invalidate the pre-round count argument
-                if lhs in used or rhs in used or prod in used:
-                    continue
-                used.update((lhs, rhs, prod))
-                picked.append((lhs, rhs, int(r["n_occ"])))
-            if (
-                len(picked) >= want
-                or len(cand) < limit
-                or limit >= 64 * batch_m
-            ):
-                break
-            if not persisted:
-                pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
-                persisted = True
-            limit *= 4
-        if persisted:
-            pc.unpersist()
-        # the first candidate always passes (used starts empty), so
-        # every round makes progress and picked is never empty
-        for lhs, rhs, n in picked:
-            merges.append((len(merges) + 1, lhs, rhs, n))
-            cur = cur.select(
-                _apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt"
-            )
-        round_sizes.append(len(picked))
-        if len(merges) < n_merges:
-            # lineage bound: <= batch_m replaces re-evaluate per round
-            cur = cur.localCheckpoint()
-    v0.unpersist()
-    return merges, round_sizes
+                if not persisted:
+                    pc = pc.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted = True
+                limit *= 4
+            if persisted:
+                pc.unpersist()
+            # the first candidate always passes (used starts empty), so
+            # every round makes progress and picked is never empty
+            for lhs, rhs, n in picked:
+                merges.append((len(merges) + 1, lhs, rhs, n))
+                cur = cur.select(
+                    _apply_merge(F.col("r"), lhs, rhs).alias("r"), "cnt"
+                )
+            round_sizes.append(len(picked))
+            if len(merges) < n_merges:
+                # lineage bound: <= batch_m replaces re-evaluate per round
+                cur = cur.localCheckpoint()
+        v0.unpersist()
+        return merges, round_sizes
 
 
 def learn(
@@ -416,9 +446,17 @@ def _corpus_encoding(spark: SparkSession, sf_dir: str):
     """(symbols, encoded_df) under the full-corpus learned merges."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _enc_cache:
-        merges = learned_merges(spark, sf_dir)
-        symbols, enc = _encode_under(_pieces(spark, sf_dir), merges)
-        _enc_cache[key] = (symbols, enc.persist(StorageLevel.MEMORY_AND_DISK))
+        # pinned like the learners (r17): the encode chain's distinct-
+        # piece scan + N-replace chain + persisted assembly are
+        # vocabulary-sized iterative relations whose caches AQE's
+        # byte-based cached-plan re-partitioning destabilizes (measured
+        # encode 1.65 -> 2.8-9.8 s under the session-wide conf)
+        with _pinned_cache_partitioning(spark):
+            merges = learned_merges(spark, sf_dir)
+            symbols, enc = _encode_under(_pieces(spark, sf_dir), merges)
+            enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+            enc.count()  # materialize under the pin, not at first consumer
+        _enc_cache[key] = (symbols, enc)
     return _enc_cache[key]
 
 
@@ -644,18 +682,18 @@ def _base_artifacts(spark: SparkSession, sf_dir: str):
     base corpus (doc_id % DOC_DELTA_MOD != 0)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _base_cache:
-        pieces = _pieces_of(
-            table(spark, sf_dir, "documents").filter(
-                F.col("doc_id") % DOC_DELTA_MOD != 0
+        # pinned for the same reason as _corpus_encoding (r17)
+        with _pinned_cache_partitioning(spark):
+            pieces = _pieces_of(
+                table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % DOC_DELTA_MOD != 0
+                )
             )
-        )
-        merges = learn(spark, pieces, N_MERGES)
-        symbols, enc = _encode_under(pieces, merges)
-        _base_cache[key] = (
-            merges,
-            symbols,
-            enc.persist(StorageLevel.MEMORY_AND_DISK),
-        )
+            merges = learn(spark, pieces, N_MERGES)
+            symbols, enc = _encode_under(pieces, merges)
+            enc = enc.persist(StorageLevel.MEMORY_AND_DISK)
+            enc.count()  # materialize under the pin
+        _base_cache[key] = (merges, symbols, enc)
     return _base_cache[key]
 
 

@@ -65,13 +65,16 @@ def media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    # spread the encode kernel over the cluster (r17): the fixture
-    # parquet is one split, so without this the whole Python
-    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
-    # §4 — the shuffled column is the 8-byte doc_id, never payload
-    # bytes; a real media ingest arrives as many splits already)
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
+    # deliberately NOT repartitioned (r17, measured): widening the
+    # encode chain to cluster parallelism looked right on paper
+    # (guide §2.5) but each of these lines chains TWO Python stages, so
+    # 32-way width needs 64 simultaneous workers — and Spark reaps idle
+    # Python workers after a hardcoded 1 minute, so mid-workload the
+    # line pays a 64-fork+import storm that dwarfs the kernel (bench:
+    # family total 3.7 s -> 14.6 s with the repartition). At fixture
+    # scale the narrow chain is already sub-second; a real media ingest
+    # arrives as many splits and gets its width from the scan.
+    docs = table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
@@ -135,13 +138,16 @@ def video_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    # spread the encode kernel over the cluster (r17): the fixture
-    # parquet is one split, so without this the whole Python
-    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
-    # §4 — the shuffled column is the 8-byte doc_id, never payload
-    # bytes; a real media ingest arrives as many splits already)
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
+    # deliberately NOT repartitioned (r17, measured): widening the
+    # encode chain to cluster parallelism looked right on paper
+    # (guide §2.5) but each of these lines chains TWO Python stages, so
+    # 32-way width needs 64 simultaneous workers — and Spark reaps idle
+    # Python workers after a hardcoded 1 minute, so mid-workload the
+    # line pays a 64-fork+import storm that dwarfs the kernel (bench:
+    # family total 3.7 s -> 14.6 s with the repartition). At fixture
+    # scale the narrow chain is already sub-second; a real media ingest
+    # arrives as many splits and gets its width from the scan.
+    docs = table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
@@ -196,13 +202,16 @@ def audio_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    # spread the encode kernel over the cluster (r17): the fixture
-    # parquet is one split, so without this the whole Python
-    # encode+decode chain runs on 1-2 cores (guide §2.5 input skew /
-    # §4 — the shuffled column is the 8-byte doc_id, never payload
-    # bytes; a real media ingest arrives as many splits already)
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").select("doc_id").repartition(par)
+    # deliberately NOT repartitioned (r17, measured): widening the
+    # encode chain to cluster parallelism looked right on paper
+    # (guide §2.5) but each of these lines chains TWO Python stages, so
+    # 32-way width needs 64 simultaneous workers — and Spark reaps idle
+    # Python workers after a hardcoded 1 minute, so mid-workload the
+    # line pays a 64-fork+import storm that dwarfs the kernel (bench:
+    # family total 3.7 s -> 14.6 s with the repartition). At fixture
+    # scale the narrow chain is already sub-second; a real media ingest
+    # arrives as many splits and gets its width from the scan.
+    docs = table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(kernel, MEDIA_SCHEMA)
 
 

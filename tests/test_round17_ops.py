@@ -212,8 +212,10 @@ def test_gram_k_is_persisted_and_read_back(spark, tmp_path):
         # pre-r17 layout) serves at the module constant
         assert store_gram_k(spark, "r17_no_such_store") == CHARGRAM_K
     finally:
-        for part in ("postings", "stats", "chargrams", "meta", "gramk"):
+        for part in ("postings", "stats", "chargrams"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{part}")
+        for part in ("meta", "gramk"):  # r17: scalar parts are views
+            spark.catalog.dropTempView(f"{name}_{part}")
 
 
 def test_duck_wildcard_shares_the_one_star_contract():

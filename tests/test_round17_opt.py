@@ -76,8 +76,10 @@ def test_build_index_one_file_per_bucket(spark, sf_dir, tmp_path):
             ]
             assert 0 < len(files) <= DEFAULT_BUCKETS, (part, files)
     finally:
-        for t in ("postings", "stats", "chargrams", "gramk", "meta"):
+        for t in ("postings", "stats", "chargrams"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+        for t in ("meta", "gramk"):  # scalar parts are session views
+            spark.catalog.dropTempView(f"{name}_{t}")
 
 
 def test_ivfpq_store_single_file_per_cell(spark, sf_dir, tmp_path):
