@@ -16,6 +16,30 @@ from typing import Any
 _REGISTRY: list[dict] = []
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def pinned_cache_partitioning(spark):
+    """Pin AQE's cached-plan output re-partitioning OFF while a memo
+    cache whose partitioning is a MEASURED latency choice (not a
+    byte-sizing problem) is compiled and materialized (r17): the
+    session-wide canChangeCachedPlanOutputPartitioning=true (session.py)
+    is a broad win for scan-light cache consumers, but it coalesces a
+    small cache to one byte-sized partition — which serializes
+    compute-heavy-per-byte consumers (the BPE census barriers, the
+    tokenized-corpus gate expressions). The conf is consulted when the
+    cached plan compiles at its first action, so the pin must span the
+    fill's materializing action."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def register_cache(memo: dict) -> dict:
     """Register a memo dict (keys are tuples whose second element is
     sf_dir) and return it, so modules can write

@@ -200,28 +200,11 @@ def _piece_vocab(spark: SparkSession, pieces: DataFrame) -> DataFrame:
     )
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _pinned_cache_partitioning(spark: SparkSession):
-    """Pin AQE's cached-plan output re-partitioning OFF for the merge
-    loop (r17): _piece_vocab deliberately coalesces the persisted
-    vocabulary to a handful of FULLER partitions (measured optimum for
-    the per-merge census barriers), and the session-wide
-    canChangeCachedPlanOutputPartitioning=true (session.py, a broad win
-    for the memo-cache serving lines) would coalesce that cache to one
-    byte-sized partition and serialize every census (measured
-    4.0 -> 4.7-10.5 s per cold learn). The conf is consulted when the
-    cache is compiled at the loop's first action, so the pin must span
-    the loop, not just the persist call."""
-    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    old = spark.conf.get(key, "false")
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+# the merge loop's vocabulary cache is deliberately coalesced to a
+# handful of FULLER partitions (measured optimum for the per-merge
+# census barriers) — pin AQE's cached-plan re-partitioning off around
+# the loops and cache fills (r17); one shared definition in caches.py
+from ..caches import pinned_cache_partitioning as _pinned_cache_partitioning
 
 
 def _learn_merges(

@@ -37,6 +37,16 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _toks_cache:
         docs = table(spark, sf_dir, "documents")
+        # NOT widened with a parallelism-restoring repartition (r17,
+        # measured and reverted): the fill tokenizes on the scan's 1-2
+        # fixture splits (4.5 s vs 1.2 s wide, paid once per session),
+        # but consumers over the MATERIALIZED cache measured neutral
+        # (0.22 vs 0.20 s) and the repartition's Exchange breaks the
+        # narrow-transform contract consumers like chunk_windows pin
+        # (tests/test_eval_and_chunks.py::
+        # test_chunk_windows_plan_is_shuffle_free) — a fill-only win is
+        # not worth a plan-shape guarantee; a real corpus arrives as
+        # many splits and never hits the narrow-fill case.
         staged = (
             docs.select(
                 "doc_id",
